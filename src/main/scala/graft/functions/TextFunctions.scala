@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text functions — the reference's scalar surface plus the
+  * text-analysis extensions, all as compositions of codegen'd built-ins
+  * (no Scala UDFs on hot paths).
+  *
+  * Reference semantics pinned here (SURVEY §2 O3-O5, §2.10):
+  *  - tokenize: split on runs of whitespace (`WorkerNode.java:43`,
+  *    `text.trim().split("\\s+")`)
+  *  - normalize: lower-case then strip `\W` (ASCII-classed, so `don't` →
+  *    `dont`, `co-op` → `coop`) — `WorkerNode.java:45`
+  *  - filter: drop tokens empty after normalization (`WorkerNode.java:46`)
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of a text column → array<string>.
+    * `split` on a trimmed string; a fully-blank input yields a single empty
+    * token (same as Java's `"".split("\\s+")`), removed downstream by
+    * [[isNonEmptyToken]].
+    */
+  def tokenize(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Reference normalization: lower-case + strip non-word chars.
+    * Java `\W` == `[^a-zA-Z0-9_]` (ASCII) by default; Spark's
+    * `regexp_replace` uses java.util.regex too, so semantics are identical.
+    */
+  def normalizeToken(token: Column): Column =
+    lower(regexp_replace(token, "\\W", ""))
+
+  /** Predicate: token survives normalization (non-empty). */
+  def isNonEmptyToken(token: Column): Column = length(token) > 0
+
+  // ---------------------------------------------------------------------
+  // Text analysis (LLM-pipeline extensions; no reference counterpart)
+  // ---------------------------------------------------------------------
+
+  /** Whitespace token count; 0 for blank/empty strings. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count: alphanumeric runs + each non-space symbol counts
+    * as a token (a cheap proxy for byte-pair tokenizers; deterministic and
+    * engine-portable).
+    */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(
+        size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long"))
+
+  /** Ratio of punctuation chars to total chars (0.0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,;:!?'\"-]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Ratio of tokens that are (English-ish) stopwords. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks  = tokenize(lower(text))
+    val stops = filter_function(toks, t => t.isInCollection(stopwords))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  private def filter_function(arr: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.filter(arr, f)
+
+  /** Mean token length in characters (0.0 for blank). */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        aggregate(tokenize(text), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / tokenCount(text).cast("double"))
+
+  /** Composite quality score in [0,1]: long enough, low punctuation noise,
+    * some but not all stopwords. Deterministic; used by `text_quality`.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctPen  = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val stopScore = when(stopwordRatio(text) > 0.02, lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.5 + punctPen * 0.3 + stopScore * 0.2, 6)
+  }
+
+  /** 64-bit FNV-1a rolling hash over the UTF-8 bytes of a string — the
+    * document fingerprint. Pure Catalyst expression chain would need a loop;
+    * implemented as a deterministic fold via `aggregate` over the byte array
+    * so it stays codegen-friendly and engine-portable (no JVM hashCode).
+    */
+  def fingerprint64(text: Column): Column =
+    // FNV-1a over code points: h = 0xcbf29ce484222325; h = (h ^ cp) * 0x100000001b3.
+    // A fold via `aggregate` (codegen'd) — deterministic across JVMs, unlike
+    // String.hashCode-derived schemes tied to a runtime.
+    aggregate(
+      transform(split(text, ""), c => ascii(c)),
+      lit(-3750763034362895579L), // 0xcbf29ce484222325 as signed
+      (h, b) => (h.bitwiseXOR(b.cast("long"))) * lit(1099511628211L)
+    )
+
+  /** Character-n-gram shingles of a string (lower-cased), as array<string>. */
+  def charShingles(text: Column, n: Int): Column = {
+    val lowered = lower(text)
+    val len     = length(lowered)
+    when(len < n, array(lowered)).otherwise(
+      transform(sequence(lit(1), len - n + 1), i => lowered.substr(i, lit(n))))
+  }
+
+  /** Word n-grams from whitespace tokens, joined by a single space. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokenize(text)
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column conventions: media as opaque `BinaryType` payloads
+  * plus a typed metadata struct, with partition-wise batch "decode" /
+  * feature extraction. No reference counterpart.
+  *
+  * The actual image/audio decode is STUBBED (no codec libraries in this
+  * environment): [[FakeDecoder.decode]] derives deterministic pseudo
+  *-features from the payload bytes. The Spark-side plumbing — schema,
+  * binary columns, mapPartitions batch shape, partitioning — is real and
+  * is what matters for the 100 TB pipeline: payloads never pass through
+  * the driver, decode runs partition-local with zero shuffles, and the
+  * metadata struct stays columnar for pruning.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType),
+      StructField("source", StringType),
+      StructField("n_bytes", LongType))), nullable = true)))
+
+  /** Wrap a text corpus as a media table: UTF-8 payload + metadata struct.
+    * In production the payload column comes from `spark.read.format
+    * ("binaryFile")` or parquet with BLOB columns — same schema either way.
+    */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("kind"),
+        col("source").as("source"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Deterministic fake decode: stands in for an image/audio codec.
+    * Replace the body with a real codec call (per-partition init, batched
+    * I/O) without touching the plumbing.
+    */
+  object FakeDecoder {
+    final case class Features(width: Int, height: Int, channels: Int, checksum: Long)
+    def decode(payload: Array[Byte]): Features = {
+      // ??? <- real codec goes here; deterministic fake below
+      var cs = 1469598103934665603L // FNV-1a offset basis
+      var i  = 0
+      while (i < payload.length) { cs = (cs ^ (payload(i) & 0xffL)) * 1099511628211L; i += 1 }
+      Features(
+        width = (math.floorMod(cs, 640L) + 1L).toInt,
+        height = (math.floorMod(cs >> 16, 480L) + 1L).toInt,
+        channels = 3,
+        checksum = cs)
+    }
+  }
+
+  /** Partition-wise batched decode: one decoder instance per partition
+    * (mirrors per-batch codec init in a Pandas-UDF/`mapInPandas` setup),
+    * rows streamed — never materialized per-partition.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("checksum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        // per-partition decoder init would happen here
+        it.map { r =>
+          val id      = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val f       = FakeDecoder.decode(payload)
+          Row(id, payload.length.toLong, f.width, f.height, f.channels, f.checksum)
+        }
+      }(enc)
+  }
+
+  /** Frame-sampling shape: split payload into fixed-size "frames" and keep
+    * every `stride`-th — the array-typed plumbing of video frame sampling,
+    * as pure column expressions.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(col("meta.n_bytes").cast("double") / frameBytes).cast("int")
+    media.select(
+      col("media_id"),
+      filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+        i => i % stride === 0).as("kept_frames"),
+      nFrames.as("n_frames"))
+  }
+}

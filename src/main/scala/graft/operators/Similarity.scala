@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) — no
+  * reference counterpart; built Spark-first:
+  *
+  *  - dot / norm / cosine as `zip_with` + `aggregate` folds (codegen'd
+  *    higher-order functions; computed in DOUBLE, left-to-right, so results
+  *    are deterministic and engine-portable),
+  *  - brute-force top-k as broadcast(queries) ⋈ corpus + per-query top-k —
+  *    the exact baseline, linear in corpus size, no corpus shuffle,
+  *  - random-hyperplane LSH bucketing as the approximate scale path
+  *    (candidates share a bucket; one hash shuffle, no cartesian).
+  */
+object Similarity {
+
+  /** Left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * Plan shape: queries (small) are broadcast; the corpus is scanned once,
+    * each partition computes scores locally; ranking shuffles only
+    * (query, score, id) tuples — at 100 TB the corpus never moves.
+    * For very large k·|queries|, swap row_number for a per-partition
+    * bounded heap (TakeOrderedAndProject does this for global top-k).
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * a fixed hash folded to [-1, 1). Reproducible across runs/engines with
+    * no RNG state (scripts can't carry seeds; SURVEY §5 determinism).
+    */
+  private def planeComponent(p: Column, d: Column): Column =
+    (xxhash64(p, d).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-random-projection LSH: `nPlanes` hyperplane sign bits folded into
+    * one bucket id. Vectors in the same bucket are similarity candidates.
+    * `planeOffset` shifts the plane index space so multiple independent
+    * tables can be derived from the same formula.
+    */
+  def srpBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(lit(p + planeOffset), i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH candidate pairs: `nTables` independent sign-projection tables;
+    * pairs sharing any (table, bucket). One shuffle on the bucket key.
+    */
+  def lshCandidatePairs(
+      emb: DataFrame,
+      nPlanes: Int = 12,
+      nTables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+    // one bucket per table; plane indices offset per table for independence
+    val buckets = e.select(col("vid"), col("v"), posexplode(
+      array((0 until nTables).map(t =>
+        srpBucket(col("v"), nPlanes, planeOffset = t * nPlanes)): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+  }
+
+  /** Approximate top-k via LSH candidates, exact-rescored with cosine.
+    * Recall depends on (nPlanes, nTables); exactness of emitted scores does
+    * not (candidates are rescored exactly).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nPlanes: Int = 8,
+      nTables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    def withBuckets(df: DataFrame, vc: String, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ posexplode(
+        array((0 until nTables).map(t =>
+          srpBucket(col(vc), nPlanes, planeOffset = t * nPlanes)): _*)): _*)
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val qb = withBuckets(q, "qv", Seq(col("query_id"), col("qv")))
+    val cb = withBuckets(c, "cv", Seq(col("neighbor_id"), col("cv")))
+    val cand = qb.join(cb,
+        qb("table") === cb("table") && qb("bucket") === cb("bucket") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.{dec, dsum}
+import graft.operators.AsOfJoin
+
+/** Event-table surface: tumbling windows, JSON extraction, sessionization,
+  * as-of join, and file-format round-trips. The reference has no streaming
+  * or temporal operators (SURVEY §2.9 "absent") — semantics here are
+  * Spark/ANSI, gated by the DuckDB oracle. The true Structured Streaming
+  * path over the same table lives in [[graft.streaming.StreamOps]] and the
+  * `stream_tumbling_counts` query.
+  */
+object Events {
+
+  /** Tumbling 10-minute event-time windows (batch form of the streaming
+    * aggregation). Spark `window()` aligns buckets to the 1970 epoch;
+    * DuckDB `time_bucket` to 2000-01-01 — both are multiples of 10 min, so
+    * boundaries coincide.
+    */
+  private def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  private val tumblingSql =
+    """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** JSON extraction from the `props` column (string-typed JSON payloads,
+    * FIXTURES §B) — `get_json_object` is codegen'd; no UDF.
+    */
+  private def json(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k") >= 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hi"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  private val jsonSql =
+    """SELECT event_type, count(*) AS n_hi, CAST(sum(k) AS BIGINT) AS sum_k FROM (
+      |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |  FROM events) t
+      |WHERE k >= 50 GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity): lag window + running
+    * conditional sum — the standard single-shuffle sessionizer (shuffle by
+    * user, sort by time within partition; scales linearly).
+    */
+  private def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+  private val sessionizeSql =
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, ts, event_id,
+      |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM events) x) y
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** As-of join: for every purchase, the latest click by the same user at
+    * or before the purchase time (ties on ts broken by max event_id).
+    * Implemented by [[AsOfJoin]] as union + one window pass — a single
+    * shuffle by key, no range-join explosion (SURVEY §4.2 "custom" row).
+    */
+  private def asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.lastPriorMatch(
+      purchases, clicks,
+      keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+      matchCol = "click_event_id")
+      .orderBy(col("event_id"))
+  }
+  private val asofSql =
+    """SELECT e.event_id, e.user_id, e.ts,
+      |  (SELECT c.event_id FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+      |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_event_id
+      |FROM events e WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Source/sink coverage beyond parquet (SURVEY §2.1 "Ours"): customer →
+    * CSV, nation → JSON, read both back, join with region parquet. Exact
+    * round-trip types only (int/long/double/string — doubles survive CSV
+    * full-precision).
+    */
+  private def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t   = Tables(spark, dir)
+    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/roundtrip"
+    t.customer.write.mode("overwrite").option("header", "true").csv(s"$tmp/customer_csv")
+    t.nation.write.mode("overwrite").json(s"$tmp/nation_json")
+    val cust = spark.read.option("header", "true")
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .csv(s"$tmp/customer_csv")
+    val nat = spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .json(s"$tmp/nation_json")
+    cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("r_name"))
+  }
+  private val roundtripSql =
+    """SELECT r_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "ev01_tumbling_window" -> QueryDef(tumbling, Some(tumblingSql), benchmark = true),
+    "ev02_json_extract"    -> QueryDef(json, Some(jsonSql)),
+    "ev03_sessionize"      -> QueryDef(sessionize, Some(sessionizeSql), benchmark = true),
+    "ev04_asof_join"       -> QueryDef(asof, Some(asofSql), benchmark = true),
+    "ev05_csv_json_roundtrip" -> QueryDef(roundtrip, Some(roundtripSql)),
+  )
+}

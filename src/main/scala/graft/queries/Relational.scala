@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.core.QueryDef.{davg, dec, dsum}
+
+/** Relational query surface (SURVEY §2.1-2.8): scans, projection/filter,
+  * joins (equi/semi/anti/multi-way), aggregation (partial+final, distinct,
+  * rollup, having), windows (ranking, running, lag), global sort / top-k,
+  * set ops, scalar functions, subqueries.
+  *
+  * The reference implements only O3-O6/O10-O15 of these (word-count
+  * pipeline); everything else is "absent" per SURVEY §2.1-2.9 and follows
+  * ANSI/Spark semantics, gated by the DuckDB oracle.
+  *
+  * Scale notes (100 TB posture) are per-query in the Scaladoc.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary (O10 hash aggregate, partial→final).
+    * One scan-side filter + one shuffle of 6 grouped keys; map-side partial
+    * aggregation makes the exchange O(groups), not O(rows).
+    */
+  private def q01(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + selective predicate (O4-O6). The point at scale: both the
+    * filter and the 3-column projection reach the parquet scan
+    * (PushedFilters + ReadSchema) — verified in PlanSpec.
+    */
+  private def q02(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.where(col("l_quantity") > 45 &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Star join: lineitem ⋈ orders ⋈ customer, revenue per market segment.
+    * customer/orders are the small sides → broadcast them; the 100 TB fact
+    * table never shuffles for the join (only for the 5-group aggregate).
+    */
+  private def q03(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.orders), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"))
+  }
+  private val q03Sql =
+    """SELECT c_mktsegment,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Broadcast join + top-N: biggest customers by order value.
+    * `orderBy().limit()` plans TakeOrderedAndProject — no global sort
+    * materialization at scale.
+    */
+  private def q04(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(10)
+  }
+  private val q04Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin
+
+  /** Left-semi join (EXISTS): orders having a high-discount line. At scale
+    * the semi join needs only the join key from the probe side — Spark
+    * prunes lineitem to l_orderkey + l_discount at the scan.
+    */
+  private def q05(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val hi = t.lineitem.where(col("l_discount") >= 0.08).select(col("l_orderkey"))
+    t.orders
+      .join(hi, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val q05Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  private def q06(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+  private val q06Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Ranking window: top-3 customers by balance per nation. Deterministic
+    * tie-break via c_custkey in the frame's ORDER BY (SURVEY §7.4 ties).
+    */
+  private def q07(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t.customer
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_nationkey"), col("rnk"))
+  }
+  private val q07Sql =
+    """SELECT c_nationkey, rnk, c_custkey, c_acctbal FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) t
+      |WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin
+
+  /** Running-total window (frame ROWS UNBOUNDED PRECEDING) per supplier,
+    * restricted to a few suppliers to keep judged output small. Running sum
+    * computed in DECIMAL then cast — exact at every prefix.
+    */
+  private def q08(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.lineitem
+      .where(col("l_suppkey") <= 3)
+      .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+  private val q08Sql =
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem WHERE l_suppkey <= 3
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  /** Global top-k (O13-O15 range sort, collapsed to TakeOrderedAndProject —
+    * each partition keeps k rows, driver merges; no full sort at 100 TB).
+    */
+  private def q09(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(15)
+  private val q09Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15""".stripMargin
+
+  /** DISTINCT (O17 dedup-by-key made explicit). */
+  private def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  private val q10Sql =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Set operations: nations that have customers vs suppliers —
+    * INTERSECT / EXCEPT / UNION branches tagged and unioned.
+    */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.customer.select(col("c_nationkey").as("nk"))
+    val s = t.supplier.select(col("s_nationkey").as("nk"))
+    val both     = c.intersect(s).withColumn("tag", lit("both"))
+    val custOnly = c.except(s).withColumn("tag", lit("cust_only"))
+    val suppOnly = s.except(c).withColumn("tag", lit("supp_only"))
+    both.union(custOnly).union(suppOnly)
+      .select(col("tag"), col("nk"))
+      .orderBy(col("tag"), col("nk"))
+  }
+  private val q11Sql =
+    """SELECT * FROM (
+      |  SELECT 'both' AS tag, nk FROM
+      |    (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'cust_only', nk FROM
+      |    (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'supp_only', nk FROM
+      |    (SELECT s_nationkey AS nk FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+      |) ORDER BY tag, nk""".stripMargin
+
+  /** ROLLUP hierarchy totals. DuckDB orders NULLS LAST by default, Spark
+    * NULLS FIRST on ASC — pinned explicitly in both (SURVEY §7.4).
+    */
+  private def q12(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  private val q12Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Scalar-function projection: date parts, string ops, CASE, coalesce
+    * (reference scalar surface O4 + the date/string functions it lacks).
+    */
+  private def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("pri_code"),
+        when(col("o_totalprice") >= 200000, lit("BIG"))
+          .when(col("o_totalprice") >= 50000, lit("MID"))
+          .otherwise(lit("SMALL")).as("bucket"),
+        concat(col("o_orderstatus"), lit("-"), year(col("o_orderdate"))).as("status_yr"))
+      .orderBy(col("o_orderkey"))
+  private val q13Sql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  upper(substr(o_orderpriority, 1, 1)) AS pri_code,
+      |  CASE WHEN o_totalprice >= 200000 THEN 'BIG'
+      |       WHEN o_totalprice >= 50000 THEN 'MID'
+      |       ELSE 'SMALL' END AS bucket,
+      |  o_orderstatus || '-' || CAST(year(o_orderdate) AS VARCHAR) AS status_yr
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Conditional aggregation (promo revenue share, TPC-H Q14 shape):
+    * lineitem ⋈ broadcast(part), CASE inside exact decimal sums; the final
+    * ratio is one double division of identical operands.
+    */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select(
+        col("promo_revenue"),
+        col("total_revenue"),
+        (col("promo_revenue") / col("total_revenue")).as("promo_share"))
+  }
+  private val q14Sql =
+    """SELECT promo_revenue, total_revenue, promo_revenue / total_revenue AS promo_share
+      |FROM (SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey) t""".stripMargin
+
+  /** Global min/max/count — the reference's O11/O12 two-phase min-max,
+    * verbatim as partial→final HashAggregate.
+    */
+  private def q15(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem.agg(
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"),
+      count(lit(1)).as("n"))
+  private val q15Sql =
+    """SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      |  count(*) AS n
+      |FROM lineitem""".stripMargin
+
+  /** GROUP BY + HAVING + count(DISTINCT): busy suppliers. The distinct
+    * aggregate plans as a two-level expand+agg — still one logical shuffle.
+    */
+  private def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(
+        dsum(col("l_quantity")).as("total_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .where(col("total_qty") > 1000.0)
+      .orderBy(col("l_suppkey"))
+  private val q16Sql =
+    """SELECT l_suppkey,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_suppkey
+      |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 1000.0
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Correlated-shape subquery (TPC-H Q17): lines below 20% of their part's
+    * average quantity. Decorrelated as an aggregate + re-join — the plan
+    * Spark/DuckDB both produce for the correlated SQL.
+    */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    val t  = Tables(spark, dir)
+    val li = t.lineitem
+    val avgByPart = li.groupBy(col("l_partkey").as("p_key"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    li.join(avgByPart, col("l_partkey") === col("p_key"))
+      .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(dsum(col("l_extendedprice")).as("low_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+  private val q17Sql =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS low_qty_revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem l JOIN (
+      |  SELECT l_partkey AS p_key,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(count(l_quantity) AS DOUBLE) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.p_key
+      |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin
+
+  /** Large-order drill-down (TPC-H Q18): orders whose line quantities sum
+    * past a threshold, joined back to customer. Aggregate-then-join keeps
+    * the big side aggregated before the join at scale.
+    */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigOrders = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 250.0)
+    t.orders
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q18Sql =
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250.0) b
+      |  ON o_orderkey = b.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Five-way star join through the region→nation→customer→orders→lineitem
+    * chain — all dimension hops broadcast; the fact table shuffles once for
+    * the final 5-group aggregate.
+    */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.orders), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("r_name"))
+  }
+  private val q19Sql =
+    """SELECT r_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  count(DISTINCT c_custkey) AS n_customers
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
+    "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
+    "q03_star_join"        -> QueryDef(q03, Some(q03Sql), benchmark = true),
+    "q04_topn_customers"   -> QueryDef(q04, Some(q04Sql)),
+    "q05_semi_join"        -> QueryDef(q05, Some(q05Sql)),
+    "q06_anti_join"        -> QueryDef(q06, Some(q06Sql)),
+    "q07_window_rank"      -> QueryDef(q07, Some(q07Sql)),
+    "q08_window_running"   -> QueryDef(q08, Some(q08Sql)),
+    "q09_global_topk"      -> QueryDef(q09, Some(q09Sql)),
+    "q10_distinct"         -> QueryDef(q10, Some(q10Sql)),
+    "q11_set_ops"          -> QueryDef(q11, Some(q11Sql)),
+    "q12_rollup"           -> QueryDef(q12, Some(q12Sql)),
+    "q13_scalar_funcs"     -> QueryDef(q13, Some(q13Sql)),
+    "q14_cond_agg"         -> QueryDef(q14, Some(q14Sql), benchmark = true),
+    "q15_minmax"           -> QueryDef(q15, Some(q15Sql)),
+    "q16_group_having"     -> QueryDef(q16, Some(q16Sql)),
+    "q17_avg_subquery"     -> QueryDef(q17, Some(q17Sql), benchmark = true),
+    "q18_big_orders"       -> QueryDef(q18, Some(q18Sql)),
+    "q19_region_rollup"    -> QueryDef(q19, Some(q19Sql), benchmark = true),
+  )
+}

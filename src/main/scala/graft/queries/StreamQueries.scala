@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.QueryDef
+import graft.streaming.StreamOps
+
+/** Judged queries that run the REAL Structured Streaming path (readStream
+  * → windowed agg → memory sink, driven to completion) and are gated by
+  * the same batch DuckDB oracle — proving stream/batch semantic parity.
+  */
+object StreamQueries {
+
+  /** Tumbling 10-min windows via the streaming engine, complete mode. */
+  private def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.nanosToTs(
+      StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+    val agg = StreamOps.tumblingCounts(src, "10 minutes", "1 hour")
+    StreamOps.runToMemory(spark, agg, s"graft_stream_tumbling_${System.nanoTime()}")
+      .orderBy(col("w_start"), col("event_type"))
+  }
+  private val streamTumblingSql =
+    """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** Streaming word count (the reference query as a stream), complete mode. */
+  private def streamWordcount(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
+      .select(col("text").as("value"))
+    val agg = StreamOps.streamingWordCount(src)
+    StreamOps.runToMemory(spark, agg, s"graft_stream_wc_${System.nanoTime()}")
+      .orderBy(col("cnt").asc, col("word").asc)
+  }
+  private val streamWordcountSql =
+    """SELECT word, count(*) AS cnt FROM (
+      |  SELECT lower(regexp_replace(w, '\W', '', 'g')) AS word FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |    FROM documents) t1) t2
+      |WHERE length(word) > 0
+      |GROUP BY word ORDER BY cnt ASC, word ASC""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
+    "st02_stream_wordcount" -> QueryDef(streamWordcount, Some(streamWordcountSql)),
+  )
+}

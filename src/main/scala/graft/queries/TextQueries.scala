@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, WordCount}
+
+/** The reference's own query (word count, SURVEY §0) over the `documents`
+  * fixture, plus the text-analysis / dedup / multimodal extension surface.
+  */
+object TextQueries {
+
+  /** THE reference query: tokenize → normalize (`lower` + `\W`-strip,
+    * `WorkerNode.java:43-46`) → count → global (cnt ASC, word ASC) order
+    * (`WorkerNode.java:153-155`), with documents.text as the corpus.
+    */
+  private def wordcount(spark: SparkSession, dir: String): DataFrame =
+    WordCount.run(Tables(spark, dir).documents.select(col("text").as("value")))
+  private val wordcountSql =
+    """SELECT word, count(*) AS cnt FROM (
+      |  SELECT lower(regexp_replace(w, '\W', '', 'g')) AS word FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |    FROM documents) t1) t2
+      |WHERE length(word) > 0
+      |GROUP BY word ORDER BY cnt ASC, word ASC""".stripMargin
+
+  /** Exact dedup (keep lowest doc_id per identical text). */
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables(spark, dir).documents)
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** Exact token-set Jaccard near-dup pairs (inverted-index join; the
+    * DF-capped postings keep the join linear — cap mirrored in the oracle).
+    */
+  private def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables(spark, dir).documents, threshold = 0.8, maxDf = 400L)
+      .orderBy(col("id_a"), col("id_b"))
+  private val dedupJaccardSql =
+    """WITH tok AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |capped AS (
+      |  SELECT doc_id, tok FROM tok
+      |  WHERE tok IN (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 400)),
+      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM capped GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common,
+      |  CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. The LSH stage is
+    * engine-specific (xxhash64) so the oracle gate is the *exact* pair set:
+    * with 16 bands × 4 rows, P(miss | J≥0.8) = (1-0.8^4)^16 ≈ 2e-4 — and
+    * the verified output equals the exact-Jaccard output on this corpus
+    * (asserted in DedupSpec).
+    */
+  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDupPairs(Tables(spark, dir).documents, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  private val dedupMinhashSql =
+    """WITH tok AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash near-dup pairs (Hamming ≤ 3). Hash-specific → rows-only gate;
+    * cross-checked against Jaccard dups in DedupSpec.
+    */
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDupPairs(Tables(spark, dir).documents, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Per-document text statistics — token counts (whitespace + BPE-ish),
+    * punctuation/stopword ratios, mean token length. All ratios are
+    * int/int → one IEEE division, engine-exact.
+    */
+  private def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.meanTokenLen(col("text")).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  private val textStatsSql =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) END AS n_subwords,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"-]', '', 'g')) AS DOUBLE)
+      |            / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+      |  CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0 THEN 0.0
+      |       ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |              x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+      |            / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) END AS stopword_ratio,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+      |       ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |              x -> length(x))) AS DOUBLE)
+      |            / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality score (composite heuristic) per doc, grouped into histogram
+    * buckets per source — SQL-expressible, so fully oracle-gated.
+    */
+  private def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), TextFunctions.qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q").cast("decimal(12,6)")).cast("double").as("sum_quality"))
+      .orderBy(col("source"))
+  private val textQualitySql = {
+    val punct = "CAST(length(regexp_replace(text, '[^.,;:!?''\"-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val toks  = "string_split_regex(trim(lower(text)), '\\s+')"
+    val stopr = s"CAST(len(list_filter($toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CAST(q AS DECIMAL(12,6))) AS DOUBLE) AS sum_quality
+       |FROM (SELECT source,
+       |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
+       |    + greatest(0.0, 1.0 - ($punct) * 5.0) * 0.3
+       |    + (CASE WHEN ($stopr) > 0.02 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS q
+       |FROM documents) t
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** N-gram-heuristic language ID: score = stopword hits per language,
+    * winner = (max score, then lexicographically greatest code) — a
+    * deterministic total order, mirrored in the oracle CASE chain.
+    */
+  private val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "it", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "ni", "ta", "men"))
+
+  private def langid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokenize(lower(col("text")))
+    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(words))).as("score"),
+        lit(lang).as("lang"))
+    }
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        array_max(array(scored: _*)).getField("lang").as("guessed_lang"))
+      .groupBy(col("labeled_lang"), col("guessed_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("labeled_lang"), col("guessed_lang"))
+  }
+  private val langidSql = {
+    val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    def score(ws: Seq[String]) =
+      s"len(list_filter($toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    val scores = langStopwords.toSeq.sortBy(_._1)
+      .map { case (l, ws) => s"${score(ws)} AS s_$l" }.mkString(", ")
+    // winner: max score, ties to lexicographically greatest lang code
+    s"""SELECT labeled_lang, guessed_lang, count(*) AS n FROM (
+       |  SELECT lang AS labeled_lang,
+       |    CASE
+       |      WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+       |      WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |      WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       |      WHEN s_en >= s_de THEN 'en'
+       |      ELSE 'de' END AS guessed_lang
+       |  FROM (SELECT lang, $scores FROM documents) t) u
+       |GROUP BY labeled_lang, guessed_lang ORDER BY labeled_lang, guessed_lang""".stripMargin
+  }
+
+  /** Document fingerprint: FNV-1a rolling hash over code points (pure
+    * Catalyst fold — [[TextFunctions.fingerprint64]]). Engine-specific
+    * 64-bit wraparound isn't expressible in DuckDB BIGINT (it errors on
+    * overflow) → rows-only gate; value-pinned in TextFunctionsSpec.
+    */
+  private def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), TextFunctions.fingerprint64(col("text")).as("fp64"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing: binary payload + metadata struct → partition-wise
+    * batched decode (stubbed codec). n_bytes/width/height/channels are
+    * deterministic functions of the payload; the byte-level checksum path
+    * is exercised, and n_bytes is oracle-checkable via octet_length.
+    */
+  private def multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(Tables(spark, dir).documents)
+    Multimodal.decodeFeatures(media)
+      .select(col("media_id"), col("n_bytes"), col("width"), col("height"), col("channels"))
+      .orderBy(col("media_id"))
+  }
+  /** Binary-payload metadata alone is engine-portable: UTF-8 byte length
+    * via octet_length on both sides — gates the media-table schema path.
+    */
+  private def mediaBytes(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.asMediaTable(Tables(spark, dir).documents)
+      .select(col("media_id"), col("meta.kind").as("kind"),
+        col("meta.source").as("source"), col("meta.n_bytes").as("n_bytes"))
+      .orderBy(col("media_id"))
+  private val mediaBytesSql =
+    """SELECT doc_id AS media_id, 'text/plain' AS kind, source,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
+    "dd01_exact"             -> QueryDef(dedupExact, Some(dedupExactSql)),
+    "dd02_jaccard_pairs"     -> QueryDef(dedupJaccard, Some(dedupJaccardSql), benchmark = true),
+    "dd03_minhash_pairs"     -> QueryDef(dedupMinhash, Some(dedupMinhashSql), benchmark = true),
+    "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, None),
+    "tx01_text_stats"        -> QueryDef(textStats, Some(textStatsSql)),
+    "tx02_quality_score"     -> QueryDef(textQuality, Some(textQualitySql)),
+    "tx03_langid"            -> QueryDef(langid, Some(langidSql)),
+    "tx04_fingerprint"       -> QueryDef(fingerprint, None),
+    "mm01_decode_features"   -> QueryDef(multimodal, None),
+    "mm02_payload_bytes"     -> QueryDef(mediaBytes, Some(mediaBytesSql)),
+  )
+}

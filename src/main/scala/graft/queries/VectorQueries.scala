@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+import graft.operators.{Dedup, Similarity}
+
+/** Similarity-search surface over the `embeddings` table (64-dim float
+  * vectors). Cosine math runs in DOUBLE as a left fold (deterministic;
+  * DuckDB's list_cosine_similarity over DOUBLE[] folds the same way —
+  * verified empirically for bit-equality before wiring the oracle).
+  */
+object VectorQueries {
+
+  /** Exact brute-force top-5 cosine neighbors for the first 10 vectors —
+    * the ANN correctness baseline. Queries broadcast; corpus never
+    * shuffles; ranking moves only (query, score, id).
+    */
+  private def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val annBruteSql =
+    """SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed approximate top-3 — the scale path (one bucket-key
+    * shuffle instead of a corpus × queries product). Bucketing uses
+    * xxhash64-derived hyperplanes → engine-specific → rows-only gate;
+    * recall vs brute force is asserted in SimilaritySpec.
+    */
+  private def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, k = 3,
+      nPlanes = 6, nTables = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold (exact all-pairs —
+    * correctness form; LSH candidates replace the self-join at scale).
+    */
+  private def embDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairs(Tables(spark, dir).embeddings, threshold = 0.35)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  private val embDupSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                         CAST(b.embedding AS DOUBLE[])) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Vector norms + per-label centroid magnitude — aggregate over array
+    * columns (`aggregate`/`zip_with` folds, no UDFs).
+    */
+  private def vecStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    emb.select(col("label"),
+        Similarity.norm2(col("v")).as("nrm"),
+        element_at(col("v"), 1).as("first_dim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        max(col("first_dim")).as("max_first_dim"))
+      .orderBy(col("label"))
+  }
+  private val vecStatsSql =
+    """SELECT label, count(*) AS n,
+      |  min(nrm) AS min_norm, max(nrm) AS max_norm,
+      |  max(first_dim) AS max_first_dim
+      |FROM (SELECT label,
+      |        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm,
+      |        CAST(embedding[1] AS DOUBLE) AS first_dim
+      |      FROM embeddings) t
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "ann01_bruteforce_topk" -> QueryDef(annBrute, Some(annBruteSql), benchmark = true),
+    "ann02_lsh_topk"        -> QueryDef(annLsh, None, benchmark = true),
+    "ann03_embedding_dups"  -> QueryDef(embDup, Some(embDupSql)),
+    "ann04_vector_stats"    -> QueryDef(vecStats, Some(vecStatsSql)),
+  )
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.core.QueryDef.{dec, dsum}
+
+/** Structured Streaming surface — the reference is batch-only (SURVEY
+  * §2.9 "absent"), so these are the reference's pipeline shapes lifted to
+  * streams: windowed aggregation with watermarking, streaming word count,
+  * and custom keyed state via flatMapGroupsWithState.
+  *
+  * Semantics contract (ours, conservative — SURVEY §7.4): event-time
+  * tumbling/sliding windows; watermark bounds lateness; late rows beyond
+  * the watermark are dropped deterministically.
+  */
+object StreamOps {
+
+  /** Tumbling-window count/sum over an event stream. */
+  def tumblingCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window variant (window, slide). */
+  def slidingCounts(events: DataFrame, window_ : String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Streaming word count — the reference query over a text stream. */
+  def streamingWordCount(lines: DataFrame, textCol: String = "value"): DataFrame = {
+    import graft.functions.TextFunctions._
+    lines
+      .select(explode(tokenize(col(textCol))).as("raw"))
+      .select(normalizeToken(col("raw")).as("word"))
+      .where(isNonEmptyToken(col("word")))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Custom keyed state: running per-user event count + max value, via
+    * flatMapGroupsWithState (the `KeyValueGroupedDataset` state API).
+    * Emits one update per input batch per active user.
+    */
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserState(n: Long, maxValue: Double)
+  final case class UserUpdate(user_id: Long, n: Long, maxValue: Double)
+
+  def runningUserStats(events: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, Double.MinValue))
+          var changed = false
+          it.foreach { e =>
+            s = UserState(s.n + 1, math.max(s.maxValue, e.value)); changed = true
+          }
+          if (changed) { state.update(s); Iterator(UserUpdate(uid, s.n, s.maxValue)) }
+          else Iterator.empty
+      }.toDF()
+  }
+
+  /** Drive a streaming DataFrame from a bounded source to completion into
+    * an in-memory table and return the final result (used by the judged
+    * `stream_*` queries so the true streaming path is oracle-gated).
+    */
+  def runToMemory(spark: SparkSession, streamDf: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete): DataFrame = {
+    val q = streamDf.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Replay a parquet table as a file stream (bounded; used to exercise the
+    * real `readStream` path against fixture data).
+    */
+  /** The file-stream source lists a directory; single-file fixtures are
+    * selected with pathGlobFilter against their parent dir.
+    */
+  def parquetStream(spark: SparkSession, dir: String, fileGlob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/$fileGlob").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", fileGlob)
+      .parquet(dir)
+  }
+
+  /** Nanos-as-long → microsecond timestamp (see Tables.events). */
+  def nanosToTs(df: DataFrame, colName: String): DataFrame =
+    df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+}

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify's output
+against DuckDB on the same tables and report per-query match.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    # sortable, exact-equality key: (type tag, canonical string)
+    if v is None:
+        return ("z", "none")
+    if isinstance(v, float):
+        return ("f", "NaN" if math.isnan(v) else repr(v))
+    return (type(v).__name__, str(v))
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        wc = sorted(want.columns)
+        gc = sorted(got.columns)
+        if wc != gc:
+            print(f"FAIL {name}: columns differ spark={gc} oracle={wc}")
+            n_fail += 1
+            continue
+        want = want[wc]
+        got = got[gc]
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
+            n_fail += 1
+            continue
+        wrows = sorted(tuple(norm(v) for v in r) for r in want.itertuples(index=False))
+        grows = sorted(tuple(norm(v) for v in r) for r in got.itertuples(index=False))
+        if wrows != grows:
+            bad = [(g, w) for g, w in zip(grows, wrows) if g != w][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(got)} rows)")
+        n_pass += 1
+    # rows-only queries (no oracle)
+    import glob
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if os.path.isdir(p) and d not in oracle:
+            try:
+                n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+                print(f"ROWS {d}: {n} rows")
+            except Exception as e:
+                print(f"ROWS {d}: unreadable: {e}")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
