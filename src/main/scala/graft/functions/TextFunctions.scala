@@ -97,12 +97,14 @@ object TextFunctions {
   def fingerprint64(text: Column): Column =
     // FNV-1a over code points: h = 0xcbf29ce484222325; h = (h ^ cp) * 0x100000001b3.
     // A fold via `aggregate` (codegen'd) — deterministic across JVMs, unlike
-    // String.hashCode-derived schemes tied to a runtime.
-    aggregate(
-      transform(split(text, ""), c => ascii(c)),
-      lit(-3750763034362895579L), // 0xcbf29ce484222325 as signed
-      (h, b) => (h.bitwiseXOR(b.cast("long"))) * lit(1099511628211L)
-    )
+    // String.hashCode-derived schemes tied to a runtime. Guard the empty
+    // string: split("", "") yields [""] (ascii 0), not an empty array.
+    when(length(text) === 0, lit(-3750763034362895579L)).otherwise(
+      aggregate(
+        transform(split(text, ""), c => ascii(c)),
+        lit(-3750763034362895579L), // 0xcbf29ce484222325 as signed
+        (h, b) => (h.bitwiseXOR(b.cast("long"))) * lit(1099511628211L)
+      ))
 
   /** Character-n-gram shingles of a string (lower-cased), as array<string>. */
   def charShingles(text: Column, n: Int): Column = {

@@ -41,7 +41,7 @@ object VectorQueries {
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, k = 3,
-      nPlanes = 6, nTables = 8)
+      nPlanes = 4, nTables = 12)
       .orderBy(col("query_id"), col("rank"))
   }
 

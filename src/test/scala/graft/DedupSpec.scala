@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup (8/10 tokens)
+    (4L, "completely different content about spark engines"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val r = Dedup.exact(docs).select($"keep_id", $"n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == 2L)       // docs 1+2 collapse, keep id 1
+    assert(r(3L) == 1L && r(4L) == 1L && r(5L) == 1L)
+  }
+
+  test("jaccard pairs find exact and near dups with correct scores") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().sortBy(p => (p._1, p._2)).toSeq
+    // distinct tokens: d1=d2={the,quick,brown,fox,jumps,over,lazy,dog}(8)
+    // d3 swaps jumps→leaps: |∩|=7, |∪|=9 → 7/9
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.head._3 == 1.0)
+    assert(math.abs(pairs(1)._3 - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("minhash signature is deterministic and length k") {
+    val sigs = docs.where($"doc_id" <= 2)
+      .select(Dedup.minhashSignature($"text", 16)).as[Seq[Long]].collect()
+    assert(sigs(0).length == 16)
+    assert(sigs(0) == sigs(1)) // identical text → identical signature
+  }
+
+  test("minhash+LSH verified pairs equal exact jaccard pairs on fixture docs") {
+    val docsTable = spark.read.parquet(s"$sf0001/documents.parquet")
+    val exact = Dedup.jaccardPairs(docsTable, threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashDupPairs(docsTable, threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact) // 16 bands × 4 rows: P(miss|J≥.8) ≈ 2e-4 per pair
+  }
+
+  test("simhash: near-identical docs collide, different docs don't") {
+    val r = Dedup.simhashDupPairs(docs, maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(r.contains((1L, 2L))) // identical → hamming 0
+    assert(!r.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated content
+  }
+
+  test("simhash64 of identical text is equal, of disjoint text differs") {
+    val sh = docs.where($"doc_id" =!= 5L)
+      .select($"doc_id", Dedup.simhash64($"text")).as[(Long, Long)]
+      .collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hello", "en", "srcA", 5L),
+    (2L, "", "en", "srcB", 0L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("media table schema: binary payload + metadata struct") {
+    val m = Multimodal.asMediaTable(docs)
+    assert(m.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val r = m.where($"media_id" === 1)
+      .select($"payload", $"meta.n_bytes").as[(Array[Byte], Long)].head()
+    assert(new String(r._1, "UTF-8") == "hello" && r._2 == 5L)
+  }
+
+  test("decode stub is deterministic and bounded") {
+    val f1 = Multimodal.decodeFeatures(Multimodal.asMediaTable(docs))
+      .orderBy($"media_id").collect()
+    val f2 = Multimodal.decodeFeatures(Multimodal.asMediaTable(docs))
+      .orderBy($"media_id").collect()
+    assert(f1.sameElements(f2))
+    val r = f1.head
+    assert(r.getInt(2) >= 1 && r.getInt(2) <= 640)  // width
+    assert(r.getInt(3) >= 1 && r.getInt(3) <= 480)  // height
+    assert(r.getInt(4) == 3)                         // channels
+    assert(r.getLong(1) == 5L)                       // n_bytes
+  }
+
+  test("frame sampling keeps every stride-th frame") {
+    val m = Multimodal.asMediaTable(
+      Seq((1L, "x" * 100, "en", "s", 100L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Multimodal.sampleFrames(m, frameBytes = 10, stride = 3)
+      .select($"n_frames", $"kept_frames").as[(Int, Seq[Long])].head()
+    assert(r._1 == 10)
+    assert(r._2 == Seq(0L, 3L, 6L, 9L))
+  }
+}

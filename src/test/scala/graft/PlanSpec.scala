@@ -1,0 +1,45 @@
+package graft
+
+import graft.queries.Relational
+
+/** Plan-shape assertions — the 100 TB posture, checked mechanically:
+  * filters reach the parquet scan, small sides broadcast, global top-k
+  * avoids a full sort (SURVEY §4, prompt "Optimize for scale").
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q02: predicate pushdown + column pruning reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(!p.contains("l_returnflag"), p)
+  }
+
+  test("q03: dimension joins are broadcast, fact table does not shuffle for the join") {
+    val p = planOf("q03_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q09: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q09_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is two-phase (partial then final hash aggregate)") {
+    val p = planOf("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("wordcount: map-side partial aggregation before the exchange") {
+    val p = planOf("wc_reference_wordcount")
+    val exIdx  = p.indexOf("Exchange hashpartitioning(word")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(exIdx >= 0, p)
+    assert(aggIdx > exIdx, "expected a partial HashAggregate below the exchange\n" + p)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 2.0), Seq(2.0, 4.0), 1.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0)
+    ).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine($"a", $"b"), $"want")
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, w) => assert(math.abs(c - w) < 1e-12) }
+  }
+
+  test("brute-force top-k returns the true nearest neighbors") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),   // closest to 0
+      (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(-1.0f, 0.0f))   // farthest from 0
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(emb.where($"vec_id" === 0), emb, k = 3)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(r.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH top-k recall vs brute force on fixture embeddings") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, emb, k = 3, nPlanes = 4, nTables = 12)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall") // random 64-dim fixtures have
+    // near-orthogonal NNs (cos≈0.45) — the hardest case for SRP-LSH; 12
+    // tables × 4 planes trades candidate volume for usable recall. The
+    // contract is "useful fraction without the O(n²) product".
+  }
+
+  test("LSH candidate pairs are a subset-of-all-pairs and deterministic") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+    val a = Similarity.lshCandidatePairs(emb).as[(Long, Long)].collect().toSet
+    val b = Similarity.lshCandidatePairs(emb).as[(Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.forall(p => p._1 < p._2))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000)
+
+  test("tumbling window aggregation with watermark drops late rows (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamOps.tumblingCounts(df, "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_test").start()
+    // batch 1: window [0,10) and [10,20)
+    mem.addData((ts(1), "a", 1.0), (ts(11), "a", 2.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark far ahead → closes earlier windows
+    mem.addData((ts(60), "a", 3.0))
+    q.processAllAvailable()
+    // batch 3: a VERY late row for window [0,10) — beyond watermark → dropped
+    mem.addData((ts(2), "a", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_test")
+      .select($"w_start", $"n", $"total_value")
+      .as[(Timestamp, Long, Double)].collect().toSeq.sortBy(_._1.getTime)
+    // emitted: [0,10) n=1 total=1.0 and [10,20) n=1 total=2.0 — late 99.0 absent
+    assert(out.map(r => (r._2, r._3)) == Seq((1L, 1.0), (1L, 2.0)))
+  }
+
+  test("streaming word count equals batch word count (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = StreamOps.streamingWordCount(mem.toDF().toDF("value"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("wc_stream_test").start()
+    mem.addData("b a B", "a! a?")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wc_stream_test").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sess = spark
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "event_type", "value")
+    val updates = StreamOps.runningUserStats(df)
+    val q = updates.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("state_test").start()
+    mem.addData((1L, "click", 5.0), (1L, "view", 2.0), (2L, "click", 7.0))
+    q.processAllAvailable()
+    mem.addData((1L, "buy", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("state_test")
+      .as[(Long, Long, Double)].collect().toSeq
+    // final state for user 1: n=3, max=9.0 (second batch update)
+    assert(rows.contains((1L, 3L, 9.0)))
+    assert(rows.contains((2L, 1L, 7.0)))
+  }
+}
