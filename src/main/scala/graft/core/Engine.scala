@@ -45,8 +45,24 @@ object GraftSession {
   * `PushedFilters` / `ReadSchema`).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** The fixture tables are single-file, single-row-group parquet, so the
+    * scan yields ONE input partition and every map-heavy stage above it
+    * (tokenize, sketch, join probe) would run on one core. Fan rows out
+    * once right after the scan for the non-tiny tables. On a production
+    * layout (many files / row groups ≥ cluster parallelism) the scan
+    * already has enough splits and the repartition would be pure overhead —
+    * which is why it's keyed on file size, not applied blindly. Catalyst
+    * still pushes filters and column pruning through the repartition to
+    * the scan, and explicit `repartition(n)` is exempt from AQE coalescing.
+    */
+  private def t(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val singleSplitBytes = 200L << 10
+    if (new java.io.File(path).length > singleSplitBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's native Catalyst expressions and the public
+  * `Column` API. Lives under `org.apache.spark.sql` because the
+  * Expression↔Column converters (`classic.ExpressionUtils`) are
+  * `private[sql]` in Spark 4 — the conventional packaging for Spark
+  * extension libraries that add expressions without a session-level
+  * function registry.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketching hot path (MinHash / LSH /
+  * SimHash over token arrays).
+  *
+  * Rationale (100 TB posture): the pure-`functions._` formulation — k
+  * `transform`/`array_min` higher-order calls per row — is CodegenFallback
+  * in Spark, so every one of the k·n lambda evaluations pays interpreted
+  * expression overhead, and the tokenizer is re-evaluated per hash. These
+  * expressions do the whole sketch in ONE tight JVM loop per row (xxhash64
+  * each token twice, then k Kirsch–Mitzenmacher mul-adds), participate in
+  * whole-stage codegen via a single static call, and keep the surrounding
+  * projection codegen'd.
+  *
+  * Hashing is Spark's own XXH64 (bit-identical to `functions.xxhash64`,
+  * seed 42), so sketches are deterministic across JVMs and sessions.
+  */
+object HashImpl {
+  final val Seed1 = 42L
+  /** Second seed for double hashing (golden-ratio constant, odd). */
+  final val Seed2 = 0x9e3779b97f4a7c15L
+
+  private def xx(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** k-min signature: sig(i) = min over tokens of (h1 + i·h2) (double
+    * hashing approximates k independent permutations — Kirsch &
+    * Mitzenmacher 2006). Empty arrays yield Long.MaxValue sentinels.
+    */
+  def minhash(tokens: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val h1 = xx(t, Seed1)
+        val h2 = xx(t, Seed2)
+        var j = 0
+        var v = h1
+        while (j < k) {
+          if (v < mins(j)) mins(j) = v
+          v += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** One LSH bucket key per band: fold the band's `rowsPerBand` signature
+    * slots into a 64-bit key via chained `XXH64.hashLong`, seeded by the
+    * band index (so identical slices in different bands never collide).
+    */
+  def minhashBuckets(tokens: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val sig = minhash(tokens, bands * rowsPerBand).asInstanceOf[GenericArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = XXH64.hashLong(sig.getLong(b * rowsPerBand + r), acc)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 0-based index of the first position where both long arrays agree;
+    * -1 if none (or lengths differ before a match).
+    */
+  def firstEqIndex(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** 64-bit SimHash: bit b of the output is 1 iff the majority of token
+    * hashes have bit b set (sum of ±1 votes > 0). Bit-compatible with the
+    * HOF formulation it replaces (xxhash64 seed 42 per distinct token;
+    * MSB→LSB fold acc*2+bit).
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val sums = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val h = xx(t, Seed1)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 63
+    while (b >= 0) {
+      acc = acc * 2L + (if (sums(b) > 0) 1L else 0L)
+      b -= 1
+    }
+    acc
+  }
+}
+
+/** `first_eq_index(a, b)` → 0-based index of the first position where the
+  * two bigint arrays are equal, or -1 if none. Used to deduplicate LSH
+  * candidate pairs without a shuffle: a pair colliding in several bands is
+  * kept only in the row whose band equals this index.
+  */
+case class FirstEqIndex(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_eq_index"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.firstEqIndex(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.firstEqIndex($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstEqIndex =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Input contract shared by the sketch expressions: one array<string>. */
+trait TokenArrayExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> input, got ${other.simpleString}")
+    }
+}
+
+/** `minhash_sig(tokens, k)` → array<bigint> of length k. */
+case class MinHashSig(child: Expression, k: Int) extends TokenArrayExpression {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.minhash(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.minhash($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `minhash_buckets(tokens, bands, rowsPerBand)` → array<bigint> of one
+  * LSH bucket key per band.
+  */
+case class MinHashBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends TokenArrayExpression {
+  require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_buckets"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.minhashBuckets(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.minhashBuckets($c, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBuckets =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)` → bigint fingerprint. */
+case class SimHash64(child: Expression) extends TokenArrayExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-level wrappers. */
+object HashExprs {
+  def minhashSig(tokens: Column, k: Int): Column =
+    ColumnShim.column(MinHashSig(ColumnShim.expression(tokens), k))
+  def minhashBuckets(tokens: Column, bands: Int, rowsPerBand: Int): Column =
+    ColumnShim.column(MinHashBuckets(ColumnShim.expression(tokens), bands, rowsPerBand))
+  def simhash64(tokens: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+  def firstEqIndex(a: Column, b: Column): Column =
+    ColumnShim.column(FirstEqIndex(ColumnShim.expression(a), ColumnShim.expression(b)))
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{HashExprs, TextFunctions}
 
 /** Deduplication operators for large-scale training-data pipelines: exact,
   * n-gram Jaccard (inverted index), MinHash+LSH, SimHash. No reference
@@ -64,40 +64,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
-  /** MinHash signatures over distinct tokens: `sig[i] = min_t xxhash64(i, t)`
-    * — k independent permutations approximated by seeding Spark's codegen'd
-    * `xxhash64` with the band index. All array ops; no UDFs, no shuffle
-    * (per-row computation).
+  /** MinHash signature over distinct tokens — one native Catalyst
+    * expression ([[graft.functions.MinHashSig]]): xxhash64 each token twice,
+    * k Kirsch–Mitzenmacher mul-adds, all in one codegen'd loop per row.
+    * No UDFs, no shuffle (per-row computation).
     */
-  def minhashSignature(textCol: Column, k: Int): Column = {
-    val toks = array_distinct(TextFunctions.tokenize(lower(textCol)))
-    array((0 until k).map(i =>
-      array_min(transform(toks, t => xxhash64(lit(i), t)))): _*)
-  }
+  def minhashSignature(textCol: Column, k: Int): Column =
+    HashExprs.minhashSig(
+      array_distinct(TextFunctions.tokenize(lower(textCol))), k)
 
-  /** LSH banding: signature (length k = bands*rowsPerBand) → one bucket key
-    * per band (`xxhash64` of the band slice). Docs sharing any bucket are
-    * candidates. Returns (doc_id, band, bucket).
+  /** LSH banding: one bucket key per band, computed inside the same native
+    * expression as the signature ([[graft.functions.MinHashBuckets]]).
+    * Docs sharing any bucket are candidates. Returns (doc_id, band, bucket).
     */
   def lshBuckets(
       docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
+      bands: Int, rowsPerBand: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), k).as("sig"))
-      .select(col("doc_id"), posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-          .cast("array<string>").cast("string"), lit(b))): _*)))
+        HashExprs.minhashBuckets(
+          array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
+          bands, rowsPerBand).as("bk"))
+      // outer explode: `bk` always has exactly `bands` elements, and the
+      // non-outer Generate re-evaluates the sketch inside its pushed-down
+      // size>0 / notnull guards (3 sketch evaluations per row instead of 1)
+      .select(col("doc_id"), posexplode_outer(col("bk")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-  }
 
   /** MinHash+LSH near-dup candidate pairs, verified with exact token-set
     * Jaccard (so LSH is purely a recall/cost knob; emitted pairs are true
-    * near-dups). Shuffles: signatures are map-side; bucket self-join is one
-    * hash shuffle on (band, bucket); verification joins the (small)
-    * candidate set back to token postings.
+    * near-dups).
+    *
+    * Shuffles: signatures are map-side; bucket self-join is one hash
+    * shuffle on (band, bucket) — both sides are the same plan, so the
+    * exchange is computed once (ReusedExchange); candidate dedup is one
+    * shuffle of (long, long) pairs. Verification joins the per-doc token
+    * *array* (not exploded postings) to each side — at test scale these
+    * joins broadcast; at 100 TB they fall back to hash joins on doc id,
+    * still linear — and computes `|A ∩ B|` per pair with a single
+    * `array_intersect`, so there is no postings × postings intermediate
+    * and no final re-aggregation.
     */
   def minhashDupPairs(
       docs: DataFrame,
@@ -106,23 +113,34 @@ object Dedup {
       textCol: String = "text",
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val b = lshBuckets(docs, idCol, textCol, bands, rowsPerBand)
+    // Carry the whole bucket array through the (band, bucket) self-join so a
+    // pair colliding in several bands can be deduplicated with a per-row
+    // filter (first_eq_index == band) instead of a distinct() shuffle of the
+    // full candidate set — at scale the candidate set is the largest
+    // intermediate in this pipeline, and it never touches the network.
+    val b = docs
+      .select(col(idCol).as("doc_id"),
+        HashExprs.minhashBuckets(
+          array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
+          bands, rowsPerBand).as("bk"))
+      .select(col("doc_id"), col("bk"), posexplode_outer(col("bk")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
     val candidates = b.as("x")
       .join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
+      .where(HashExprs.firstEqIndex(col("x.bk"), col("y.bk")) === col("x.band"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    val post  = tokenPostings(docs, idCol, textCol, Long.MaxValue).select(col("doc_id"), col("tok"))
-    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val tokSets = docs.select(col(idCol).as("doc_id"),
+      filter(array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
+        t => length(t) > 0).as("toks"))
     candidates
-      .join(post.select(col("doc_id").as("id_a"), col("tok")), "id_a")
-      .join(post.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
-      .where(col("tok") === col("tok_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_tok").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_tok").as("nb")), "id_b")
+      .join(tokSets.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(tokSets.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_common"),
+        size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))
@@ -131,21 +149,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash from per-token xxhash64: bit b of the fingerprint is
-    * the sign of Σ_tokens (±1 by token-hash bit b). Pure array expressions.
+    * the sign of Σ_tokens (±1 by token-hash bit b). One native codegen'd
+    * loop per row ([[graft.functions.SimHash64]]); bit-compatible with the
+    * higher-order-function formulation it replaced.
     */
-  def simhash64(textCol: Column): Column = {
-    val hashes = transform(
-      array_distinct(TextFunctions.tokenize(lower(textCol))),
-      t => xxhash64(t))
-    // bit b of the fingerprint = sign of Σ ±1; fold MSB→LSB as acc*2+bit
-    // (top-bit wrap is intended two's-complement behavior; ANSI off).
-    val bitSums = array((63 to 0 by -1).map(b =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc +
-          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))): _*)
-    aggregate(bitSums, lit(0L),
-      (acc, s) => acc * lit(2L) + when(s > 0, 1L).otherwise(0L))
-  }
+  def simhash64(textCol: Column): Column =
+    HashExprs.simhash64(array_distinct(TextFunctions.tokenize(lower(textCol))))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 by
     * default): pigeonhole blocking on 4×16-bit chunks (any pair within
