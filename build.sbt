@@ -24,7 +24,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // the rest of spark-submit's injected defaults (JavaModuleOptions):
+  // without the netty flags, shuffle/broadcast buffers silently fall back
+  // from pooled direct memory to per-allocation heap buffers
+  "-XX:+IgnoreUnrecognizedVMOptions",
+  "--add-opens=java.security.jgss/sun.security.krb5=ALL-UNNAMED",
+  "-Djdk.reflect.useDirectMethodHandleAccessor=false",
+  "-Dio.netty.tryReflectionSetAccessible=true",
+  "-Dio.netty.allocator.type=pooled",
+  "--enable-native-access=ALL-UNNAMED",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole "cluster" in one JVM: 32 concurrent tasks
+  // share this heap, and the wide LSH/join intermediates at sf0.1 GC-thrash
+  // an 8g heap (measured: MinHash dedup 3x slower at 8g than 24g)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

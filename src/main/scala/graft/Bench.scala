@@ -17,6 +17,9 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val fn = SparkEntry.benchQueries(name)
+      // collect the previous query's garbage outside the timed window so a
+      // heap-heavy query doesn't bill its GC debt to whoever runs next
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -92,6 +92,25 @@ object HashImpl {
     -1
   }
 
+  /** |A ∩ B| of two SORTED long arrays via two-pointer merge — primitive
+    * compares only, no per-row hash set, no object churn.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash: bit b of the output is 1 iff the majority of token
     * hashes have bit b set (sum of ±1 votes > 0). Bit-compatible with the
     * HOF formulation it replaces (xxhash64 seed 42 per distinct token;
@@ -145,6 +164,31 @@ case class FirstEqIndex(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.firstEqIndex($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FirstEqIndex =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sorted_intersect_size(a, b)` → |A ∩ B| for two sorted array<bigint>
+  * columns. The workhorse of near-dup verification: candidate pairs carry
+  * sorted token-hash sets, and the exact Jaccard numerator is a two-pointer
+  * merge over primitive longs.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpl.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
     copy(left = newLeft, right = newRight)
 }
 
@@ -209,4 +253,6 @@ object HashExprs {
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
   def firstEqIndex(a: Column, b: Column): Column =
     ColumnShim.column(FirstEqIndex(ColumnShim.expression(a), ColumnShim.expression(b)))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnShim.column(SortedIntersectSize(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

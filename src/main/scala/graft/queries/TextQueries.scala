@@ -67,6 +67,11 @@ object TextQueries {
     */
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDupPairs(Tables(spark, dir).documents, threshold = 0.8)
+      // materialize the verified pairs behind an exchange before the global
+      // sort: orderBy's range-boundary sampling re-executes its child, and
+      // without this boundary that means running the whole LSH+verify
+      // pipeline twice
+      .repartition(spark.sparkContext.defaultParallelism)
       .orderBy(col("id_a"), col("id_b"))
   private val dedupMinhashSql =
     """WITH tok AS (
