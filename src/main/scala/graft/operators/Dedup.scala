@@ -28,10 +28,15 @@ object Dedup {
     * partitioner fought, `MasterNode.java:154-164`) would create quadratic
     * candidate pairs; dropping them bounds per-token fan-out.
     */
-  def tokenPostings(docs: DataFrame, idCol: String, textCol: String, maxDf: Long): DataFrame = {
+  /** Default shingling: distinct lower-cased whitespace tokens. */
+  def wordTokens(textCol: Column): Column =
+    array_distinct(TextFunctions.tokenize(lower(textCol)))
+
+  def tokenPostings(docs: DataFrame, idCol: String, textCol: String, maxDf: Long,
+      shingles: Column => Column = wordTokens): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFunctions.tokenize(lower(col(textCol))))).as("tok"))
+        explode(array_distinct(shingles(col(textCol)))).as("tok"))
       .where(length(col("tok")) > 0)
     val dfCounts = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     tok.join(dfCounts.where(col("df") <= maxDf), "tok")
@@ -47,8 +52,10 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxDf: Long = 1000000L): DataFrame = {
-    val post = tokenPostings(docs, idCol, textCol, maxDf).select(col("doc_id"), col("tok"))
+      maxDf: Long = 1000000L,
+      shingles: Column => Column = wordTokens): DataFrame = {
+    val post = tokenPostings(docs, idCol, textCol, maxDf, shingles)
+      .select(col("doc_id"), col("tok"))
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
     val pairs = post.as("a")
       .join(post.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))

@@ -83,6 +83,23 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize shape: rescale decoded dimensions so the longest side is at
+    * most `maxDim`, preserving aspect ratio (integer floor, min 1px) —
+    * the metadata half of an image resize; a real implementation would
+    * also transform the payload inside the same partition-local pass.
+    */
+  def resize(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scale = when(longest > maxDim, lit(maxDim.toDouble) / longest.cast("double"))
+      .otherwise(lit(1.0))
+    decoded
+      .withColumn("out_width",
+        greatest(floor(col("width") * scale).cast("int"), lit(1)))
+      .withColumn("out_height",
+        greatest(floor(col("height") * scale).cast("int"), lit(1)))
+      .withColumn("scale", scale)
+  }
+
   /** Frame-sampling shape: split payload into fixed-size "frames" and keep
     * every `stride`-th — the array-typed plumbing of video frame sampling,
     * as pure column expressions.

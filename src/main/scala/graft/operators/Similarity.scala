@@ -95,6 +95,54 @@ object Similarity {
       .distinct()
   }
 
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nCells` Voronoi cells around fixed seed centroids, then search each
+    * query only in the `nProbe` cells whose centroids are nearest to it,
+    * rescoring candidates with exact cosine.
+    *
+    * Centroids are the embeddings of the first `nCells` corpus ids —
+    * deterministic seeds rather than trained k-means means (no iterative
+    * fitting in a pure-DataFrame pipeline; at scale you would precompute
+    * centroids offline and broadcast them the same way). Plan shape: the
+    * centroid table broadcasts twice (cell assignment for corpus and
+    * queries); the corpus shuffles ONCE on cell id; candidate generation is
+    * an equi-join on cell id — no corpus × query product.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(row_number().over(Window.orderBy(col(idCol))).as("cell"),
+        col(vecCol).cast("array<double>").as("mv"))
+    // nearest centroid per corpus vector (cell assignment)
+    val wc = Window.partitionBy(col("neighbor_id")).orderBy(col("cos_c").desc, col("cell"))
+    val assigned = c.join(broadcast(centroids))
+      .select(col("neighbor_id"), col("cv"), col("cell"), cosine(col("cv"), col("mv")).as("cos_c"))
+      .withColumn("rn", row_number().over(wc)).where(col("rn") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    // nProbe nearest cells per query
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_q").desc, col("cell"))
+    val probes = q.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cell"), cosine(col("qv"), col("mv")).as("cos_q"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // search only the probed cells; exact rescore
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Approximate top-k via LSH candidates, exact-rescored with cosine.
     * Recall depends on (nPlanes, nTables); exactness of emitted scores does
     * not (candidates are rescored exactly).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.core.QueryDef.{dec, dsum}
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Event-table surface: tumbling windows, JSON extraction, sessionization,
   * as-of join, and file-format round-trips. The reference has no streaming
@@ -132,8 +132,39 @@ object Events {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** Pure range join (no equi key): for each purchase, how many clicks by
+    * ANY user landed in the 10-minute window centered on it. A raw
+    * BETWEEN predicate would plan as BroadcastNestedLoopJoin (quadratic);
+    * [[RangeJoin.intervalJoin]] bins both sides to 10-minute keys → one
+    * hash shuffle each, and AQE handles the skewed-bin case.
+    */
+  private def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        (col("ts") - expr("INTERVAL 5 MINUTES")).as("lo"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("hi"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts"))
+    RangeJoin.intervalJoin(clicks, "ts", purchases, "lo", "hi",
+        binWidthMicros = 600000000L) // 10-minute bins = the interval span
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+  private val rangeJoinSql =
+    """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+      |  min(c.event_id) AS first_click_id
+      |FROM events p JOIN events c
+      |  ON c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL '5 minutes'
+      |  AND c.ts <  p.ts + INTERVAL '5 minutes'
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ev01_tumbling_window" -> QueryDef(tumbling, Some(tumblingSql), benchmark = true),
+    "ev06_range_join"      -> QueryDef(rangeJoin, Some(rangeJoinSql), benchmark = true),
     "ev02_json_extract"    -> QueryDef(json, Some(jsonSql)),
     "ev03_sessionize"      -> QueryDef(sessionize, Some(sessionizeSql), benchmark = true),
     "ev04_asof_join"       -> QueryDef(asof, Some(asofSql), benchmark = true),

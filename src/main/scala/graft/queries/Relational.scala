@@ -427,6 +427,22 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** CUBE over (returnflag, linestatus) — all four grouping levels in one
+    * pass (rollup's sibling; completes the grouping-set surface alongside
+    * q12). NULL grouping markers ordered NULLS FIRST on both engines.
+    */
+  private def q20(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  private val q20Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
@@ -447,5 +463,6 @@ object Relational {
     "q17_avg_subquery"     -> QueryDef(q17, Some(q17Sql), benchmark = true),
     "q18_big_orders"       -> QueryDef(q18, Some(q18Sql)),
     "q19_region_rollup"    -> QueryDef(q19, Some(q19Sql), benchmark = true),
+    "q20_cube"             -> QueryDef(q20, Some(q20Sql)),
   )
 }

@@ -41,8 +41,29 @@ object StreamQueries {
       |WHERE length(word) > 0
       |GROUP BY word ORDER BY cnt ASC, word ASC""".stripMargin
 
+  /** Sliding windows (10-min length, 5-min slide) via the streaming engine.
+    * Every event lands in exactly two windows; the oracle materializes the
+    * same two window starts per event (both engines align 5-min buckets to
+    * epochs that are themselves 5-min multiples, so boundaries coincide).
+    */
+  private def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.nanosToTs(
+      StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+    val agg = StreamOps.slidingCounts(src, "10 minutes", "5 minutes", "1 hour")
+    StreamOps.runToMemory(spark, agg, s"graft_stream_sliding_${System.nanoTime()}")
+      .orderBy(col("w_start"), col("event_type"))
+  }
+  private val streamSlidingSql =
+    """SELECT w_start, event_type, count(*) AS n FROM (
+      |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+      |                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start,
+      |         event_type
+      |  FROM events) t
+      |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
     "st02_stream_wordcount" -> QueryDef(streamWordcount, Some(streamWordcountSql)),
+    "st03_stream_sliding"   -> QueryDef(streamSliding, Some(streamSlidingSql)),
   )
 }

@@ -59,6 +59,40 @@ object TextQueries {
       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Word-trigram (n-gram) Jaccard near-dup pairs — same inverted-index
+    * engine as dd02 but shingled on 3-word n-grams, which are sensitive to
+    * word ORDER (token-set Jaccard is not): reordered near-copies score
+    * lower, true edits break at most 3 shingles each.
+    */
+  private def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables(spark, dir).documents, threshold = 0.5,
+        maxDf = 400L,
+        shingles = tc => TextFunctions.wordNgrams(lower(tc), 3))
+      .orderBy(col("id_a"), col("id_b"))
+  private val dedupNgramSql =
+    """WITH grams AS (
+      |  SELECT doc_id, g FROM (
+      |    SELECT DISTINCT doc_id, unnest(
+      |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |           ELSE list_transform(generate_series(1, len(toks) - 2),
+      |                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS g
+      |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |          FROM documents) d) t
+      |  WHERE length(g) > 0),
+      |capped AS (
+      |  SELECT doc_id, g FROM grams
+      |  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) <= 400)),
+      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM capped GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common,
+      |  CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. The LSH stage is
     * engine-specific (xxhash64) so the oracle gate is the *exact* pair set:
     * with 16 bands × 4 rows, P(miss | J≥0.8) = (1-0.8^4)^16 ≈ 2e-4 — and
@@ -239,6 +273,7 @@ object TextQueries {
     "dd02_jaccard_pairs"     -> QueryDef(dedupJaccard, Some(dedupJaccardSql), benchmark = true),
     "dd03_minhash_pairs"     -> QueryDef(dedupMinhash, Some(dedupMinhashSql), benchmark = true),
     "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, None),
+    "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
     "tx01_text_stats"        -> QueryDef(textStats, Some(textStatsSql)),
     "tx02_quality_score"     -> QueryDef(textQuality, Some(textQualitySql)),
     "tx03_langid"            -> QueryDef(langid, Some(langidSql)),

@@ -87,9 +87,22 @@ object VectorQueries {
       |      FROM embeddings) t
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** IVF-bucketed approximate top-3: corpus partitioned into Voronoi cells
+    * around seed centroids, queries probe the nearest cells only.
+    * Cell assignment depends on seed choice → rows-only gate; recall vs
+    * brute force asserted in SimilaritySpec.
+    */
+  private def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 3,
+      nCells = 16, nProbe = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ann01_bruteforce_topk" -> QueryDef(annBrute, Some(annBruteSql), benchmark = true),
     "ann02_lsh_topk"        -> QueryDef(annLsh, None, benchmark = true),
+    "ann05_ivf_topk"        -> QueryDef(annIvf, None),
     "ann03_embedding_dups"  -> QueryDef(embDup, Some(embDupSql)),
     "ann04_vector_stats"    -> QueryDef(vecStats, Some(vecStatsSql)),
   )

@@ -32,6 +32,25 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(1)._3 - 7.0 / 9.0) < 1e-12)
   }
 
+  test("word-trigram jaccard is order-sensitive where token jaccard is not") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.lower
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),  // identical: trigram J = 1
+      (3L, "e d c b a")   // same token SET, reversed: disjoint trigrams
+    ).toDF("doc_id", "text")
+    val tri = Dedup.jaccardPairs(d, threshold = 0.0,
+        shingles = tc => TextFunctions.wordNgrams(lower(tc), 3))
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(tri((1L, 2L)) == 1.0)
+    assert(!tri.contains((1L, 3L)) || tri((1L, 3L)) == 0.0)
+    val tok = Dedup.jaccardPairs(d, threshold = 0.99)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(tok == Set((1L, 2L), (1L, 3L), (2L, 3L))) // token set ignores order
+  }
+
   test("minhash signature is deterministic and length k") {
     val sigs = docs.where($"doc_id" <= 2)
       .select(Dedup.minhashSignature($"text", 16)).as[Seq[Long]].collect()

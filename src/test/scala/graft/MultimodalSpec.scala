@@ -32,6 +32,20 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(1) == 5L)                       // n_bytes
   }
 
+  test("resize caps the longest side, preserves aspect, never hits 0") {
+    val decoded = Seq(
+      (1L, 640, 480),  // downscale: 320×240
+      (2L, 100, 50),   // under cap: unchanged
+      (3L, 6400, 2)    // extreme aspect: floor clamps to ≥ 1
+    ).toDF("media_id", "width", "height")
+    val r = Multimodal.resize(decoded, maxDim = 320)
+      .select($"media_id", $"out_width", $"out_height")
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L) == (320, 240))
+    assert(r(2L) == (100, 50))
+    assert(r(3L) == (320, 1))
+  }
+
   test("frame sampling keeps every stride-th frame") {
     val m = Multimodal.asMediaTable(
       Seq((1L, "x" * 100, "en", "s", 100L)).toDF("doc_id", "text", "lang", "source", "n_chars"))

@@ -43,6 +43,25 @@ class SimilaritySpec extends SparkSpec {
     // contract is "useful fraction without the O(n²) product".
   }
 
+  test("IVF top-k: exact scores, bounded k, useful recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, k = 3, nCells = 16, nProbe = 6)
+    val rows = ivf.select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect()
+    // ≤ k per query, ranks contiguous from 1, scores are true cosines
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    val approx = rows.map(r => (r._1, r._3)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall") // probing 6/16 unfitted seed
+    // cells; same contract as LSH: a useful fraction without the product
+  }
+
   test("LSH candidate pairs are a subset-of-all-pairs and deterministic") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
     val a = Similarity.lshCandidatePairs(emb).as[(Long, Long)].collect().toSet
