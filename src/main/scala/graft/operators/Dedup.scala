@@ -22,6 +22,18 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup shuffling a 64-bit text hash instead of the payload — the
+    * 100 TB form: the exchange carries 16 bytes per row regardless of
+    * document size. A 64-bit collision would merge two distinct texts
+    * (P ≈ n²/2⁶⁵ ≈ 3e-8 even at a billion docs); where that is
+    * unacceptable, re-group the (tiny) multi-member hash groups by payload
+    * in a second pass — group sizes are bounded by true duplicate counts.
+    */
+  def exactByHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(xxhash64(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Distinct whitespace tokens per doc, with a document-frequency cap.
     * The DF cap (`maxDf`) is prefix-filtering for the inverted-index join:
     * ubiquitous tokens (Zipf head — the same skew the reference's log-scale

@@ -59,6 +59,16 @@ object TextQueries {
       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Exact dedup via the hash-shuffle form ([[Dedup.exactByHash]]): the
+    * exchange carries (xxhash64(text), id) — 16 bytes/row — instead of the
+    * payload. Hash grouping equals text grouping absent 64-bit collisions,
+    * so the oracle is the same text-grouped SQL as dd01.
+    */
+  private def dedupExactHash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByHash(Tables(spark, dir).documents)
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
   /** Word-trigram (n-gram) Jaccard near-dup pairs — same inverted-index
     * engine as dd02 but shingled on 3-word n-grams, which are sensitive to
     * word ORDER (token-set Jaccard is not): reordered near-copies score
@@ -270,6 +280,7 @@ object TextQueries {
   val defs: Map[String, QueryDef] = Map(
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
     "dd01_exact"             -> QueryDef(dedupExact, Some(dedupExactSql)),
+    "dd06_exact_by_hash"     -> QueryDef(dedupExactHash, Some(dedupExactSql)),
     "dd02_jaccard_pairs"     -> QueryDef(dedupJaccard, Some(dedupJaccardSql), benchmark = true),
     "dd03_minhash_pairs"     -> QueryDef(dedupMinhash, Some(dedupMinhashSql), benchmark = true),
     "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, None),
