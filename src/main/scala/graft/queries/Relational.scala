@@ -68,14 +68,16 @@ object Relational {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Star join: lineitem ⋈ orders ⋈ customer, revenue per market segment.
-    * customer/orders are the small sides → broadcast them; the 100 TB fact
-    * table never shuffles for the join (only for the 5-group aggregate).
+    * orders/customer scale with the data, so no hard-coded broadcast hint:
+    * Catalyst statistics pick broadcast while they fit (they do at test
+    * scale — asserted in PlanSpec) and AQE switches to a shuffled join at
+    * 100 TB; the fact table never shuffles for a broadcast hop.
     */
   private def q03(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.lineitem
-      .join(broadcast(t.orders), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
@@ -98,7 +100,7 @@ object Relational {
   private def q04(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.orders
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(dsum(col("o_totalprice")).as("total_spend"),
         count(lit(1)).as("n_orders"))
@@ -283,14 +285,15 @@ object Relational {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Conditional aggregation (promo revenue share, TPC-H Q14 shape):
-    * lineitem ⋈ broadcast(part), CASE inside exact decimal sums; the final
+    * lineitem ⋈ part (auto-broadcast at test scale), CASE inside exact
+    * decimal sums; the final
     * ratio is one double division of identical operands.
     */
   private def q14(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
     t.lineitem
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(12,2)")))
           .cast("double").as("promo_revenue"),
@@ -382,7 +385,7 @@ object Relational {
       .where(col("total_qty") > 250.0)
     t.orders
       .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("total_qty"))
       .orderBy(col("o_orderkey"))
@@ -399,14 +402,17 @@ object Relational {
       |ORDER BY o_orderkey""".stripMargin
 
   /** Five-way star join through the region→nation→customer→orders→lineitem
-    * chain — all dimension hops broadcast; the fact table shuffles once for
-    * the final 5-group aggregate.
+    * chain. Only the bounded dimensions (nation, region) carry an explicit
+    * broadcast hint; orders and customer GROW with the data, so their join
+    * strategy is left to Catalyst statistics + AQE — broadcast while they
+    * fit, shuffled hash/merge at 100 TB. Hard-coding broadcast there would
+    * OOM the executors at scale.
     */
   private def q19(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.lineitem
-      .join(broadcast(t.orders), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
