@@ -115,15 +115,13 @@ object Dedup {
     * Jaccard (so LSH is purely a recall/cost knob; emitted pairs are true
     * near-dups).
     *
-    * Shuffles: signatures are map-side; bucket self-join is one hash
-    * shuffle on (band, bucket) — both sides are the same plan, so the
-    * exchange is computed once (ReusedExchange); candidate dedup is one
-    * shuffle of (long, long) pairs. Verification joins the per-doc token
-    * *array* (not exploded postings) to each side — at test scale these
-    * joins broadcast; at 100 TB they fall back to hash joins on doc id,
-    * still linear — and computes `|A ∩ B|` per pair with a single
-    * `array_intersect`, so there is no postings × postings intermediate
-    * and no final re-aggregation.
+    * Shuffles: signatures are map-side; the bucket self-join is one hash
+    * shuffle on (band, bucket); candidate dedup is a per-row filter
+    * (first colliding band), not a shuffle. Verification joins the per-doc
+    * sorted token-hash set to each side — hash joins on doc id, linear —
+    * and computes `|A ∩ B|` per pair with one codegen'd two-pointer merge,
+    * so there is no postings × postings intermediate and no final
+    * re-aggregation.
     */
   def minhashDupPairs(
       docs: DataFrame,

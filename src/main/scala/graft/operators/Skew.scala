@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities. The reference's one optimization was exactly
+  * this problem: Zipf-headed word counts crushing one worker, attacked with
+  * hand-tuned log-scale range thresholds (α=10, `MasterNode.java:139-169`).
+  * On Spark, partial aggregation + AQE skew splitting cover most cases for
+  * free; salting is the remaining tool for pathological single-key skew in
+  * aggregations whose per-key state is mergeable.
+  */
+object Skew {
+
+  /** Two-stage salted aggregation: count/sum grouped by `key` where one key
+    * may dominate the data. Stage 1 groups by (key, salt) — the hot key's
+    * rows spread over `nSalts` reducers; stage 2 merges the per-salt
+    * partials. Both stages are ordinary hash aggregates with map-side
+    * combine; total shuffle volume is `nSalts` rows per key plus the
+    * original partial-agg output. Salt comes from a hash of the whole row's
+    * position (`spark_partition_id` ⊕ a cheap counter would be
+    * nondeterministic across retries; a payload hash is deterministic).
+    */
+  def saltedSum(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      nSalts: Int = 16,
+      saltSource: Option[Column] = None): DataFrame = {
+    val salt = pmod(
+      saltSource.map(xxhash64(_)).getOrElse(xxhash64(col(valueCol))),
+      lit(nSalts))
+    df.select(col(keyCol), col(valueCol), salt.as("_salt"))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial_sum"), count(lit(1)).as("_partial_n"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_partial_sum")).as("total"), sum(col("_partial_n")).as("n"))
+  }
+}

@@ -43,6 +43,18 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming exact dedup: first occurrence per key wins, duplicate
+    * arrivals within the watermark horizon are dropped. State is the seen
+    * key set, bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` evicts keys older than the horizon) —
+    * the streaming form of [[graft.operators.Dedup.exactByHash]]: at 100 TB
+    * day, keep the keys 64-bit hashes, not payloads.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom keyed state: running per-user event count + max value, via
     * flatMapGroupsWithState (the `KeyValueGroupedDataset` state API).
     * Emits one update per input batch per active user.

@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Skew
+import graft.streaming.StreamOps
+
+class SkewStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted sum equals direct groupBy sum on skewed data") {
+    val rows = (1 to 2000).map(i => ("hot", i.toDouble)) ++
+      (1 to 50).map(i => (s"k$i", i.toDouble))
+    val df = rows.toDF("key", "value")
+    val direct = df.groupBy($"key")
+      .agg(sum($"value").as("total"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    val salted = Skew.saltedSum(df, "key", "value", nSalts = 8)
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("salted plan spreads the hot key over nSalts first-stage groups") {
+    val df = (1 to 100).map(i => ("hot", i.toDouble)).toDF("key", "value")
+    val plan = Skew.saltedSum(df, "key", "value", nSalts = 8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), plan) // two-level aggregate survived optimization
+  }
+
+  test("streaming dedup keeps first arrival per key, drops later duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val dedup = StreamOps.streamingDedup(
+      mem.toDF().toDF("event_id", "ts", "payload"),
+      keyCols = Seq("event_id"), watermark = "10 minutes")
+    val q = dedup.writeStream.format("memory")
+      .queryName("dedup_test").outputMode(OutputMode.Append).start()
+    def ts(min: Int) = new Timestamp(3600L * 1000 + min * 60000L)
+    mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "dup"))
+    q.processAllAvailable()
+    mem.addData((2L, ts(3), "dup"), (3L, ts(4), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_test")
+      .select($"event_id", $"payload").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+}
