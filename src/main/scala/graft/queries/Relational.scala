@@ -449,6 +449,27 @@ object Relational {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Exact percentiles (median / p90) per group — `percentile()` is the
+    * exact sort-based form (one shuffle by group, per-group sort);
+    * `approx_percentile` (KLL/GK sketch) is the 100 TB drop-in when exact
+    * order statistics stop being worth a sort. Both engines interpolate
+    * linearly at (n-1)·q, so doubles match bit-for-bit.
+    */
+  private def q21(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  private val q21Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
@@ -470,5 +491,6 @@ object Relational {
     "q18_big_orders"       -> QueryDef(q18, Some(q18Sql)),
     "q19_region_rollup"    -> QueryDef(q19, Some(q19Sql), benchmark = true),
     "q20_cube"             -> QueryDef(q20, Some(q20Sql)),
+    "q21_percentile"       -> QueryDef(q21, Some(q21Sql)),
   )
 }

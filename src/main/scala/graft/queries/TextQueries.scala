@@ -243,6 +243,47 @@ object TextQueries {
        |GROUP BY labeled_lang, guessed_lang ORDER BY labeled_lang, guessed_lang""".stripMargin
   }
 
+  /** TF-IDF-flavored top terms: the 3 most source-characteristic tokens
+    * per source, ranked by tf/df (source term frequency over corpus
+    * document frequency — the idf log is monotone in 1/df, so ranking by
+    * the exact integer ratio avoids cross-engine libm differences).
+    * Tokens use the reference's normalize semantics (lower + \W-strip).
+    */
+  private def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        explode(TextFunctions.tokenize(col("text"))).as("raw"))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.normalizeToken(col("raw")).as("tok"))
+      .where(TextFunctions.isNonEmptyToken(col("tok")))
+    val df_ = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy((col("tf").cast("double") / col("df").cast("double")).desc, col("tok"))
+    tf.join(df_, "tok")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("source"), col("rnk"), col("tok"), col("tf"), col("df"))
+      .orderBy(col("source"), col("rnk"))
+  }
+  private val tfidfTopTermsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, tok FROM (
+      |    SELECT doc_id, source,
+      |      lower(regexp_replace(unnest(string_split_regex(trim(text), '\s+')), '\W', '', 'g')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+      |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY source, tok)
+      |SELECT source, rnk, tok, tf, df FROM (
+      |  SELECT tf.source, tf.tok, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.source
+      |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.tok) AS rnk
+      |  FROM tf JOIN df ON tf.tok = df.tok) r
+      |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
+
   /** Document fingerprint: FNV-1a rolling hash over code points (pure
     * Catalyst fold — [[TextFunctions.fingerprint64]]). Engine-specific
     * 64-bit wraparound isn't expressible in DuckDB BIGINT (it errors on
@@ -289,6 +330,7 @@ object TextQueries {
     "tx02_quality_score"     -> QueryDef(textQuality, Some(textQualitySql)),
     "tx03_langid"            -> QueryDef(langid, Some(langidSql)),
     "tx04_fingerprint"       -> QueryDef(fingerprint, None),
+    "tx05_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql)),
     "mm01_decode_features"   -> QueryDef(multimodal, None),
     "mm02_payload_bytes"     -> QueryDef(mediaBytes, Some(mediaBytesSql)),
   )
