@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed custom aggregation surface (`Aggregator[IN, BUF, OUT]`,
+  * registered via `functions.udaf`) — the UDAF extension point SURVEY
+  * §2.1-2.9 reserves for aggregations the built-ins can't express.
+  *
+  * The buffer is exact decimal so the result is independent of row order
+  * and partitioning (float summation would differ run-to-run under AQE);
+  * the single IEEE division happens once in `finish`, mirroring the
+  * oracle's CAST(... AS DOUBLE)/CAST(... AS DOUBLE).
+  */
+object WeightedMean
+    extends Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
+  override def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
+  override def reduce(b: (BigDecimal, BigDecimal), a: (Double, Double)): (BigDecimal, BigDecimal) =
+    (b._1 + BigDecimal(a._1) * BigDecimal(a._2), b._2 + BigDecimal(a._2))
+  override def merge(x: (BigDecimal, BigDecimal), y: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
+    (x._1 + y._1, x._2 + y._2)
+  override def finish(r: (BigDecimal, BigDecimal)): Double =
+    if (r._2.signum == 0) Double.NaN else r._1.toDouble / r._2.toDouble
+  override def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
+    Encoders.product[(BigDecimal, BigDecimal)]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

@@ -162,6 +162,26 @@ object Events {
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
 
+  /** ORC source/sink coverage (columnar sibling of parquet; vectorized
+    * reader, pushdown, pruning all apply): supplier → ORC → read back →
+    * join nation → aggregate.
+    */
+  private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t   = Tables(spark, dir)
+    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/roundtrip"
+    t.supplier.write.mode("overwrite").orc(s"$tmp/supplier_orc")
+    spark.read.orc(s"$tmp/supplier_orc")
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+  private val orcRoundtripSql =
+    """SELECT n_name, count(*) AS n_suppliers,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ev01_tumbling_window" -> QueryDef(tumbling, Some(tumblingSql), benchmark = true),
     "ev06_range_join"      -> QueryDef(rangeJoin, Some(rangeJoinSql), benchmark = true),
@@ -169,5 +189,6 @@ object Events {
     "ev03_sessionize"      -> QueryDef(sessionize, Some(sessionizeSql), benchmark = true),
     "ev04_asof_join"       -> QueryDef(asof, Some(asofSql), benchmark = true),
     "ev05_csv_json_roundtrip" -> QueryDef(roundtrip, Some(roundtripSql)),
+    "ev07_orc_roundtrip"   -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
   )
 }

@@ -470,6 +470,48 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The SQL entry point: the same engine surface through `spark.sql` over
+    * registered views — orders per year with exact-decimal revenue.
+    */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("orders_v")
+    t.lineitem.createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT year(o_orderdate) AS yr,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM orders_v JOIN lineitem_v ON o_orderkey = l_orderkey
+        |GROUP BY year(o_orderdate)
+        |ORDER BY yr""".stripMargin)
+  }
+  private val q22Sql =
+    """SELECT year(o_orderdate) AS yr,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY year(o_orderdate)
+      |ORDER BY yr""".stripMargin
+
+  /** Custom typed UDAF ([[graft.functions.WeightedMean]]): quantity-weighted
+    * mean price per line status. Exact-decimal buffer → partition-order
+    * independent; one IEEE division in finish mirrors the oracle.
+    */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val wmean = udaf(graft.functions.WeightedMean)
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_linestatus"))
+      .agg(wmean(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+  }
+  private val q23Sql =
+    """SELECT l_linestatus,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |    / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS wavg_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
@@ -492,5 +534,7 @@ object Relational {
     "q19_region_rollup"    -> QueryDef(q19, Some(q19Sql), benchmark = true),
     "q20_cube"             -> QueryDef(q20, Some(q20Sql)),
     "q21_percentile"       -> QueryDef(q21, Some(q21Sql)),
+    "q22_sql_api"          -> QueryDef(q22, Some(q22Sql)),
+    "q23_custom_udaf"      -> QueryDef(q23, Some(q23Sql)),
   )
 }
