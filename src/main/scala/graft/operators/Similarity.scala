@@ -24,7 +24,13 @@ object Similarity {
   def norm2(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** Cosine similarity as one native codegen'd loop
+    * ([[graft.functions.CosineSim]]) — same left-to-right fold (and thus
+    * bit-identical doubles) as the `zip_with`+`aggregate` formulation and
+    * DuckDB's `list_cosine_similarity`, but ~2 ops/dim instead of
+    * interpreted lambda dispatch; matters on the O(pairs) rescore paths.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query row.
     *
@@ -51,26 +57,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * a fixed hash folded to [-1, 1). Reproducible across runs/engines with
-    * no RNG state (scripts can't carry seeds; SURVEY §5 determinism).
-    */
-  private def planeComponent(p: Column, d: Column): Column =
-    (xxhash64(p, d).cast("double") / lit(Long.MaxValue.toDouble))
-
   /** Sign-random-projection LSH: `nPlanes` hyperplane sign bits folded into
-    * one bucket id. Vectors in the same bucket are similarity candidates.
+    * one bucket id. Hyperplane components are deterministic hashes folded
+    * to [-1, 1) (reproducible with no RNG state — SURVEY §5 determinism);
+    * the whole bucket is one native loop ([[graft.functions.SrpBucket]]),
+    * bit-identical to the per-plane `zip_with` fold it replaces.
     * `planeOffset` shifts the plane index space so multiple independent
     * tables can be derived from the same formula.
     */
   def srpBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(lit(p + planeOffset), i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    graft.functions.VectorExprs.srpBucket(vec, nPlanes, planeOffset)
 
   /** LSH candidate pairs: `nTables` independent sign-projection tables;
     * pairs sharing any (table, bucket). One shuffle on the bucket key.
