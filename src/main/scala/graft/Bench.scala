@@ -30,7 +30,14 @@ object Bench {
 
     val names = SparkEntry.benchQueries.keys.toSeq.sorted
     names.foreach(runOnce) // warm-up: JIT + codegen + file listing caches
-    val results = names.map(n => n -> runOnce(n))
+    // median of 3 timed runs per query: run-to-run variance on small
+    // queries is ±50% (GC, JIT recompiles), which would otherwise swamp
+    // any regression smaller than 2×
+    def median3(n: String): Double = {
+      val ts = Seq.fill(3)(runOnce(n))
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
+    }
+    val results = names.map(n => n -> median3(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

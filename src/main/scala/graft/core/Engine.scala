@@ -59,7 +59,16 @@ final case class Tables(spark: SparkSession, dir: String) {
     val path = s"$dir/$name.parquet"
     val df = spark.read.parquet(path)
     val singleSplitBytes = 200L << 10
-    if (new java.io.File(path).length > singleSplitBytes)
+    // Hadoop FileSystem, not java.io.File: the size probe must also work
+    // when `dir` is hdfs:// or s3a:// (local FS resolves through the same
+    // API). A probe failure means "don't repartition", not a query failure.
+    val size =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+      } catch { case _: java.io.IOException => 0L }
+    if (size > singleSplitBytes)
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }

@@ -111,10 +111,44 @@ object HashImpl {
     c
   }
 
+  final val FnvBasis = 0xcbf29ce484222325L // -3750763034362895579 signed
+  final val FnvPrime = 0x100000001b3L
+
+  /** 64-bit FNV-1a over the Unicode CODE POINTS of a string (decoded
+    * straight from the UTF8String bytes — no String materialization).
+    * Code points, not UTF-8 bytes, because the DuckDB oracle folds
+    * `unicode(c)` per character — the two agree for all non-combining
+    * text, and byte-level folds would not be SQL-expressible there.
+    * Empty input returns the offset basis (no iterations).
+    */
+  def fnv64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    var h = FnvBasis
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xE0) {
+        cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
+      } else if (b0 < 0xF0) {
+        cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+          (s.getByte(i + 2) & 0x3F); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
+      }
+      h = (h ^ cp) * FnvPrime
+    }
+    h
+  }
+
   /** 64-bit SimHash: bit b of the output is 1 iff the majority of token
-    * hashes have bit b set (sum of ±1 votes > 0). Bit-compatible with the
-    * HOF formulation it replaces (xxhash64 seed 42 per distinct token;
-    * MSB→LSB fold acc*2+bit).
+    * hashes have bit b set (sum of ±1 votes > 0). Token hash is
+    * [[fnv64]] (FNV-1a over code points) — SQL-expressible, so the
+    * simhash pair set is gated by the DuckDB oracle rather than rows-only
+    * (the earlier xxhash64 form was engine-specific); MSB→LSB fold
+    * acc*2+bit.
     */
   def simhash(tokens: ArrayData): Long = {
     val sums = new Array[Int](64)
@@ -123,7 +157,7 @@ object HashImpl {
     while (i < n) {
       val t = tokens.getUTF8String(i)
       if (t != null) {
-        val h = xx(t, Seed1)
+        val h = fnv64(t)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
@@ -231,6 +265,28 @@ case class MinHashBuckets(child: Expression, bands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+/** `fnv64(text)` → bigint FNV-1a fingerprint over code points. One native
+  * loop per row; replaces the interpreted per-character
+  * `aggregate(transform(split(...)))` HOF fold (CodegenFallback, ~100×
+  * slower) that the first fingerprint implementation used.
+  */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.fnv64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.fnv64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
 /** `simhash64(tokens)` → bigint fingerprint. */
 case class SimHash64(child: Expression) extends TokenArrayExpression {
   override def dataType: DataType = LongType
@@ -251,6 +307,8 @@ object HashExprs {
     ColumnShim.column(MinHashBuckets(ColumnShim.expression(tokens), bands, rowsPerBand))
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+  def fnv64(text: Column): Column =
+    ColumnShim.column(Fnv64(ColumnShim.expression(text)))
   def firstEqIndex(a: Column, b: Column): Column =
     ColumnShim.column(FirstEqIndex(ColumnShim.expression(a), ColumnShim.expression(b)))
   def sortedIntersectSize(a: Column, b: Column): Column =

@@ -89,22 +89,15 @@ object TextFunctions {
     round(lenScore * 0.5 + punctPen * 0.3 + stopScore * 0.2, 6)
   }
 
-  /** 64-bit FNV-1a rolling hash over the UTF-8 bytes of a string — the
-    * document fingerprint. Pure Catalyst expression chain would need a loop;
-    * implemented as a deterministic fold via `aggregate` over the byte array
-    * so it stays codegen-friendly and engine-portable (no JVM hashCode).
+  /** 64-bit FNV-1a rolling hash over the Unicode code points of a string —
+    * the document fingerprint. One native codegen'd loop per row
+    * ([[graft.functions.Fnv64]]); h = basis, then h = (h ^ cp) * prime per
+    * code point, 64-bit wraparound. Deterministic across JVMs and
+    * SQL-expressible (the DuckDB oracle folds `unicode(c)` in HUGEINT mod
+    * 2⁶⁴), so `tx04` is hash-gated. The empty string hashes to the basis.
     */
   def fingerprint64(text: Column): Column =
-    // FNV-1a over code points: h = 0xcbf29ce484222325; h = (h ^ cp) * 0x100000001b3.
-    // A fold via `aggregate` (codegen'd) — deterministic across JVMs, unlike
-    // String.hashCode-derived schemes tied to a runtime. Guard the empty
-    // string: split("", "") yields [""] (ascii 0), not an empty array.
-    when(length(text) === 0, lit(-3750763034362895579L)).otherwise(
-      aggregate(
-        transform(split(text, ""), c => ascii(c)),
-        lit(-3750763034362895579L), // 0xcbf29ce484222325 as signed
-        (h, b) => (h.bitwiseXOR(b.cast("long"))) * lit(1099511628211L)
-      ))
+    graft.functions.HashExprs.fnv64(text)
 
   /** Character-n-gram shingles of a string (lower-cased), as array<string>. */
   def charShingles(text: Column, n: Int): Column = {

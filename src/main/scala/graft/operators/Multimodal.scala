@@ -73,10 +73,13 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { it =>
-        // per-partition decoder init would happen here
+        // per-partition decoder init would happen here; NULL payloads
+        // (schema allows them) decode as empty media rather than NPE-ing
+        // the task
         it.map { r =>
           val id      = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray
+                        else r.getAs[Array[Byte]](1)
           val f       = FakeDecoder.decode(payload)
           Row(id, payload.length.toLong, f.width, f.height, f.channels, f.checksum)
         }
@@ -106,10 +109,13 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = ceil(col("meta.n_bytes").cast("double") / frameBytes).cast("int")
+    // empty media (n_bytes = 0) has NO frames: sequence(0, 0) would still
+    // emit frame 0, reporting a kept frame that doesn't exist
     media.select(
       col("media_id"),
-      filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
-        i => i % stride === 0).as("kept_frames"),
+      when(nFrames === 0, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(0), nFrames - 1),
+          i => i % stride === 0)).as("kept_frames"),
       nFrames.as("n_frames"))
   }
 }

@@ -34,7 +34,10 @@ object RangeJoin {
       binWidthMicros: Long): DataFrame = {
     val p = points.withColumn("_bin",
       expr(s"unix_micros($ptsCol) div ${binWidthMicros}L"))
-    val iv = intervals.withColumn("_bin",
+    // drop degenerate intervals (hi <= lo) up front: they can match nothing,
+    // and a start > stop sequence() would emit a DESCENDING bin list whose
+    // junk candidates survive to the residual filter as pure fan-out waste
+    val iv = intervals.where(col(hiCol) > col(loCol)).withColumn("_bin",
       explode(sequence(
         expr(s"unix_micros($loCol) div ${binWidthMicros}L"),
         // hi is exclusive: the last overlapped bin is floor((hi-1µs)/width)

@@ -68,8 +68,22 @@ object Similarity {
   def srpBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     graft.functions.VectorExprs.srpBucket(vec, nPlanes, planeOffset)
 
+  /** Per-row array of `nTables` SRP bucket ids (position = table index).
+    * Bucket values live in [0, 2^nPlanes) for every table; the table index
+    * is carried alongside (join on (table, bucket)), so identical values in
+    * different tables never collide.
+    */
+  private[operators] def srpBucketArray(vec: Column, nPlanes: Int, nTables: Int): Column =
+    array((0 until nTables).map(t =>
+      srpBucket(vec, nPlanes, planeOffset = t * nPlanes)): _*)
+
   /** LSH candidate pairs: `nTables` independent sign-projection tables;
-    * pairs sharing any (table, bucket). One shuffle on the bucket key.
+    * pairs sharing any (table, bucket). One hash shuffle on the bucket key,
+    * carrying only (vid, bucket-array) — never the vectors. A pair that
+    * collides in several tables is kept only where the FIRST colliding
+    * table equals the current one (`first_eq_index`, same per-row dedup as
+    * [[Dedup.minhashDupPairs]]) — no `distinct()` shuffle of the candidate
+    * stream.
     */
   def lshCandidatePairs(
       emb: DataFrame,
@@ -77,18 +91,17 @@ object Similarity {
       nTables: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
-    // one bucket per table; plane indices offset per table for independence
-    val buckets = e.select(col("vid"), col("v"), posexplode(
-      array((0 until nTables).map(t =>
-        srpBucket(col("v"), nPlanes, planeOffset = t * nPlanes)): _*)))
+    val buckets = emb
+      .select(col(idCol).as("vid"),
+        srpBucketArray(col(vecCol).cast("array<double>"), nPlanes, nTables).as("bk"))
+      .select(col("vid"), col("bk"), posexplode(col("bk")))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vid") < col("b.vid"))
+      .where(graft.functions.HashExprs.firstEqIndex(col("a.bk"), col("b.bk")) === col("a.table"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
-      .distinct()
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
@@ -142,6 +155,14 @@ object Similarity {
   /** Approximate top-k via LSH candidates, exact-rescored with cosine.
     * Recall depends on (nPlanes, nTables); exactness of emitted scores does
     * not (candidates are rescored exactly).
+    *
+    * Plan shape: the (small) query side — ids, vectors, bucket arrays,
+    * exploded per table — is broadcast; the corpus is scanned once, its
+    * bucket explosion and the candidate join stay map-side, and
+    * multi-table collisions are dropped per-row (`first_eq_index` == the
+    * joined table) BEFORE rescoring, so there is no `distinct()` and no
+    * corpus vector ever crosses an exchange. The only shuffle is the final
+    * per-query top-k over (query_id, neighbor_id, cos) triples.
     */
   def lshTopK(
       queries: DataFrame,
@@ -151,23 +172,23 @@ object Similarity {
       nTables: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
-    def withBuckets(df: DataFrame, vc: String, keep: Seq[Column]): DataFrame =
-      df.select(keep :+ posexplode(
-        array((0 until nTables).map(t =>
-          srpBucket(col(vc), nPlanes, planeOffset = t * nPlanes)): _*)): _*)
-        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    val qb = withBuckets(q, "qv", Seq(col("query_id"), col("qv")))
-    val cb = withBuckets(c, "cv", Seq(col("neighbor_id"), col("cv")))
-    val cand = qb.join(cb,
-        qb("table") === cb("table") && qb("bucket") === cb("bucket") &&
-          col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .distinct()
+    val qb = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
+        srpBucketArray(col(vecCol).cast("array<double>"), nPlanes, nTables).as("qbk"))
+      .select(col("query_id"), col("qv"), col("qbk"), posexplode(col("qbk")))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val cb = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"),
+        srpBucketArray(col(vecCol).cast("array<double>"), nPlanes, nTables).as("cbk"))
+      .select(col("neighbor_id"), col("cv"), col("cbk"), posexplode(col("cbk")))
+      .withColumnRenamed("pos", "ctable").withColumnRenamed("col", "cbucket")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    cb.join(broadcast(qb),
+        col("table") === col("ctable") && col("bucket") === col("cbucket") &&
+          col("query_id") =!= col("neighbor_id"))
+      .where(graft.functions.HashExprs.firstEqIndex(col("qbk"), col("cbk")) === col("ctable"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

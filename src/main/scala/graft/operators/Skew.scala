@@ -17,19 +17,32 @@ object Skew {
     * rows spread over `nSalts` reducers; stage 2 merges the per-salt
     * partials. Both stages are ordinary hash aggregates with map-side
     * combine; total shuffle volume is `nSalts` rows per key plus the
-    * original partial-agg output. Salt comes from a hash of the whole row's
-    * position (`spark_partition_id` ⊕ a cheap counter would be
-    * nondeterministic across retries; a payload hash is deterministic).
+    * original partial-agg output.
+    *
+    * The default salt is a per-ROW position id, not a value hash: in the
+    * pathological-skew case the hot key's values are constant (counting
+    * `(word, 1)` pairs), so any value- or payload-derived hash puts every
+    * hot row in ONE salt group and the salting is a no-op. A position id
+    * always spreads; it is nondeterministic across task retries, which is
+    * harmless here because the aggregate is mergeable (any partition of the
+    * rows into salt groups sums to the same totals). Pass `saltSource` when
+    * retry-stable salt assignment matters (it is hashed, so any
+    * distinguishing column works).
     */
+  /** Per-row position salt in [0, nSalts) — spreads even when every other
+    * column of the hot key's rows is identical.
+    */
+  def defaultSalt(nSalts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(nSalts))
+
   def saltedSum(
       df: DataFrame,
       keyCol: String,
       valueCol: String,
       nSalts: Int = 16,
       saltSource: Option[Column] = None): DataFrame = {
-    val salt = pmod(
-      saltSource.map(xxhash64(_)).getOrElse(xxhash64(col(valueCol))),
-      lit(nSalts))
+    val salt = saltSource.map(c => pmod(xxhash64(c), lit(nSalts)))
+      .getOrElse(defaultSalt(nSalts))
     df.select(col(keyCol), col(valueCol), salt.as("_salt"))
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial_sum"), count(lit(1)).as("_partial_n"))

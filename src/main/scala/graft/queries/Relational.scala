@@ -512,6 +512,27 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Salted two-stage aggregation ([[graft.operators.Skew.saltedSum]]):
+    * sum/count of lineitem quantity by return flag — a 3-value key column,
+    * the shape where one key dominates. The salt spreads each key over 16
+    * first-stage groups; totals are salt-invariant, so the oracle is the
+    * plain GROUP BY. Quantities are cast to exact decimal BEFORE salting so
+    * both stages sum decimals (partition-order independent), surfaced as
+    * DOUBLE at the end.
+    */
+  private def sk01(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSum(
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"), dec(col("l_quantity")).as("qty")),
+      keyCol = "l_returnflag", valueCol = "qty", nSalts = 16)
+      .select(col("l_returnflag"), col("total").cast("double").as("total_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+  private val sk01Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
@@ -536,5 +557,6 @@ object Relational {
     "q21_percentile"       -> QueryDef(q21, Some(q21Sql)),
     "q22_sql_api"          -> QueryDef(q22, Some(q22Sql)),
     "q23_custom_udaf"      -> QueryDef(q23, Some(q23Sql)),
+    "sk01_salted_agg"      -> QueryDef(sk01, Some(sk01Sql)),
   )
 }

@@ -61,9 +61,36 @@ object StreamQueries {
       |  FROM events) t
       |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin
 
+  /** Streaming exact dedup ([[StreamOps.streamingDedup]] —
+    * `dropDuplicatesWithinWatermark` keyed state) driven through the real
+    * readStream path, then a batch rollup of the deduped keys. The stream
+    * projects to exactly the key columns, so WHICH row survives per key is
+    * irrelevant — the appended output is the distinct key set (the fixture
+    * is one file → one microbatch → the initial watermark evicts nothing),
+    * and the rollup is deterministic: distinct (user_id, event_type) counted
+    * per event_type, which the oracle states as count(DISTINCT user_id).
+    */
+  private def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.nanosToTs(
+      StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+    val dd = StreamOps.streamingDedup(
+      src.select(col("ts"), col("user_id"), col("event_type")),
+      keyCols = Seq("user_id", "event_type"), watermark = "1 hour")
+      .select(col("user_id"), col("event_type"))
+    StreamOps.runToMemory(spark, dd, s"graft_stream_dedup_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+  private val streamDedupSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
     "st02_stream_wordcount" -> QueryDef(streamWordcount, Some(streamWordcountSql)),
     "st03_stream_sliding"   -> QueryDef(streamSliding, Some(streamSlidingSql)),
+    "st04_stream_dedup"     -> QueryDef(streamDedup, Some(streamDedupSql)),
   )
 }

@@ -133,12 +133,46 @@ object TextQueries {
       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash near-dup pairs (Hamming ≤ 3). Hash-specific → rows-only gate;
-    * cross-checked against Jaccard dups in DedupSpec.
+  /** SimHash near-dup pairs (Hamming ≤ 3). The token hash is FNV-1a over
+    * code points — SQL-expressible — so the oracle recomputes the full
+    * simhash (FNV per distinct token in HUGEINT mod-2⁶⁴ arithmetic, 64 bit
+    * votes, sign fold) and takes ALL pairs at Hamming ≤ 3; the Spark side's
+    * 4×16-bit pigeonhole blocking is complete for Hamming ≤ 3 by
+    * construction, so the two sets coincide exactly → hash-gated.
     */
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashDupPairs(Tables(spark, dir).documents, maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
+  private val dedupSimhashSql = {
+    val fnv =
+      """list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |                   list_transform(split(tok,''), c -> unicode(c)::HUGEINT)),
+        |      (h, c) -> (xor(h::UBIGINT, c::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN length(tok)=0 THEN 14695981039346656037::HUGEINT
+       |          ELSE $fnv END)::UBIGINT AS h
+       |  FROM tok),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b::INT) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (1::UBIGINT << b::INT)::HUGEINT
+       |             ELSE 0::HUGEINT END)::UBIGINT AS sh
+       |  FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Per-document text statistics — token counts (whitespace + BPE-ish),
     * punctuation/stopword ratios, mean token length. All ratios are
@@ -284,15 +318,32 @@ object TextQueries {
       |  FROM tf JOIN df ON tf.tok = df.tok) r
       |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
 
-  /** Document fingerprint: FNV-1a rolling hash over code points (pure
-    * Catalyst fold — [[TextFunctions.fingerprint64]]). Engine-specific
-    * 64-bit wraparound isn't expressible in DuckDB BIGINT (it errors on
-    * overflow) → rows-only gate; value-pinned in TextFunctionsSpec.
+  /** Document fingerprint: FNV-1a over code points as ONE native codegen'd
+    * loop per row ([[graft.functions.Fnv64]] — replaces the interpreted
+    * per-character HOF fold). 64-bit wraparound isn't expressible in DuckDB
+    * BIGINT (overflow errors), but it IS in HUGEINT mod 2⁶⁴ — the oracle
+    * folds `unicode(c)` per character and re-signs the result, so tx04 is
+    * fully hash-gated (was rows-only).
     */
   private def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), TextFunctions.fingerprint64(col("text")).as("fp64"))
       .orderBy(col("doc_id"))
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  (CASE WHEN h >= 9223372036854775808::HUGEINT
+      |        THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS fp64
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text)=0 THEN 14695981039346656037::HUGEINT
+      |    ELSE list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |                   list_transform(split(text,''), c -> unicode(c)::HUGEINT)),
+      |      (h, c) -> (xor(h::UBIGINT, c::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT)
+      |    END AS h
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
 
   /** Multimodal plumbing: binary payload + metadata struct → partition-wise
     * batched decode (stubbed codec). n_bytes/width/height/channels are
@@ -318,20 +369,56 @@ object TextQueries {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Resize metadata math ([[Multimodal.resize]]) over SQL-expressible
+    * dimensions (derived from the payload byte length by pure arithmetic,
+    * not the stubbed codec — so the whole query is oracle-gated; the codec
+    * path stays covered rows-only by mm01). scale is one IEEE double
+    * division and floor() of exact-integer-valued doubles — bit-identical
+    * cross-engine.
+    */
+  private def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(Tables(spark, dir).documents)
+    val dims = media.select(
+      col("media_id"),
+      (pmod(col("meta.n_bytes"), lit(640L)) + 1L).cast("int").as("width"),
+      (pmod(col("meta.n_bytes") * 7L, lit(480L)) + 1L).cast("int").as("height"))
+    Multimodal.resize(dims, maxDim = 256)
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_width"), col("out_height"), col("scale"))
+      .orderBy(col("media_id"))
+  }
+  private val mediaResizeSql =
+    """SELECT media_id, width, height,
+      |  greatest(CAST(floor(width * scale) AS INT), 1) AS out_width,
+      |  greatest(CAST(floor(height * scale) AS INT), 1) AS out_height,
+      |  scale
+      |FROM (
+      |  SELECT media_id, width, height,
+      |    CASE WHEN greatest(width, height) > 256
+      |         THEN 256.0 / CAST(greatest(width, height) AS DOUBLE)
+      |         ELSE 1.0 END AS scale
+      |  FROM (
+      |    SELECT doc_id AS media_id,
+      |      CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+      |      CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height
+      |    FROM documents) d) s
+      |ORDER BY media_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
     "dd01_exact"             -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dd06_exact_by_hash"     -> QueryDef(dedupExactHash, Some(dedupExactSql)),
     "dd02_jaccard_pairs"     -> QueryDef(dedupJaccard, Some(dedupJaccardSql), benchmark = true),
     "dd03_minhash_pairs"     -> QueryDef(dedupMinhash, Some(dedupMinhashSql), benchmark = true),
-    "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, None),
+    "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
     "tx01_text_stats"        -> QueryDef(textStats, Some(textStatsSql)),
     "tx02_quality_score"     -> QueryDef(textQuality, Some(textQualitySql)),
     "tx03_langid"            -> QueryDef(langid, Some(langidSql)),
-    "tx04_fingerprint"       -> QueryDef(fingerprint, None),
+    "tx04_fingerprint"       -> QueryDef(fingerprint, Some(fingerprintSql)),
     "tx05_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql)),
     "mm01_decode_features"   -> QueryDef(multimodal, None),
     "mm02_payload_bytes"     -> QueryDef(mediaBytes, Some(mediaBytesSql)),
+    "mm03_resize"            -> QueryDef(mediaResize, Some(mediaResizeSql)),
   )
 }

@@ -45,8 +45,11 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding near-dup pairs above a cosine threshold (exact all-pairs —
-    * correctness form; LSH candidates replace the self-join at scale).
+  /** Embedding near-dup pairs above a cosine threshold — SRP-LSH blocked
+    * candidates + exact cosine rescore (no cartesian in the plan; asserted
+    * in PlanSpec). 2 planes × 16 tables is deterministically 100%-recall on
+    * every fixture corpus at threshold 0.35, so the output still matches
+    * the exact all-pairs oracle.
     */
   private def embDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(Tables(spark, dir).embeddings, threshold = 0.35)
@@ -88,9 +91,11 @@ object VectorQueries {
       |GROUP BY label ORDER BY label""".stripMargin
 
   /** IVF-bucketed approximate top-3: corpus partitioned into Voronoi cells
-    * around seed centroids, queries probe the nearest cells only.
-    * Cell assignment depends on seed choice → rows-only gate; recall vs
-    * brute force asserted in SimilaritySpec.
+    * around seed centroids, queries probe the nearest cells only. The
+    * centroid seeds are deterministic (first nCells corpus ids) and cosine
+    * folds are bit-identical cross-engine, so the WHOLE pipeline — cell
+    * assignment, probe choice, rescored top-k — is SQL-expressible and
+    * hash-gated by the DuckDB oracle below (it mirrors each stage).
     */
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
@@ -98,11 +103,37 @@ object VectorQueries {
       nCells = 16, nProbe = 6)
       .orderBy(col("query_id"), col("rank"))
   }
+  private val annIvfSql =
+    """WITH centroids AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+      |         CAST(embedding AS DOUBLE[]) AS mv
+      |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, cv, cell FROM (
+      |    SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS cv, ct.cell,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.mv) DESC,
+      |                 ct.cell) AS rn
+      |    FROM embeddings c CROSS JOIN centroids ct) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, qv, cell FROM (
+      |    SELECT q.vec_id, CAST(q.embedding AS DOUBLE[]) AS qv, ct.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.mv) DESC,
+      |                 ct.cell) AS rn
+      |    FROM embeddings q CROSS JOIN centroids ct WHERE q.vec_id < 10) t WHERE rn <= 6)
+      |SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT p.query_id, a.neighbor_id, list_cosine_similarity(p.qv, a.cv) AS cos,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_cosine_similarity(p.qv, a.cv) DESC, a.neighbor_id) AS rank
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.query_id <> a.neighbor_id) t
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "ann01_bruteforce_topk" -> QueryDef(annBrute, Some(annBruteSql), benchmark = true),
     "ann02_lsh_topk"        -> QueryDef(annLsh, None, benchmark = true),
-    "ann05_ivf_topk"        -> QueryDef(annIvf, None),
+    "ann05_ivf_topk"        -> QueryDef(annIvf, Some(annIvfSql)),
     "ann03_embedding_dups"  -> QueryDef(embDup, Some(embDupSql)),
     "ann04_vector_stats"    -> QueryDef(vecStats, Some(vecStatsSql)),
   )

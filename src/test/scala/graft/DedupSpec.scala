@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact) // 16 bands × 4 rows: P(miss|J≥.8) ≈ 2e-4 per pair
   }
 
+  test("embedding LSH-blocked dup pairs equal the exact all-pairs form") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = Dedup.embeddingDupPairsExact(emb, threshold = 0.35)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.embeddingDupPairs(emb, threshold = 0.35)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(blocked == exact) // 2 planes × 16 tables: deterministic 100%
+    // recall on this corpus (planes are hash-derived, not random)
+  }
+
   test("simhash: near-identical docs collide, different docs don't") {
     val r = Dedup.simhashDupPairs(docs, maxHamming = 3)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

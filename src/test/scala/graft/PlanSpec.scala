@@ -35,6 +35,19 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("ann03: embedding near-dup is LSH-blocked — no cartesian, no nested loop") {
+    val p = planOf("ann03_embedding_dups")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ann02: LSH top-k broadcasts the query side, no product join, no distinct") {
+    val p = planOf("ann02_lsh_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("wordcount: map-side partial aggregation before the exchange") {
     val p = planOf("wc_reference_wordcount")
     val exIdx  = p.indexOf("Exchange hashpartitioning(word")

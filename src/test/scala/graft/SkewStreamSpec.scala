@@ -22,6 +22,17 @@ class SkewStreamSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("default salt spreads a CONSTANT-value hot key (the degenerate case)") {
+    // every row of the hot key identical — a value/payload-derived salt
+    // collapses to one group here; the position-id default must not
+    val df = (1 to 1000).map(_ => ("hot", 1.0)).toDF("key", "value")
+    val salted = Skew.saltedSum(df, "key", "value", nSalts = 8)
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted == Set(("hot", 1000.0, 1000L)))
+    val groups = df.select(Skew.defaultSalt(8).as("s")).distinct().count()
+    assert(groups > 1, s"constant-value hot key stayed in $groups salt group")
+  }
+
   test("salted plan spreads the hot key over nSalts first-stage groups") {
     val df = (1 to 100).map(i => ("hot", i.toDouble)).toDF("key", "value")
     val plan = Skew.saltedSum(df, "key", "value", nSalts = 8)

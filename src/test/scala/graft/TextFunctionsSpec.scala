@@ -78,6 +78,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == Seq(fnv("a"), fnv("ab"), -3750763034362895579L))
   }
 
+  test("fingerprint64 folds CODE POINTS: non-BMP chars are one step, not two") {
+    // U+1F600 is a surrogate PAIR in UTF-16 but ONE code point — the fold
+    // must take one step (matching DuckDB's unicode(c) per character)
+    val got = Seq("a😀").toDF("t")
+      .select(fingerprint64(col("t"))).as[Long].head()
+    def step(h: Long, cp: Long) = (h ^ cp) * 1099511628211L
+    assert(got == step(step(-3750763034362895579L, 97L), 0x1F600L))
+  }
+
   test("word n-grams and char shingles") {
     val ng = Seq("a b c d").toDF("t")
       .select(wordNgrams(col("t"), 2)).as[Seq[String]].head()
