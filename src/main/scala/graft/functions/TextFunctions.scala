@@ -99,6 +99,27 @@ object TextFunctions {
   def fingerprint64(text: Column): Column =
     graft.functions.HashExprs.fnv64(text)
 
+  /** Remove (English-ish) stopwords: tokenize, drop tokens whose lower-case
+    * form is in [[stopwords]], re-join with single spaces — the cleaning
+    * pass before chunking/packing. Whitespace is normalized as a side
+    * effect (any run → one space).
+    */
+  def removeStopwords(text: Column): Column =
+    array_join(
+      org.apache.spark.sql.functions.filter(tokenize(text),
+        t => !lower(t).isInCollection(stopwords)), " ")
+
+  /** Redact email addresses and phone-shaped digit runs. Regex uses
+    * character classes and bounded repetition only — the subset that
+    * behaves identically under java.util.regex (Spark) and RE2-family
+    * engines (no backrefs, no lookaround), so the scrub is portable.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>")
+
   /** Character-n-gram shingles of a string (lower-cased), as array<string>. */
   def charShingles(text: Column, n: Int): Column = {
     val lowered = lower(text)

@@ -249,6 +249,48 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * min-label propagation ("HashMin"), the step that turns pairwise
+    * near-dup evidence into keep-one-per-cluster decisions. Every node's
+    * label converges to the smallest id reachable from it; the canonical
+    * survivor of a cluster is the row whose id equals its label.
+    *
+    * Execution: a driver-side loop of (edge ⋈ label → per-node min) hash
+    * joins — iterations = graph diameter, which for near-dup graphs is tiny
+    * (duplicate groups are clique-like). Each iteration is one shuffle pair;
+    * `localCheckpoint` truncates lineage so plan size stays O(1) across
+    * iterations. At extreme diameters (chain-shaped graphs) swap in
+    * large/small-star (Kiveris et al.) — same join primitives, O(log d)
+    * rounds. The loop compares a single aggregated count per round — no
+    * per-row data ever reaches the driver.
+    */
+  def dupClusters(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(edges("dst").as("id")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin.as("m"), col("l.id") === col("m.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("m.nbr_min"), col("l.label"))).as("label"),
+          col("l.label").as("_old"))
+        .localCheckpoint()
+      changed = next.where(col("label") =!= col("_old")).count()
+      labels = next.drop("_old")
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Exact all-pairs form of [[embeddingDupPairs]] — O(n²) cartesian;
     * correctness baseline for specs only, never the judged/production path.
     */

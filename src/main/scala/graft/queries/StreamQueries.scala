@@ -87,10 +87,32 @@ object StreamQueries {
     """SELECT event_type, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Custom keyed state ([[StreamOps.runningUserStats]] —
+    * flatMapGroupsWithState) through the real readStream path: running
+    * per-user event count + max value. The fixture is one file → one
+    * microbatch, so exactly one update (the final state) is emitted per
+    * user — deterministic, and the oracle is the batch GROUP BY. max() is
+    * comparison-only (no summation), so doubles are engine-exact.
+    */
+  private def streamUserStats(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val src = StreamOps.nanosToTs(
+      StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+    val upd = StreamOps.runningUserStats(src)
+    StreamOps.runToMemory(spark, upd, s"graft_stream_ustats_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .select(col("user_id"), col("n"), col("maxValue").as("max_value"))
+      .orderBy(col("user_id"))
+  }
+  private val streamUserStatsSql =
+    """SELECT user_id, count(*) AS n, max(value) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
     "st02_stream_wordcount" -> QueryDef(streamWordcount, Some(streamWordcountSql)),
     "st03_stream_sliding"   -> QueryDef(streamSliding, Some(streamSlidingSql)),
     "st04_stream_dedup"     -> QueryDef(streamDedup, Some(streamDedupSql)),
+    "st05_user_state"       -> QueryDef(streamUserStats, Some(streamUserStatsSql)),
   )
 }

@@ -404,6 +404,188 @@ object TextQueries {
       |    FROM documents) d) s
       |ORDER BY media_id""".stripMargin
 
+  /** DuckDB FNV-1a fold of column/expression `c` → HUGEINT in [0, 2⁶⁴)
+    * (same machinery as tx04's oracle; wrap with [[fnvSignSql]] to match
+    * Spark's signed bigint).
+    */
+  private def fnvFoldSql(c: String): String =
+    s"""CASE WHEN length($c)=0 THEN 14695981039346656037::HUGEINT
+       |    ELSE list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |                   list_transform(split($c,''), ch -> unicode(ch)::HUGEINT)),
+       |      (fh, ch) -> (xor(fh::UBIGINT, ch::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+       |                % 18446744073709551616::HUGEINT)
+       |    END""".stripMargin
+  private val fnvSignSql =
+    """(CASE WHEN h >= 9223372036854775808::HUGEINT
+      |      THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT""".stripMargin
+  private val stopwordInList =
+    TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Stopword-removal cleaning ([[TextFunctions.removeStopwords]]): per doc,
+    * how many tokens were dropped and the FNV fingerprint of the cleaned
+    * text — fingerprinting proves the cleaned STRING matches byte-for-byte,
+    * not just the counts.
+    */
+  private def cleanStopwords(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokenize(col("text"))
+    val kept = filter(toks, t => !lower(t).isInCollection(TextFunctions.stopwords))
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        (size(toks) - size(kept)).as("n_removed"),
+        graft.functions.HashExprs.fnv64(array_join(kept, " ")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+  private val cleanStopwordsSql =
+    s"""SELECT doc_id, n_removed, $fnvSignSql AS clean_fp
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(toks) - len(kept) AS INT) AS n_removed,
+       |    ${fnvFoldSql("array_to_string(kept, ' ')")} AS h
+       |  FROM (
+       |    SELECT doc_id, toks,
+       |      list_filter(toks, x -> NOT lower(x) IN ($stopwordInList)) AS kept
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |          FROM documents) d) f) s
+       |ORDER BY doc_id""".stripMargin
+
+  /** Fixed-width chunking with overlap ([[Chunking.chunk]], 200-char chunks
+    * every 150 chars): chunk index, length, and FNV fingerprint per chunk —
+    * the fingerprint pins the exact substring boundaries cross-engine.
+    */
+  private def chunking(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunk(
+        Tables(spark, dir).documents, chunkLen = 200, stride = 150)
+      .select(col("doc_id"), col("chunk_ix"),
+        length(col("chunk")).as("chunk_chars"),
+        graft.functions.HashExprs.fnv64(col("chunk")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_ix"))
+  private val chunkingSql =
+    s"""SELECT doc_id, chunk_ix, chunk_chars, $fnvSignSql AS chunk_fp
+       |FROM (
+       |  SELECT doc_id, chunk_ix, CAST(length(chunk) AS INT) AS chunk_chars,
+       |    ${fnvFoldSql("chunk")} AS h
+       |  FROM (
+       |    SELECT doc_id, CAST(i AS INT) AS chunk_ix,
+       |      substring(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+       |    FROM (
+       |      SELECT doc_id, text,
+       |        unnest(generate_series(0,
+       |          CAST(ceil(length(text) / 150.0) AS INT) - 1)) AS i
+       |      FROM documents) g) c) s
+       |ORDER BY doc_id, chunk_ix""".stripMargin
+
+  /** Deterministic content-hash sampling: keep documents whose text
+    * fingerprint ≡ 0 (mod 10) — a reproducible ~10% sample with no RNG
+    * state, the standard trick for stable held-out splits across pipeline
+    * runs. pmod on the SIGNED fingerprint, mirrored exactly in the oracle.
+    */
+  private def detSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .where(pmod(TextFunctions.fingerprint64(col("text")), lit(10L)) === 0L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("text")).cast("long")).as("sampled_chars"))
+      .orderBy(col("source"))
+  private val detSampleSql =
+    s"""SELECT source, count(*) AS n_sampled,
+       |  CAST(sum(length(text)) AS BIGINT) AS sampled_chars
+       |FROM (
+       |  SELECT source, text, $fnvSignSql AS fp
+       |  FROM (SELECT source, text, ${fnvFoldSql("text")} AS h FROM documents) f) s
+       |WHERE ((fp % 10) + 10) % 10 = 0
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Sequence packing ([[Chunking.packBatches]]): documents assigned to
+    * 1000-token batches per source (exclusive running token total div
+    * budget), summarized per batch. One window shuffle.
+    */
+  private def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val withTokens = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    graft.operators.Chunking.packBatches(withTokens, budget = 1000L)
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
+      .orderBy(col("source"), col("batch_id"))
+  }
+  private val seqPackSql =
+    """SELECT source, batch_id, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
+      |FROM (
+      |  SELECT source, n_tokens,
+      |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 1000.0) AS BIGINT)
+      |      AS batch_id
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CASE WHEN length(trim(text)) = 0 THEN 0
+      |           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      |    FROM documents) t) p
+      |GROUP BY source, batch_id ORDER BY source, batch_id""".stripMargin
+
+  /** Duplicate clusters ([[Dedup.dupClusters]]): connected components over
+    * the exact-Jaccard near-dup graph (same edges as dd02), labels = min
+    * reachable doc id. The oracle recomputes components with a recursive
+    * CTE — fully hash-gated including singleton docs.
+    */
+  private def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.dupClusters(
+        Dedup.jaccardPairs(docs, threshold = 0.8, maxDf = 400L),
+        docs)
+      .orderBy(col("doc_id"))
+  }
+  private val dupClustersSql =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |capped AS (
+      |  SELECT doc_id, tok FROM tok
+      |  WHERE tok IN (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 400)),
+      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM capped GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |    FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) p
+      |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8),
+      |bidir AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT b.dst, reach.r FROM reach JOIN bidir b ON b.src = reach.id)
+      |SELECT id AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling ([[Multimodal.sampleFrames]], 64-byte frames, keep
+    * every 2nd): frame counts + the kept-frame index list (joined to a
+    * string — the driver gate compares scalars, not arrays).
+    */
+  private def sampleFramesQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.asMediaTable(Tables(spark, dir).documents),
+        frameBytes = 64, stride = 2)
+      .select(col("media_id"), col("n_frames"),
+        size(col("kept_frames")).as("n_kept"),
+        array_join(col("kept_frames").cast("array<string>"), ",").as("kept_ixs"))
+      .orderBy(col("media_id"))
+  private val sampleFramesSql =
+    """SELECT media_id, n_frames, CAST(len(kept) AS INT) AS n_kept,
+      |  array_to_string(kept, ',') AS kept_ixs
+      |FROM (
+      |  SELECT doc_id AS media_id, n_frames,
+      |    list_filter(range(0, n_frames), x -> x % 2 = 0) AS kept
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+      |    FROM documents) f) s
+      |ORDER BY media_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
     "dd01_exact"             -> QueryDef(dedupExact, Some(dedupExactSql)),
@@ -420,5 +602,11 @@ object TextQueries {
     "mm01_decode_features"   -> QueryDef(multimodal, None),
     "mm02_payload_bytes"     -> QueryDef(mediaBytes, Some(mediaBytesSql)),
     "mm03_resize"            -> QueryDef(mediaResize, Some(mediaResizeSql)),
+    "mm04_sample_frames"     -> QueryDef(sampleFramesQ, Some(sampleFramesSql)),
+    "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),
+    "tx07_chunking"          -> QueryDef(chunking, Some(chunkingSql)),
+    "tx08_det_sample"        -> QueryDef(detSample, Some(detSampleSql)),
+    "tx09_seq_pack"          -> QueryDef(seqPack, Some(seqPackSql)),
+    "dd07_dup_clusters"      -> QueryDef(dupClusters, Some(dupClustersSql)),
   )
 }
