@@ -21,6 +21,9 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      // native expressions on the SQL surface (fnv64, cosine_sim, ...);
+      // externally built sessions get the same via GraftExtensions.register
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -182,8 +182,32 @@ object Events {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Hive-style partitioned parquet sink + partition-pruned read: events
+    * written `partitionBy(event_type)`, read back with a partition filter —
+    * the layout that turns a predicate on the partition column into
+    * directory pruning (zero I/O for other partitions) at 100 TB. PlanSpec
+    * asserts the `PartitionFilters` entry on the scan.
+    */
+  private def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val t   = Tables(spark, dir)
+    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/roundtrip"
+    t.events.write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$tmp/events_by_type")
+    spark.read.parquet(s"$tmp/events_by_type")
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+  private val partitionedSinkSql =
+    """SELECT user_id, count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ev01_tumbling_window" -> QueryDef(tumbling, Some(tumblingSql), benchmark = true),
+    "ev08_partitioned_sink" -> QueryDef(partitionedSink, Some(partitionedSinkSql)),
     "ev06_range_join"      -> QueryDef(rangeJoin, Some(rangeJoinSql), benchmark = true),
     "ev02_json_extract"    -> QueryDef(json, Some(jsonSql)),
     "ev03_sessionize"      -> QueryDef(sessionize, Some(sessionizeSql), benchmark = true),

@@ -533,6 +533,33 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Bucketed co-located join ([[graft.operators.Bucketing]]): customer and
+    * orders both bucketed (and sorted) on the customer key, then joined
+    * with NO exchange on either side — the pre-shuffle pattern that
+    * amortizes one write-time shuffle across every subsequent join at
+    * 100 TB. The `merge` hint pins sort-merge (at fixture scale the planner
+    * would broadcast instead and hide the bucket story); PlanSpec asserts
+    * the exchange-free plan.
+    */
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val t   = Tables(spark, dir)
+    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/warehouse"
+    graft.operators.Bucketing.writeBucketed(
+      t.customer, "graft_customer_b", s"$tmp/customer_b", 8, "c_custkey")
+    graft.operators.Bucketing.writeBucketed(
+      t.orders, "graft_orders_b", s"$tmp/orders_b", 8, "o_custkey")
+    spark.table("graft_customer_b").hint("merge")
+      .join(spark.table("graft_orders_b"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+  private val q25Sql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
@@ -558,5 +585,6 @@ object Relational {
     "q22_sql_api"          -> QueryDef(q22, Some(q22Sql)),
     "q23_custom_udaf"      -> QueryDef(q23, Some(q23Sql)),
     "sk01_salted_agg"      -> QueryDef(sk01, Some(sk01Sql)),
+    "q25_bucketed_join"    -> QueryDef(q25, Some(q25Sql)),
   )
 }

@@ -108,8 +108,46 @@ object StreamQueries {
     """SELECT user_id, count(*) AS n, max(value) AS max_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Stream-STREAM windowed join ([[StreamOps.windowedStreamJoin]]): the
+    * purchase stream inner-joined to the click stream on user within a
+    * 10-minute lookback, then a batch rollup of the joined pairs. Two
+    * independent readStream sources over the same fixture; watermarks bound
+    * both join-state buffers. One file → one microbatch → the full join
+    * result is emitted deterministically, so the batch-SQL oracle applies.
+    */
+  private def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    def src() = StreamOps.nanosToTs(
+      StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val joined = StreamOps.windowedStreamJoin(
+      purchases, clicks, "p_user", "c_user", "pts", "cts", "10 MINUTES")
+    StreamOps.runToMemory(spark,
+        joined.select(col("purchase_id"), col("click_id")),
+        s"graft_stream_join_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+  private val streamStreamJoinSql =
+    """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+      |  min(c.event_id) AS first_click_id
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      |  AND c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
+    "st06_stream_join"      -> QueryDef(streamStreamJoin, Some(streamStreamJoinSql)),
     "st02_stream_wordcount" -> QueryDef(streamWordcount, Some(streamWordcountSql)),
     "st03_stream_sliding"   -> QueryDef(streamSliding, Some(streamSlidingSql)),
     "st04_stream_dedup"     -> QueryDef(streamDedup, Some(streamDedupSql)),

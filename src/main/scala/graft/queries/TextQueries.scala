@@ -586,8 +586,31 @@ object TextQueries {
       |    FROM documents) f) s
       |ORDER BY media_id""".stripMargin
 
+  /** The native expressions through the SQL entry point: fnv64 registered
+    * on the session ([[graft.functions.GraftExtensions]] — `injectFunction`
+    * for extension-built sessions, imperative `register` here because the
+    * harness builds the session externally), then used from a plain SQL
+    * string. Plans the identical codegen'd expression as the Column API.
+    */
+  private def sqlNativeFns(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    Tables(spark, dir).documents.createOrReplaceTempView("documents_v")
+    spark.sql(
+      """SELECT source, count(*) AS n_docs,
+        |  min(fnv64(text)) AS min_fp, max(fnv64(text)) AS max_fp
+        |FROM documents_v GROUP BY source ORDER BY source""".stripMargin)
+  }
+  private val sqlNativeFnsSql =
+    s"""SELECT source, count(*) AS n_docs,
+       |  min(fp) AS min_fp, max(fp) AS max_fp
+       |FROM (
+       |  SELECT source, $fnvSignSql AS fp
+       |  FROM (SELECT source, ${fnvFoldSql("text")} AS h FROM documents) f) s
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
+    "tx10_sql_native_fns"    -> QueryDef(sqlNativeFns, Some(sqlNativeFnsSql)),
     "dd01_exact"             -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dd06_exact_by_hash"     -> QueryDef(dedupExactHash, Some(dedupExactSql)),
     "dd02_jaccard_pairs"     -> QueryDef(dedupJaccard, Some(dedupJaccardSql), benchmark = true),

@@ -55,6 +55,23 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream inner equi-join with an event-time window constraint:
+    * right rows within `[tsL − lookback, tsL]` of the left row, same key.
+    * Both inputs MUST already carry watermarks — they bound the join state
+    * on each side (rows older than watermark + window are evicted), which
+    * is what makes a stream × stream join feasible at all: state is a
+    * sliding window of each stream, not the whole history.
+    */
+  def windowedStreamJoin(
+      left: DataFrame, right: DataFrame,
+      keyL: String, keyR: String,
+      tsL: String, tsR: String,
+      lookback: String): DataFrame =
+    left.join(right,
+      col(keyL) === col(keyR) &&
+        col(tsR) >= col(tsL) - expr(s"INTERVAL $lookback") &&
+        col(tsR) <= col(tsL))
+
   /** Custom keyed state: running per-user event count + max value, via
     * flatMapGroupsWithState (the `KeyValueGroupedDataset` state API).
     * Emits one update per input batch per active user.

@@ -48,6 +48,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q25: bucketed tables join with no exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    val t   = graft.core.Tables(spark, sf0001)
+    val tmp = "/root/repo/target/test_warehouse"
+    graft.operators.Bucketing.writeBucketed(
+      t.customer, "plan_cust_b", s"$tmp/cust_b", 4, "c_custkey")
+    graft.operators.Bucketing.writeBucketed(
+      t.orders, "plan_orders_b", s"$tmp/orders_b", 4, "o_custkey")
+    val p = spark.table("plan_cust_b").hint("merge")
+      .join(spark.table("plan_orders_b"), col("c_custkey") === col("o_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p) // bucket spec satisfies distribution
+  }
+
+  test("ev08: partition filter prunes the partitioned-sink read") {
+    val p = planOf("ev08_partitioned_sink")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("event_type = purchase") ||
+      p.contains("event_type#"), p) // the pruning predicate reached the scan
+  }
+
   test("wordcount: map-side partial aggregation before the exchange") {
     val p = planOf("wc_reference_wordcount")
     val exIdx  = p.indexOf("Exchange hashpartitioning(word")
