@@ -620,16 +620,16 @@ object TextQueries {
     "tx01_text_stats"        -> QueryDef(textStats, Some(textStatsSql)),
     "tx02_quality_score"     -> QueryDef(textQuality, Some(textQualitySql)),
     "tx03_langid"            -> QueryDef(langid, Some(langidSql)),
-    "tx04_fingerprint"       -> QueryDef(fingerprint, Some(fingerprintSql)),
+    "tx04_fingerprint"       -> QueryDef(fingerprint, Some(fingerprintSql), benchmark = true),
     "tx05_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql)),
     "mm01_decode_features"   -> QueryDef(multimodal, None),
     "mm02_payload_bytes"     -> QueryDef(mediaBytes, Some(mediaBytesSql)),
     "mm03_resize"            -> QueryDef(mediaResize, Some(mediaResizeSql)),
     "mm04_sample_frames"     -> QueryDef(sampleFramesQ, Some(sampleFramesSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),
-    "tx07_chunking"          -> QueryDef(chunking, Some(chunkingSql)),
+    "tx07_chunking"          -> QueryDef(chunking, Some(chunkingSql), benchmark = true),
     "tx08_det_sample"        -> QueryDef(detSample, Some(detSampleSql)),
     "tx09_seq_pack"          -> QueryDef(seqPack, Some(seqPackSql)),
-    "dd07_dup_clusters"      -> QueryDef(dupClusters, Some(dupClustersSql)),
+    "dd07_dup_clusters"      -> QueryDef(dupClusters, Some(dupClustersSql), benchmark = true),
   )
 }
