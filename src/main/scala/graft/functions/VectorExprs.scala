@@ -37,6 +37,18 @@ object VectorImpl {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** The (planeIdx, dim) hyperplane component used by [[srpBucket]] —
+    * exposed so oracle SQL can be generated from the SAME deterministic
+    * plane matrix (the values are interpolated as literals into the
+    * ann02 DuckDB oracle). Must stay bit-in-sync with the srpBucket loop
+    * below (both are two chained `XXH64.hashInt` calls, seed 42, folded
+    * by Long.MaxValue).
+    */
+  def planeComponent(planeIdx: Int, d: Int): Double = {
+    val seed = XXH64.hashInt(planeIdx, 42L)
+    XXH64.hashInt(d, seed).toDouble / Long.MaxValue.toDouble
+  }
+
   /** One bucket id from `nPlanes` pseudo-random hyperplane sign bits.
     * Plane component (p, d) = xxhash64(p, d) folded to [-1, 1) — identical
     * to the Column formulation it replaces (hash of two long columns,

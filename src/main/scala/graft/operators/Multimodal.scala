@@ -47,7 +47,10 @@ object Multimodal {
     final case class Features(width: Int, height: Int, channels: Int, checksum: Long)
     def decode(payload: Array[Byte]): Features = {
       // ??? <- real codec goes here; deterministic fake below
-      var cs = 1469598103934665603L // FNV-1a offset basis
+      // FNV-1a-STYLE fold with a stub basis constant (not the canonical FNV
+      // offset basis) — value-pinned by the mm01 oracle, which mirrors this
+      // exact fold; change one and the other must follow
+      var cs = 1469598103934665603L
       var i  = 0
       while (i < payload.length) { cs = (cs ^ (payload(i) & 0xffL)) * 1099511628211L; i += 1 }
       Features(

@@ -346,9 +346,13 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   /** Multimodal plumbing: binary payload + metadata struct → partition-wise
-    * batched decode (stubbed codec). n_bytes/width/height/channels are
-    * deterministic functions of the payload; the byte-level checksum path
-    * is exercised, and n_bytes is oracle-checkable via octet_length.
+    * batched decode (stubbed codec). The stub's pseudo-features are a
+    * deterministic FNV-style fold over the payload BYTES, so the oracle
+    * recomputes them exactly: on this ASCII corpus bytes == code points,
+    * letting the same HUGEINT fold apply (a non-ASCII corpus would fail the
+    * gate loudly, not silently pass); width/height are floorMod + an
+    * arithmetic >>16 expressed as exact BIGINT floor-division. Fully
+    * hash-gated (was rows-only).
     */
   private def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(Tables(spark, dir).documents)
@@ -356,6 +360,30 @@ object TextQueries {
       .select(col("media_id"), col("n_bytes"), col("width"), col("height"), col("channels"))
       .orderBy(col("media_id"))
   }
+  private val multimodalSql =
+    """SELECT media_id, n_bytes,
+      |  CAST(((cs % 640) + 640) % 640 + 1 AS INT) AS width,
+      |  CAST((((fdiv % 480) + 480) % 480) + 1 AS INT) AS height,
+      |  3 AS channels
+      |FROM (
+      |  SELECT media_id, n_bytes, cs,
+      |    (cs - ((cs % 65536) + 65536) % 65536) // 65536 AS fdiv
+      |  FROM (
+      |    SELECT doc_id AS media_id,
+      |      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |      (CASE WHEN h >= 9223372036854775808::HUGEINT
+      |            THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS cs
+      |    FROM (
+      |      SELECT doc_id, text,
+      |        CASE WHEN length(text)=0 THEN 1469598103934665603::HUGEINT
+      |        ELSE list_reduce(
+      |          list_prepend(1469598103934665603::HUGEINT,
+      |                       list_transform(split(text,''), ch -> unicode(ch)::HUGEINT)),
+      |          (fh, ch) -> (xor(fh::UBIGINT, ch::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+      |                    % 18446744073709551616::HUGEINT)
+      |        END AS h
+      |      FROM documents) f) s) t
+      |ORDER BY media_id""".stripMargin
   /** Binary-payload metadata alone is engine-portable: UTF-8 byte length
     * via octet_length on both sides — gates the media-table schema path.
     */
@@ -622,7 +650,7 @@ object TextQueries {
     "tx03_langid"            -> QueryDef(langid, Some(langidSql)),
     "tx04_fingerprint"       -> QueryDef(fingerprint, Some(fingerprintSql), benchmark = true),
     "tx05_tfidf_top_terms"   -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql)),
-    "mm01_decode_features"   -> QueryDef(multimodal, None),
+    "mm01_decode_features"   -> QueryDef(multimodal, Some(multimodalSql)),
     "mm02_payload_bytes"     -> QueryDef(mediaBytes, Some(mediaBytesSql)),
     "mm03_resize"            -> QueryDef(mediaResize, Some(mediaResizeSql)),
     "mm04_sample_frames"     -> QueryDef(sampleFramesQ, Some(sampleFramesSql)),

@@ -34,15 +34,54 @@ object VectorQueries {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** LSH-bucketed approximate top-3 — the scale path (one bucket-key
-    * shuffle instead of a corpus × queries product). Bucketing uses
-    * xxhash64-derived hyperplanes → engine-specific → rows-only gate;
-    * recall vs brute force is asserted in SimilaritySpec.
+    * shuffle instead of a corpus × queries product). The SRP hyperplanes
+    * are deterministic (hash-derived), so the oracle interpolates the SAME
+    * 48×64 plane matrix as SQL literals ([[VectorImpl.planeComponent]]),
+    * recomputes buckets with identical left-to-right double folds, and
+    * mirrors candidate-set → exact-rescore → top-k — fully hash-gated
+    * (was rows-only). Recall vs brute force additionally asserted in
+    * SimilaritySpec.
     */
+  private val lshPlanes = 4
+  private val lshTables = 12
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, k = 3,
-      nPlanes = 4, nTables = 12)
+      nPlanes = lshPlanes, nTables = lshTables)
       .orderBy(col("query_id"), col("rank"))
+  }
+  private val annLshSql: String = {
+    val dims = 64 // embeddings fixture dimensionality (TESTDATA.md)
+    val rows = for { t <- 0 until lshTables; p <- 0 until lshPlanes } yield {
+      val comps = (0 until dims)
+        .map(d => graft.functions.VectorImpl.planeComponent(t * lshPlanes + p, d))
+      s"($t,$p,[${comps.mkString(",")}])"
+    }
+    s"""WITH planes(tbl, p, comps) AS (VALUES ${rows.mkString(",\n")}),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |projs AS (
+       |  SELECT e.vec_id, pl.tbl, pl.p,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(list_zip(e.v, pl.comps), x -> x[1]*x[2])),
+       |      (a,b) -> a+b) AS proj
+       |  FROM emb e CROSS JOIN planes pl),
+       |buckets AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN proj >= 0 THEN (1<<p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM projs GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(qe.v, ce.v) AS cos,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, cand.neighbor_id) AS rank
+       |  FROM cand JOIN emb qe ON qe.vec_id = cand.query_id
+       |            JOIN emb ce ON ce.vec_id = cand.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM scored
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Embedding near-dup pairs above a cosine threshold — SRP-LSH blocked
@@ -132,7 +171,7 @@ object VectorQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "ann01_bruteforce_topk" -> QueryDef(annBrute, Some(annBruteSql), benchmark = true),
-    "ann02_lsh_topk"        -> QueryDef(annLsh, None, benchmark = true),
+    "ann02_lsh_topk"        -> QueryDef(annLsh, Some(annLshSql), benchmark = true),
     "ann05_ivf_topk"        -> QueryDef(annIvf, Some(annIvfSql)),
     "ann03_embedding_dups"  -> QueryDef(embDup, Some(embDupSql)),
     "ann04_vector_stats"    -> QueryDef(vecStats, Some(vecStatsSql)),

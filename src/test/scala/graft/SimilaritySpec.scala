@@ -62,6 +62,24 @@ class SimilaritySpec extends SparkSpec {
     // cells; same contract as LSH: a useful fraction without the product
   }
 
+  test("srpBucket bit p for basis vector e_d is the sign of planeComponent(p, d)") {
+    // locks the bucket loop to the plane matrix the ann02 oracle
+    // interpolates as literals — if either drifts, this fails before the
+    // correctness gate does
+    import graft.functions.VectorImpl
+    val dims = 8
+    for (d <- 0 until dims) {
+      val e = (0 until dims).map(i => if (i == d) 1.0 else 0.0)
+      val bucket = Seq(e).toDF("v")
+        .select(Similarity.srpBucket($"v", nPlanes = 4, planeOffset = 8))
+        .as[Long].head()
+      for (p <- 0 until 4) {
+        val expected = if (VectorImpl.planeComponent(8 + p, d) >= 0) 1L else 0L
+        assert(((bucket >> p) & 1L) == expected, s"d=$d p=$p")
+      }
+    }
+  }
+
   test("LSH candidate pairs are a subset-of-all-pairs and deterministic") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
     val a = Similarity.lshCandidatePairs(emb).as[(Long, Long)].collect().toSet
