@@ -165,15 +165,17 @@ object Dedup {
         filter(array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
           t => length(t) > 0),
         t => xxhash64(t))).as("toks"))
-    // shuffle-hash, not sort-merge: the candidate side is large but needs no
-    // order, and hashing the (small per key-range) token-set side avoids
-    // sorting millions of candidate rows; AQE may still upgrade the join to
-    // broadcast when the doc table is small enough
+    // No join-strategy hint: the candidate stream is orders of magnitude
+    // larger than the per-doc token-set table, so the RIGHT plan depends on
+    // the corpus — AQE broadcasts the token sets while they fit (candidates
+    // then never cross an exchange for verification) and falls back to a
+    // shuffled hash join from runtime stats when they don't. Forcing
+    // shuffle_hash here cost dd03 two exchanges of the full candidate
+    // stream (~2× the query's shuffle volume) at every scale where the doc
+    // table was broadcastable.
     candidates
-      .join(tokSets.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(tokSets.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
-        .hint("shuffle_hash"), "id_b")
+      .join(tokSets.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(tokSets.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         HashExprs.sortedIntersectSize(col("toks_a"), col("toks_b")).as("n_common"),
         size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
