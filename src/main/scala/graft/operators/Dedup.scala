@@ -242,10 +242,14 @@ object Dedup {
       vecCol: String = "embedding",
       nPlanes: Int = 2,
       nTables: Int = 16): DataFrame = {
+    // no strategy hint on the vector-fetch joins: AQE broadcasts the vector
+    // table while it fits (the candidate stream then never moves) and
+    // reverts to a shuffled join from runtime stats beyond that — same
+    // reasoning as the minhash verification join above
     val e = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
     Similarity.lshCandidatePairs(emb, nPlanes, nTables, idCol, vecCol)
-      .join(e.select(col("vid").as("id_a"), col("v").as("va")).hint("shuffle_hash"), "id_a")
-      .join(e.select(col("vid").as("id_b"), col("v").as("vb")).hint("shuffle_hash"), "id_b")
+      .join(e.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
