@@ -20,10 +20,13 @@ import org.apache.spark.sql.types.IntegerType
   * Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // naive non-equi BETWEEN joins → bin-keyed equi-joins (no nested loop)
+    ext.injectOptimizerRule(graft.plans.RangeJoinRule.apply)
+  }
 }
 
 object GraftExtensions {

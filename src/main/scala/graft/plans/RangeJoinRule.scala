@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
+
+/** Optimizer rule: rewrite a non-equi temporal range join —
+  * `points ⋈ intervals ON ts >= lo AND ts < hi` with NO equi conjunct —
+  * into the bin-keyed equi-join [[graft.operators.RangeJoin.intervalJoin]]
+  * builds by hand: the interval side explodes into the fixed-width time
+  * bins it overlaps, the point side maps to its bin, and the original
+  * predicate survives as the residual filter. Without this, Spark can only
+  * plan such a join as BroadcastNestedLoopJoin (or a cartesian) — O(n·m)
+  * comparisons; with it, both sides hash-partition on the bin key like any
+  * equi-join, which is the difference between dead and linear at 100 TB.
+  *
+  * Semantics are preserved exactly: bin membership is implied by the
+  * original predicate (trunc-division is monotone, so every bin a
+  * contained point maps to lies within the interval's bin range), and the
+  * residual filter removes bin-collision false positives. Degenerate
+  * intervals (hi <= lo) generate an empty bin array rather than a
+  * descending sequence.
+  *
+  * Fires only on: batch INNER joins, a conjunctive condition containing
+  * `ts >= lo` (or `lo <= ts`) and `ts < hi` / `ts <= hi` with `ts` a
+  * timestamp from one side and lo/hi expressions over the other, and NO
+  * attr=attr equi conjunct (with one, the join already hash-partitions).
+  * Idempotent: the rewritten join has an equi conjunct, so it never
+  * refires. Bin width comes from `spark.graft.rangejoin.binwidth.micros`
+  * (default 10 minutes) — set it near the typical interval span.
+  *
+  * Registered by [[graft.functions.GraftExtensions]] (injectOptimizerRule)
+  * and available at runtime via `spark.experimental.extraOptimizations`.
+  */
+case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val widthKey = "spark.graft.rangejoin.binwidth.micros"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = spark.conf.getOption(widthKey).map(_.toLong).getOrElse(600000000L)
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !j.left.isStreaming && !j.right.isStreaming =>
+        val conjuncts = splitConjuncts(cond)
+        if (hasEquiConjunct(conjuncts, left, right)) j
+        else findRangePattern(conjuncts, left, right) match {
+          case Some((ts, lo, hi, hiInclusive, pointsLeft)) =>
+            rewrite(j, ts, lo, hi, hiInclusive, pointsLeft, width, hint)
+          case None => j
+        }
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other     => Seq(other)
+  }
+
+  private def hasEquiConjunct(
+      conjuncts: Seq[Expression], left: LogicalPlan, right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+          (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+      case _ => false
+    }
+
+  /** Find (ts, lo, hi, hiInclusive, pointsOnLeft): a lower bound `ts >= lo`
+    * and an upper bound `ts < hi` / `ts <= hi` over the same timestamp
+    * expression, where ts references exactly one side and both bounds
+    * reference only the other.
+    */
+  private def findRangePattern(
+      conjuncts: Seq[Expression], left: LogicalPlan, right: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Boolean, Boolean)] = {
+    def sideOf(e: Expression): Option[Boolean] = // Some(true) = left side
+      if (e.references.nonEmpty && e.references.subsetOf(left.outputSet)) Some(true)
+      else if (e.references.nonEmpty && e.references.subsetOf(right.outputSet)) Some(false)
+      else None
+    // normalized lower bounds: (ts, lo) from `ts >= lo` / `lo <= ts`
+    val lowers = conjuncts.collect {
+      case GreaterThanOrEqual(a, b) => (a, b)
+      case LessThanOrEqual(a, b)    => (b, a)
+    }
+    // normalized upper bounds: (ts, hi, inclusive)
+    val uppers = conjuncts.collect {
+      case LessThan(a, b)           => (a, b, false)
+      case GreaterThan(a, b)        => (b, a, false)
+      case LessThanOrEqual(a, b)    => (a, b, true)
+      case GreaterThanOrEqual(a, b) => (b, a, true)
+    }
+    (for {
+      (ts1, lo) <- lowers
+      (ts2, hi, inclusive) <- uppers
+      if ts1.semanticEquals(ts2) && !lo.semanticEquals(hi)
+      if ts1.dataType == TimestampType
+      tsSide <- sideOf(ts1)
+      loSide <- sideOf(lo)
+      hiSide <- sideOf(hi)
+      if loSide == hiSide && loSide != tsSide
+    } yield (ts1, lo, hi, inclusive, tsSide)).headOption
+  }
+
+  private def rewrite(
+      j: Join, ts: Expression, lo: Expression, hi: Expression,
+      hiInclusive: Boolean, pointsLeft: Boolean, width: Long,
+      hint: JoinHint): LogicalPlan = {
+    val w = Literal(width)
+    def binOf(e: Expression): Expression = new IntegralDivide(UnixMicros(e), w)
+    val pointsSide    = if (pointsLeft) j.left else j.right
+    val intervalsSide = if (pointsLeft) j.right else j.left
+
+    val pBin    = Alias(binOf(ts), "_graft_bin_p")()
+    val newPoints = Project(pointsSide.output :+ pBin, pointsSide)
+
+    val hiMicros = if (hiInclusive) UnixMicros(hi)
+                   else Subtract(UnixMicros(hi), Literal(1L))
+    val loBin = binOf(lo)
+    val hiBin = new IntegralDivide(hiMicros, w)
+    // Sequence is TimeZoneAware even over integrals — without a zone it
+    // stays unresolved and the optimizer rejects the rewrite
+    val tz  = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val seq = If(LessThanOrEqual(loBin, hiBin),
+      Sequence(loBin, hiBin, None, tz),
+      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+    val iBin = AttributeReference("_graft_bin_i", LongType, nullable = false)()
+    val newIntervals =
+      Generate(Explode(seq), Nil, outer = false, None, Seq(iBin), intervalsSide)
+
+    val joinCond = And(EqualTo(pBin.toAttribute, iBin), j.condition.get)
+    val newJoin =
+      if (pointsLeft) Join(newPoints, newIntervals, Inner, Some(joinCond), hint)
+      else Join(newIntervals, newPoints, Inner, Some(joinCond), hint)
+    Project(j.output, newJoin)
+  }
+}

@@ -205,9 +205,46 @@ object Events {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** The NAIVE range-join formulation — a raw `ts >= lo && ts < hi`
+    * predicate with no equi key, which Spark alone can only plan as a
+    * nested loop — executed under [[graft.plans.RangeJoinRule]], which
+    * rewrites it into the binned equi-join automatically (same plan family
+    * as ev06's hand-built form; RangeJoinRuleSpec asserts plan + parity).
+    * Extension-built sessions carry the rule already; the harness session
+    * is external, so it is installed via `experimental.extraOptimizations`
+    * (same rule object, idempotent).
+    */
+  private def autoRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule(spark)
+    val ev = Tables(spark, dir).events
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        (col("ts") - expr("INTERVAL 3 MINUTES")).as("lo"),
+        (col("ts") + expr("INTERVAL 3 MINUTES")).as("hi"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts"))
+    clicks.join(purchases, col("ts") >= col("lo") && col("ts") < col("hi"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("click_id")).as("last_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+  private val autoRangeJoinSql =
+    """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+      |  max(c.event_id) AS last_click_id
+      |FROM events p JOIN events c
+      |  ON c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL '3 minutes'
+      |  AND c.ts <  p.ts + INTERVAL '3 minutes'
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ev01_tumbling_window" -> QueryDef(tumbling, Some(tumblingSql), benchmark = true),
     "ev08_partitioned_sink" -> QueryDef(partitionedSink, Some(partitionedSinkSql)),
+    "ev09_auto_range_join" -> QueryDef(autoRangeJoin, Some(autoRangeJoinSql)),
     "ev06_range_join"      -> QueryDef(rangeJoin, Some(rangeJoinSql), benchmark = true),
     "ev02_json_extract"    -> QueryDef(json, Some(jsonSql)),
     "ev03_sessionize"      -> QueryDef(sessionize, Some(sessionizeSql), benchmark = true),
