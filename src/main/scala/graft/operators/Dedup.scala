@@ -255,6 +255,33 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Cross-corpus contamination check — the decontamination step of a
+    * training pipeline: for every corpus document, how many of its distinct
+    * word n-grams also occur anywhere in the benchmark/eval set. Inverted
+    * index on the gram (one hash shuffle each side, join on the gram key —
+    * AQE broadcasts the benchmark gram set while it fits, which it
+    * typically does: eval sets are small); no document ever compares to
+    * another directly. Emits only contaminated docs (n_shared_grams ≥ 1);
+    * at 100 TB hash the grams (xxhash64) instead of shipping gram strings.
+    */
+  def crossContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextFunctions.wordNgrams(lower(col(textCol)), n))).as("g"))
+      .where(length(col("g")) > 0)
+    val benchGrams = grams(benchmark).select(col("g")).distinct()
+    grams(corpus).join(benchGrams, "g")
+      .groupBy(col("doc_id"))
+      // grams are per-doc distinct already, so plain count == distinct count
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Duplicate CLUSTERS from near-dup pairs: connected components by
     * min-label propagation ("HashMin"), the step that turns pairwise
     * near-dup evidence into keep-one-per-cluster decisions. Every node's

@@ -636,8 +636,66 @@ object TextQueries {
        |  FROM (SELECT source, ${fnvFoldSql("text")} AS h FROM documents) f) s
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Contamination ([[Dedup.crossContamination]]): documents ≥ 20 checked
+    * for 5-gram overlap against the "benchmark set" (docs < 20 — a
+    * deterministic stand-in for an eval suite). Duplicated docs across the
+    * boundary surface with high counts.
+    */
+  private def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Dedup.crossContamination(
+        docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20), n = 5)
+      .orderBy(col("doc_id"))
+  }
+  private val contaminationSql =
+    """WITH grams AS (
+      |  SELECT doc_id, g FROM (
+      |    SELECT DISTINCT doc_id, unnest(
+      |      CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |           ELSE list_transform(generate_series(1, len(toks) - 4),
+      |                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+      |                                 toks[i+3], toks[i+4])) END) AS g
+      |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |          FROM documents) d) t
+      |  WHERE length(g) > 0)
+      |SELECT c.doc_id, count(*) AS n_shared_grams
+      |FROM (SELECT doc_id, g FROM grams WHERE doc_id >= 20) c
+      |JOIN (SELECT DISTINCT g FROM grams WHERE doc_id < 20) b USING (g)
+      |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Token-rarity quality signal: per document, the mean corpus document-
+    * frequency of its distinct tokens (low mean df = rare-vocabulary doc —
+    * OCR noise, codes, misspellings). Exact integer sums + one IEEE
+    * division → engine-identical doubles.
+    */
+  private def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokenize(lower(col("text"))))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val dfCounts = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    toks.join(dfCounts, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        (sum(col("df")).cast("double") / count(lit(1)).cast("double")).as("mean_token_df"))
+      .orderBy(col("doc_id"))
+  }
+  private val rarityScoreSql =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |dfc AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+      |SELECT doc_id, count(*) AS n_distinct_tokens,
+      |  CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_token_df
+      |FROM toks JOIN dfc USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
+    "dd08_contamination"     -> QueryDef(contamination, Some(contaminationSql)),
+    "tx11_rarity_score"      -> QueryDef(rarityScore, Some(rarityScoreSql)),
     "tx10_sql_native_fns"    -> QueryDef(sqlNativeFns, Some(sqlNativeFnsSql)),
     "dd01_exact"             -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dd06_exact_by_hash"     -> QueryDef(dedupExactHash, Some(dedupExactSql)),

@@ -67,6 +67,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact) // 16 bands × 4 rows: P(miss|J≥.8) ≈ 2e-4 per pair
   }
 
+  test("contamination: only docs sharing an n-gram with the benchmark surface") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"), // shares trigram with bench doc 1
+      (11L, "zeta eta theta iota"),    // no overlap
+      (12L, "alpha beta gamma delta")  // duplicate of 10 → same overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val r = Dedup.crossContamination(corpus, bench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(10L -> 1L, 12L -> 1L)) // "alpha beta gamma" shared; 11 clean
+  }
+
   test("embedding LSH-blocked dup pairs equal the exact all-pairs form") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val exact = Dedup.embeddingDupPairsExact(emb, threshold = 0.35)
