@@ -145,8 +145,42 @@ object StreamQueries {
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
 
+  /** Streaming FILE sink: a stateless streaming transform written to
+    * parquet with a checkpoint (the exactly-once file sink — commit log +
+    * checkpoint make replays idempotent at 100 TB/day), then read back and
+    * rolled up in batch. Fresh output/checkpoint dirs per run so the
+    * append-mode sink can't accumulate across harness invocations.
+    */
+  private def streamParquetSink(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
+    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
+      s"/roundtrip/stream_sink_${System.nanoTime()}"
+    val q = src.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/data")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+  private val streamParquetSinkSql =
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM (
+      |  SELECT source,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      |  FROM documents) t
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
+    "st07_stream_file_sink" -> QueryDef(streamParquetSink, Some(streamParquetSinkSql)),
     "st06_stream_join"      -> QueryDef(streamStreamJoin, Some(streamStreamJoinSql)),
     "st02_stream_wordcount" -> QueryDef(streamWordcount, Some(streamWordcountSql)),
     "st03_stream_sliding"   -> QueryDef(streamSliding, Some(streamSlidingSql)),
