@@ -17,6 +17,19 @@ class ChunkingSpec extends SparkSpec {
     // empty doc → no chunks (no junk row from a descending sequence)
   }
 
+  test("chunking covers every character; contiguous when stride == chunkLen") {
+    for ((len, cl, st) <- Seq((1, 6, 4), (10, 6, 4), (23, 8, 8), (7, 5, 3), (150, 200, 150))) {
+      val text = (0 until len).map(i => ('a' + i % 26).toChar).mkString
+      val chunks = Chunking.chunk(Seq((1L, text)).toDF("doc_id", "text"), cl, st)
+        .select($"chunk_ix", $"chunk").as[(Int, String)].collect().sortBy(_._1)
+      // every character position is inside at least one chunk
+      val covered = chunks.flatMap { case (ix, c) => ix * st until ix * st + c.length }.toSet
+      assert(covered == (0 until len).toSet, s"len=$len cl=$cl st=$st")
+      // non-overlapping config reassembles the exact document
+      if (cl == st) assert(chunks.map(_._2).mkString == text)
+    }
+  }
+
   test("packing: exclusive running total assigns budget-boundary batches") {
     val d = Seq(
       (1L, "s", 400L), (2L, "s", 400L), (3L, "s", 400L), // cum_prev 0,400,800

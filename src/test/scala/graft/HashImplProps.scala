@@ -61,6 +61,16 @@ object HashImplProps extends Properties("HashImpl") {
           new GenericArrayData(ys.toArray)) == want
     }
 
+  property("fnv64 == reference code-point fold (incl. non-BMP)") =
+    forAll(Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf(Gen.asciiPrintableStr.map(_.take(3)),
+        Gen.oneOf("é", "日本", "😀", ""))).map(_.mkString))) { s =>
+      val ref = s.codePoints().toArray.foldLeft(-3750763034362895579L)(
+        (h, cp) => (h ^ cp.toLong) * 1099511628211L)
+      HashImpl.fnv64(UTF8String.fromString(s)) == ref
+    }
+
   property("minhashBuckets: bands entries; equal token sets collide in all bands") =
     forAll(tokens, Gen.choose(1, 8), Gen.choose(1, 8)) { (ts, bands, rows) =>
       val a = HashImpl.minhashBuckets(arr(ts), bands, rows)
