@@ -560,6 +560,49 @@ object Relational {
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Outer-join surface: customers LEFT JOIN their orders (null order rows
+    * for order-less customers survive), aggregated per market segment with
+    * an explicit null-side count. Exercises the null-extension semantics
+    * the inner/semi/anti trio (q03/q05/q06) cannot.
+    */
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_orderless_rows"))
+      .orderBy(col("c_mktsegment"))
+  }
+  private val q26Sql =
+    """SELECT c_mktsegment,
+      |  count(DISTINCT c_custkey) AS n_customers,
+      |  count(o_orderkey) AS n_orders,
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_orderless_rows
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Pivot: order counts per priority (rows) × order status (pivoted
+    * columns) — `groupBy().pivot()` with an explicit value list (the
+    * scale-safe form: no distinct-value discovery pass over the data).
+    */
+  private def q27(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+  private val q27Sql =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
@@ -586,5 +629,7 @@ object Relational {
     "q23_custom_udaf"      -> QueryDef(q23, Some(q23Sql)),
     "sk01_salted_agg"      -> QueryDef(sk01, Some(sk01Sql)),
     "q25_bucketed_join"    -> QueryDef(q25, Some(q25Sql)),
+    "q26_outer_join"       -> QueryDef(q26, Some(q26Sql)),
+    "q27_pivot"            -> QueryDef(q27, Some(q27Sql)),
   )
 }
