@@ -127,17 +127,20 @@ object HashImpl {
     var i = 0
     while (i < n) {
       val b0 = s.getByte(i) & 0xff
-      var cp = 0
-      if (b0 < 0x80) { cp = b0; i += 1 }
-      else if (b0 < 0xE0) {
-        cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
-      } else if (b0 < 0xF0) {
-        cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
-          (s.getByte(i + 2) & 0x3F); i += 3
-      } else {
-        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
-          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
+      // width of the sequence, clamped to the remaining bytes: a truncated
+      // or malformed tail (possible via binary→string casts) must not read
+      // past the buffer — UTF8String.getByte is an unchecked unsafe read
+      val len0 = if (b0 < 0x80) 1 else if (b0 < 0xE0) 2 else if (b0 < 0xF0) 3 else 4
+      val len = math.min(len0, n - i)
+      var cp =
+        if (len == 1) b0 & (if (b0 < 0x80) 0xFF else 0x3F)
+        else b0 & (0x7F >> len)
+      var k = 1
+      while (k < len) {
+        cp = (cp << 6) | (s.getByte(i + k) & 0x3F)
+        k += 1
       }
+      i += len
       h = (h ^ cp) * FnvPrime
     }
     h

@@ -58,8 +58,9 @@ object Chunking {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("_cum_prev", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
-      .withColumn("batch_id",
-        floor(col("_cum_prev").cast("double") / budget).cast("long"))
+      // integer division, not floor(double/…): cumulative token totals can
+      // exceed double's 53-bit mantissa long before 100 TB does
+      .withColumn("batch_id", expr(s"_cum_prev div ${budget}L"))
       .drop("_cum_prev")
   }
 }

@@ -96,7 +96,10 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (ts1, lo) <- lowers
       (ts2, hi, inclusive) <- uppers
       if ts1.semanticEquals(ts2) && !lo.semanticEquals(hi)
+      // all three must be timestamps — a mixed-type comparison would make
+      // the injected UnixMicros unresolved and fail the whole query
       if ts1.dataType == TimestampType
+      if lo.dataType == TimestampType && hi.dataType == TimestampType
       tsSide <- sideOf(ts1)
       loSide <- sideOf(lo)
       hiSide <- sideOf(hi)
