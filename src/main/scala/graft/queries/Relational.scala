@@ -603,6 +603,58 @@ object Relational {
       |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** RANGE window frame (vs q08's ROWS frame): for every order, how many
+    * orders of the same priority fall within $1000 below its price, and
+    * their exact total. Ordering key is integer cents so the frame
+    * boundary arithmetic is exact and identical cross-engine; RANGE
+    * includes peers, so ties are deterministic by construction.
+    */
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (dec(col("o_totalprice")) * 100).cast("long")
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+      .rangeBetween(-100000L, 0L)
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderpriority"), cents.as("cents"))
+      .withColumn("n_in_band", count(lit(1)).over(w))
+      .withColumn("band_cents", sum(col("cents")).over(w))
+      .select(col("o_orderkey"), col("n_in_band"), col("band_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q28Sql =
+    """SELECT o_orderkey, count(*) OVER w AS n_in_band,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS band_cents
+      |FROM (SELECT o_orderkey, o_orderpriority,
+      |        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |      FROM orders) t
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents
+      |             RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Arbitrary GROUPING SETS with GROUPING() markers (rollup/cube's
+    * general form — completes the grouping-set surface next to q12/q20),
+    * through the SQL entry point.
+    */
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  grouping(o_orderpriority) AS g_pri, grouping(o_orderstatus) AS g_st,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin)
+  }
+  private val q29Sql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
@@ -631,5 +683,7 @@ object Relational {
     "q25_bucketed_join"    -> QueryDef(q25, Some(q25Sql)),
     "q26_outer_join"       -> QueryDef(q26, Some(q26Sql)),
     "q27_pivot"            -> QueryDef(q27, Some(q27Sql)),
+    "q28_range_frame"      -> QueryDef(q28, Some(q28Sql)),
+    "q29_grouping_sets"    -> QueryDef(q29, Some(q29Sql)),
   )
 }
