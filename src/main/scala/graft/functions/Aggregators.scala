@@ -25,3 +25,21 @@ object WeightedMean
     Encoders.product[(BigDecimal, BigDecimal)]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** Typed-Dataset aggregator for the q30 typed-API path: row count + exact
+  * integer quantity-cents per group, over [[graft.core.Schemas.LineitemQty]]
+  * rows. A mergeable `Aggregator` keeps map-side partial aggregation on the
+  * typed path (a `mapGroups` would not); integer cents keep the sum exact
+  * and engine-portable (2-decimal doubles × 100 round to exact integers).
+  */
+object CountAndQtyCents
+    extends Aggregator[graft.core.Schemas.LineitemQty, (Long, Long), (Long, Long)] {
+  override def zero: (Long, Long) = (0L, 0L)
+  override def reduce(b: (Long, Long), a: graft.core.Schemas.LineitemQty): (Long, Long) =
+    (b._1 + 1L, b._2 + math.round(a.l_quantity * 100.0))
+  override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+    (x._1 + y._1, x._2 + y._2)
+  override def finish(r: (Long, Long)): (Long, Long) = r
+  override def bufferEncoder: Encoder[(Long, Long)] = Encoders.product[(Long, Long)]
+  override def outputEncoder: Encoder[(Long, Long)] = Encoders.product[(Long, Long)]
+}

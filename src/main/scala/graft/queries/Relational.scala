@@ -655,6 +655,35 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin
 
+  /** The typed Dataset[T] path end-to-end: case-class rows
+    * ([[graft.core.Schemas.LineitemQty]]), a compile-time-checked lambda
+    * filter, `groupByKey` + a typed mergeable `Aggregator`
+    * ([[graft.functions.CountAndQtyCents]] — partial aggregation
+    * preserved, unlike mapGroups). The typed filter is deliberately opaque
+    * to Catalyst (no pushdown) — the documented tradeoff of this surface;
+    * hot scans stay on the Column API.
+    */
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.Schemas.LineitemQty
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .as[LineitemQty]
+      .filter(_.l_quantity < 10.0)
+      .groupByKey(_.l_returnflag)
+      .agg(graft.functions.CountAndQtyCents.toColumn)
+      .toDF("l_returnflag", "agg")
+      .select(col("l_returnflag"), col("agg._1").as("n"),
+        col("agg._2").as("qty_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q30Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS qty_cents
+      |FROM lineitem WHERE l_quantity < 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
@@ -685,5 +714,6 @@ object Relational {
     "q27_pivot"            -> QueryDef(q27, Some(q27Sql)),
     "q28_range_frame"      -> QueryDef(q28, Some(q28Sql)),
     "q29_grouping_sets"    -> QueryDef(q29, Some(q29Sql)),
+    "q30_typed_api"        -> QueryDef(q30, Some(q30Sql)),
   )
 }
