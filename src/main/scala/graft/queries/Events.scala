@@ -241,10 +241,43 @@ object Events {
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
 
+  /** Resample + gap-fill ([[graft.operators.Resample.gapFill]]): hourly
+    * spine per user over [min ts, max ts], bucket sums, forward-filled
+    * values across empty buckets. Restricted to 20 users to bound spine
+    * size at fixture scale; DuckDB mirrors with generate_series + a
+    * last_value IGNORE NULLS window.
+    */
+  private def gapFill(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.gapFill(
+        Tables(spark, dir).events.where(col("user_id") < 20),
+        keyCol = "user_id", tsCol = "ts", valueCol = "value")
+      .select(col("user_id"), col("bucket"), col("n"),
+        col("bucket_value"), col("filled_value"))
+      .orderBy(col("user_id"), col("bucket"))
+  private val gapFillSql =
+    """WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(
+      |    date_trunc('hour', lo), date_trunc('hour', hi), INTERVAL '1 hour')) AS bucket
+      |  FROM (SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM ev GROUP BY user_id) m),
+      |per_bucket AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS bucket_value
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT s.user_id, s.bucket,
+      |  coalesce(p.n, 0) AS n, p.bucket_value,
+      |  last_value(p.bucket_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM spine s LEFT JOIN per_bucket p
+      |  ON s.user_id = p.user_id AND s.bucket = p.bucket
+      |ORDER BY s.user_id, s.bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ev01_tumbling_window" -> QueryDef(tumbling, Some(tumblingSql), benchmark = true),
     "ev08_partitioned_sink" -> QueryDef(partitionedSink, Some(partitionedSinkSql)),
     "ev09_auto_range_join" -> QueryDef(autoRangeJoin, Some(autoRangeJoinSql)),
+    "ev10_gapfill"         -> QueryDef(gapFill, Some(gapFillSql)),
     "ev06_range_join"      -> QueryDef(rangeJoin, Some(rangeJoinSql), benchmark = true),
     "ev02_json_extract"    -> QueryDef(json, Some(jsonSql)),
     "ev03_sessionize"      -> QueryDef(sessionize, Some(sessionizeSql), benchmark = true),

@@ -1,6 +1,28 @@
 package graft
 
 import java.sql.Timestamp
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("gapFill: empty buckets appear with n=0 and carry the last value forward") {
+    def t(h: Int) = new Timestamp(h * 3600_000L)
+    // user 1: events in hours 0 and 3 → spine 0..3, gaps at 1, 2
+    val ev = Seq((1L, t(0), 5.0), (1L, t(0), 2.5), (1L, t(3), 1.0))
+      .toDF("user_id", "ts", "value")
+    val r = graft.operators.Resample.gapFill(ev, "user_id", "ts", "value")
+      .select($"bucket", $"n", $"bucket_value", $"filled_value")
+      .as[(Timestamp, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1.getTime).toSeq
+    assert(r.map(_._1) == (0 to 3).map(h => t(h)))
+    assert(r.map(_._2) == Seq(2L, 0L, 0L, 1L))
+    assert(r.map(_._3) == Seq(Some(7.5), None, None, Some(1.0)))
+    assert(r.map(_._4) == Seq(Some(7.5), Some(7.5), Some(7.5), Some(1.0)))
+  }
+}
+
+import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import graft.operators.RangeJoin
 
