@@ -178,8 +178,50 @@ object StreamQueries {
       |  FROM documents) t
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** SESSION windows (gap-based, the third streaming window type beside
+    * tumbling/sliding): per-user sessions that close after 30 idle
+    * minutes, through the real streaming engine in Append mode with a
+    * zero-delay watermark. Append emits CLOSED sessions only — a session
+    * containing (or within gap-reach of) the stream's final event time
+    * never closes — so the oracle computes the same gap-sessionization in
+    * SQL and applies the same still-open exclusion (session end ≤ the
+    * global max event time).
+    */
+  private def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.nanosToTs(
+      StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+    val agg = src.withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n"))
+    StreamOps.runToMemory(spark, agg, s"graft_stream_session_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy(col("user_id"), col("s_start"))
+  }
+  private val streamSessionSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, ts,
+      |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |        FROM events) x),
+      |sessions AS (
+      |  SELECT user_id, min(ts) AS s_start,
+      |    max(ts) + INTERVAL '30 minutes' AS s_end, count(*) AS n
+      |  FROM (SELECT user_id, ts,
+      |          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |        FROM marked) g
+      |  GROUP BY user_id, sid)
+      |SELECT user_id, s_start, s_end, n FROM sessions
+      |WHERE s_end <= (SELECT max(ts) FROM events)
+      |ORDER BY user_id, s_start""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
+    "st08_stream_session"   -> QueryDef(streamSession, Some(streamSessionSql)),
     "st07_stream_file_sink" -> QueryDef(streamParquetSink, Some(streamParquetSinkSql)),
     "st06_stream_join"      -> QueryDef(streamStreamJoin, Some(streamStreamJoinSql)),
     "st02_stream_wordcount" -> QueryDef(streamWordcount, Some(streamWordcountSql)),
