@@ -306,7 +306,14 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    // round 1 shortcut: labels start as the identity, so the first
+    // neighbor-min is min(src) per dst straight off the edge list — one
+    // aggregation instead of an edges ⋈ labels join
+    val firstMin = edges.groupBy(col("dst").as("nid")).agg(min(col("src")).as("nbr_min"))
+    var labels = nodes.select(col(idCol).as("id"))
+      .join(firstMin, col("id") === col("nid"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nbr_min"), col("id"))).as("label"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
