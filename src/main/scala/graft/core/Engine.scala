@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.ansi.enabled", "false") // hash folds use 64-bit wraparound
+      // events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
+      // rejects; read nanos as long session-wide (a session construction
+      // concern, not a per-read side effect — Tables.events relies on it)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
   }
@@ -84,16 +88,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
   /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright; read nanos as long and truncate to micros —
-    * the same coercion DuckDB applies (verified: both floor-divide by 1000).
-    * Integer `div`, not `/`: epoch-nanos exceed double's 53-bit mantissa.
+    * reader rejects outright; the session reads nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set at session construction
+    * in [[GraftSession.builder]] — accessors never mutate session config)
+    * and this truncates to micros — the same coercion DuckDB applies
+    * (verified: both floor-divide by 1000). Integer `div`, not `/`:
+    * epoch-nanos exceed double's 53-bit mantissa.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events: DataFrame =
     t("events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

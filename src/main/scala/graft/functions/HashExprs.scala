@@ -121,8 +121,15 @@ object HashImpl {
     * text, and byte-level folds would not be SQL-expressible there.
     * Empty input returns the offset basis (no iterations).
     */
-  def fnv64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    var h = FnvBasis
+  def fnv64(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    fnv64(s, FnvBasis)
+
+  /** Same code-point fold with a caller-chosen offset basis — lets stubs
+    * (e.g. [[graft.operators.Multimodal.FakeDecoder]]) share the decoder
+    * and the oracle-parity guarantees while keeping a distinct constant.
+    */
+  def fnv64(s: org.apache.spark.unsafe.types.UTF8String, basis: Long): Long = {
+    var h = basis
     val n = s.numBytes
     var i = 0
     while (i < n) {

@@ -16,10 +16,15 @@ object Chunking {
   /** Split each document into fixed-width character chunks: chunk i covers
     * 1-based positions [i·stride + 1, i·stride + chunkLen]; with
     * chunkLen > stride consecutive chunks overlap by (chunkLen − stride)
-    * characters (the standard context-window overlap). The number of chunks
-    * is ceil(len/stride); empty documents produce NO chunks (guarded — an
-    * unguarded descending `sequence` would emit junk rows). Per-row
-    * computation only: chunking never shuffles.
+    * characters (the standard context-window overlap). Emission stops once
+    * a chunk's end reaches the document's end — a doc fits in one chunk
+    * when len ≤ chunkLen, otherwise ceil((len − chunkLen)/stride) + 1
+    * chunks (the standard chunker contract; the earlier ceil(len/stride)
+    * form emitted a final chunk entirely CONTAINED in its predecessor
+    * whenever chunkLen > stride, duplicating training text downstream).
+    * Empty documents produce NO chunks (guarded — an unguarded descending
+    * `sequence` would emit junk rows). Per-row computation only: chunking
+    * never shuffles.
     */
   def chunk(
       docs: DataFrame,
@@ -29,7 +34,8 @@ object Chunking {
       textCol: String = "text"): DataFrame = {
     require(stride > 0 && chunkLen >= stride, "need stride > 0 and chunkLen >= stride")
     val len = length(col(textCol))
-    val nChunks = ceil(len.cast("double") / stride).cast("int")
+    val nChunks = when(len <= chunkLen, lit(1))
+      .otherwise(ceil((len - chunkLen).cast("double") / stride).cast("int") + 1)
     docs
       .select(col(idCol),
         posexplode(

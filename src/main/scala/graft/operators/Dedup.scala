@@ -199,7 +199,16 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 by
     * default): pigeonhole blocking on 4×16-bit chunks (any pair within
     * distance 3 shares at least one exact chunk) → equi-join per chunk →
-    * exact `bit_count(xor)` verify. One shuffle per chunk key; no cartesian.
+    * exact `bit_count(xor)` verify.
+    *
+    * A pair can collide in up to 4 chunks; it is kept only in the row
+    * whose chunk index equals the FIRST index where the two 4-chunk key
+    * arrays agree (`first_eq_index` — the same per-row candidate dedup as
+    * [[minhashDupPairs]] and [[Similarity.lshCandidatePairs]]), so
+    * multi-chunk duplicates die in a codegen'd filter instead of a
+    * `distinct()` shuffle of the whole candidate stream. One shuffle per
+    * chunk key; no cartesian; no exchange between the chunk join and the
+    * hamming filter (PlanSpec asserts the aggregate-free plan).
     */
   def simhashDupPairs(
       docs: DataFrame,
@@ -208,16 +217,17 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sh"))
     val chunked = sh.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*).as("ck"))
+      .select(col("doc_id"), col("sh"), col("ck"), posexplode(col("ck")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
     chunked.as("x")
       .join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
           col("x.doc_id") < col("y.doc_id"))
+      .where(HashExprs.firstEqIndex(col("x.ck"), col("y.ck")) === col("x.chunk"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
   }
 
@@ -231,9 +241,17 @@ object Dedup {
     * planes are hash-derived, not random. The defaults (2 planes × 16
     * tables) give verified 100% recall at threshold 0.35 on every fixture
     * corpus (asserted against [[embeddingDupPairsExact]] in DedupSpec;
-    * P(miss) per pair = (1−(1−θ/π)²)¹⁶). Low thresholds need few planes ×
-    * many tables; raise nPlanes as the threshold rises to keep buckets
-    * selective.
+    * P(miss) per pair = (1−(1−θ/π)²)¹⁶).
+    *
+    * The defaults are RECALL-tuned for that fixture, not selectivity-tuned
+    * for a large corpus: with 2 planes, a near-orthogonal (non-duplicate)
+    * pair still collides in one table with probability ≈ (1 − θ/π)² ≈
+    * 0.25, so P(candidate) ≈ 1 − 0.75¹⁶ ≈ 0.99 — the candidate set is
+    * effectively all pairs, i.e. the blocking bounds the plan SHAPE (no
+    * cartesian operator) but not the candidate VOLUME. At corpus scale
+    * raise nPlanes (8–16) so buckets become selective — per-table
+    * collision for non-dups falls to (1 − θ/π)^nPlanes — and add tables
+    * only to recover recall at the target threshold.
     */
   def embeddingDupPairs(
       emb: DataFrame,

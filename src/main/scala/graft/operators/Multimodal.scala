@@ -45,14 +45,23 @@ object Multimodal {
     */
   object FakeDecoder {
     final case class Features(width: Int, height: Int, channels: Int, checksum: Long)
+    /** Stub offset basis — deliberately NOT the canonical FNV basis, so a
+      * stub checksum can never be mistaken for a real fnv64 fingerprint.
+      */
+    final val StubBasis = 1469598103934665603L
     def decode(payload: Array[Byte]): Features = {
       // ??? <- real codec goes here; deterministic fake below
-      // FNV-1a-STYLE fold with a stub basis constant (not the canonical FNV
-      // offset basis) — value-pinned by the mm01 oracle, which mirrors this
-      // exact fold; change one and the other must follow
-      var cs = 1469598103934665603L
-      var i  = 0
-      while (i < payload.length) { cs = (cs ^ (payload(i) & 0xffL)) * 1099511628211L; i += 1 }
+      // FNV-1a-STYLE fold over the payload's Unicode CODE POINTS (shared
+      // decoder with HashImpl.fnv64, stub basis) — value-pinned by the
+      // mm01 oracle, which folds `unicode(c)` per character with the same
+      // basis; change one and the other must follow. Code points, not raw
+      // bytes: the oracle can only fold characters, and a byte fold would
+      // agree with it solely on all-ASCII fixtures — one non-ASCII
+      // document would flip mm01 red misleadingly. Malformed / truncated
+      // UTF-8 (possible for real binary media) decodes deterministically
+      // via the bounds-clamped decoder rather than throwing.
+      val cs = graft.functions.HashImpl.fnv64(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(payload), StubBasis)
       Features(
         width = (math.floorMod(cs, 640L) + 1L).toInt,
         height = (math.floorMod(cs >> 16, 480L) + 1L).toInt,

@@ -43,7 +43,13 @@ object Resample {
     val perBucket = events
       .groupBy(col(keyCol), bucket(col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(12,2)")).cast("double").as("bucket_value"))
+        // decimal(38,2), not (12,2): with ANSI off a narrower intermediate
+        // overflows to a silent NULL bucket_value at ~10^10 per bucket —
+        // and the forward fill would then propagate the NULL. 38,2 holds
+        // ~10^36, beyond any physical bucket total; values are identical
+        // where both fit, so the oracle (whose DuckDB sum widens to
+        // DECIMAL(38,2) natively) is unchanged.
+        sum(col(valueCol).cast("decimal(38,2)")).cast("double").as("bucket_value"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(perBucket, Seq(keyCol, "bucket"), "left")

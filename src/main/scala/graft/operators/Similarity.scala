@@ -163,6 +163,14 @@ object Similarity {
     * joined table) BEFORE rescoring, so there is no `distinct()` and no
     * corpus vector ever crosses an exchange. The only shuffle is the final
     * per-query top-k over (query_id, neighbor_id, cos) triples.
+    *
+    * `broadcastQueries = true` (the default) hints that shape explicitly —
+    * right for the interactive case (a bounded query batch against a huge
+    * corpus). A LARGE query set (queries × nTables rows, vectors included)
+    * would OOM as a broadcast instead of degrading; pass
+    * `broadcastQueries = false` to leave the join unhinted so AQE picks
+    * broadcast vs shuffled hash join from runtime stats (the same policy
+    * as the dedup verification joins).
     */
   def lshTopK(
       queries: DataFrame,
@@ -171,7 +179,8 @@ object Similarity {
       nPlanes: Int = 8,
       nTables: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     val qb = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"),
         srpBucketArray(col(vecCol).cast("array<double>"), nPlanes, nTables).as("qbk"))
@@ -184,7 +193,7 @@ object Similarity {
       .withColumnRenamed("pos", "ctable").withColumnRenamed("col", "cbucket")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cb.join(broadcast(qb),
+    cb.join(if (broadcastQueries) broadcast(qb) else qb,
         col("table") === col("ctable") && col("bucket") === col("cbucket") &&
           col("query_id") =!= col("neighbor_id"))
       .where(graft.functions.HashExprs.firstEqIndex(col("qbk"), col("cbk")) === col("ctable"))

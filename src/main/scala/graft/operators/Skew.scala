@@ -19,21 +19,26 @@ object Skew {
     * combine; total shuffle volume is `nSalts` rows per key plus the
     * original partial-agg output.
     *
-    * The default salt is a per-ROW position id, not a value hash: in the
-    * pathological-skew case the hot key's values are constant (counting
-    * `(word, 1)` pairs), so any value- or payload-derived hash puts every
-    * hot row in ONE salt group and the salting is a no-op. A position id
-    * always spreads; it is nondeterministic across task retries, which is
-    * harmless here because the aggregate is mergeable (any partition of the
-    * rows into salt groups sums to the same totals). Pass `saltSource` when
-    * retry-stable salt assignment matters (it is hashed, so any
-    * distinguishing column works).
+    * The default salt is DETERMINISTIC — `xxhash64` over every input
+    * column. A per-row position id (`monotonically_increasing_id`) would
+    * also spread, but it is nondeterministic across task retries: after a
+    * fetch failure with a PARTIAL stage recompute, rows can land in
+    * different (key, salt) groups than reducers already consumed,
+    * double-counting or dropping rows (the SPARK-23207 class of bug —
+    * stage rollback does not cover nondeterministic SQL expressions). The
+    * classic objection to value-derived salt — "the hot key's rows are
+    * byte-identical, so they all hash to ONE salt group" — does not bite
+    * here: identical rows collapse in the map-side partial aggregate
+    * before the shuffle, so the reducer for that one group receives at
+    * most one partial row per map partition regardless of row count. The
+    * regime where salting earns its keep (a hot key with many DISTINCT
+    * values, which partial aggregation cannot compress) is exactly where
+    * the value hash spreads. Pass `saltSource` to salt on a specific
+    * distinguishing column instead of the whole row.
     */
-  /** Per-row position salt in [0, nSalts) — spreads even when every other
-    * column of the hot key's rows is identical.
-    */
-  def defaultSalt(nSalts: Int): Column =
-    pmod(monotonically_increasing_id(), lit(nSalts))
+  /** Deterministic per-row salt in [0, nSalts): xxhash64 over `cols`. */
+  def defaultSalt(nSalts: Int, cols: Seq[Column]): Column =
+    pmod(xxhash64(cols: _*), lit(nSalts))
 
   def saltedSum(
       df: DataFrame,
@@ -42,7 +47,7 @@ object Skew {
       nSalts: Int = 16,
       saltSource: Option[Column] = None): DataFrame = {
     val salt = saltSource.map(c => pmod(xxhash64(c), lit(nSalts)))
-      .getOrElse(defaultSalt(nSalts))
+      .getOrElse(defaultSalt(nSalts, df.columns.toSeq.map(col)))
     df.select(col(keyCol), col(valueCol), salt.as("_salt"))
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial_sum"), count(lit(1)).as("_partial_n"))

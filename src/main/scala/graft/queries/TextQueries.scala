@@ -347,12 +347,13 @@ object TextQueries {
 
   /** Multimodal plumbing: binary payload + metadata struct → partition-wise
     * batched decode (stubbed codec). The stub's pseudo-features are a
-    * deterministic FNV-style fold over the payload BYTES, so the oracle
-    * recomputes them exactly: on this ASCII corpus bytes == code points,
-    * letting the same HUGEINT fold apply (a non-ASCII corpus would fail the
-    * gate loudly, not silently pass); width/height are floorMod + an
-    * arithmetic >>16 expressed as exact BIGINT floor-division. Fully
-    * hash-gated (was rows-only).
+    * deterministic FNV-style fold over the payload's Unicode CODE POINTS
+    * (the same decoder as `fnv64`, stub basis), so the oracle — which folds
+    * `unicode(c)` per character in HUGEINT mod-2⁶⁴ arithmetic — recomputes
+    * them exactly on ANY corpus, ASCII or not (the earlier byte fold agreed
+    * with the oracle only on all-ASCII fixtures; MultimodalSpec pins a
+    * non-ASCII value); width/height are floorMod + an arithmetic >>16
+    * expressed as exact BIGINT floor-division. Fully hash-gated.
     */
   private def multimodal(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMediaTable(Tables(spark, dir).documents)
@@ -480,6 +481,9 @@ object TextQueries {
   /** Fixed-width chunking with overlap ([[Chunking.chunk]], 200-char chunks
     * every 150 chars): chunk index, length, and FNV fingerprint per chunk —
     * the fingerprint pins the exact substring boundaries cross-engine.
+    * Chunk count mirrors the operator's stop-at-end contract: 1 chunk when
+    * len ≤ 200, else ceil((len−200)/150)+1 (no tail chunk contained in its
+    * predecessor), none for empty docs.
     */
   private def chunking(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Chunking.chunk(
@@ -499,7 +503,10 @@ object TextQueries {
        |    FROM (
        |      SELECT doc_id, text,
        |        unnest(generate_series(0,
-       |          CAST(ceil(length(text) / 150.0) AS INT) - 1)) AS i
+       |          CASE WHEN length(text) = 0 THEN -1
+       |               WHEN length(text) <= 200 THEN 0
+       |               ELSE CAST(ceil((length(text) - 200) / 150.0) AS INT)
+       |          END)) AS i
        |      FROM documents) g) c) s
        |ORDER BY doc_id, chunk_ix""".stripMargin
 

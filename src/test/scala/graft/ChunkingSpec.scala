@@ -7,14 +7,20 @@ import graft.functions.TextFunctions
 class ChunkingSpec extends SparkSpec {
   import spark.implicits._
 
-  test("chunking: overlap, tail chunk, empty doc") {
-    // 10 chars, chunkLen 6, stride 4 → starts 1, 5, 9 → "abcdef", "efghij", "ij"
+  test("chunking: overlap, no redundant tail, empty doc") {
+    // 10 chars, chunkLen 6, stride 4 → "abcdef", "efghij" — and STOP: a
+    // third chunk ("ij") would be entirely contained in the second,
+    // duplicating training text
     val d = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
     val got = Chunking.chunk(d, chunkLen = 6, stride = 4)
       .select($"doc_id", $"chunk_ix", $"chunk")
       .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
-    assert(got == Seq((1L, 0, "abcdef"), (1L, 1, "efghij"), (1L, 2, "ij")))
+    assert(got == Seq((1L, 0, "abcdef"), (1L, 1, "efghij")))
     // empty doc → no chunks (no junk row from a descending sequence)
+    // doc shorter than one chunk → exactly one chunk
+    val short = Chunking.chunk(Seq((3L, "abc")).toDF("doc_id", "text"), 6, 4)
+      .select($"chunk_ix", $"chunk").as[(Int, String)].collect().toSeq
+    assert(short == Seq((0, "abc")))
   }
 
   test("chunking covers every character; contiguous when stride == chunkLen") {

@@ -32,6 +32,27 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(1) == 5L)                       // n_bytes
   }
 
+  test("decode stub folds CODE POINTS, so non-ASCII payloads match the oracle domain") {
+    // Independent reimplementation of the stub fold over java.lang.String
+    // code points — the production path decodes raw UTF-8 bytes via
+    // UTF8String, so agreement here proves byte-decode == codepoint-fold
+    // on multi-byte text (the mm01 oracle folds unicode(c) per character).
+    def expected(text: String): Long = {
+      var h = Multimodal.FakeDecoder.StubBasis
+      text.codePoints().forEach(cp => h = (h ^ cp.toLong) * 1099511628211L)
+      h
+    }
+    val texts = Seq("héllo wörld", "日本語テキスト", "emoji 😀 mix", "")
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "xx", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.decodeFeatures(Multimodal.asMediaTable(d))
+      .select($"media_id", $"checksum").as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == expected(t), s"codepoint fold mismatch for '$t'")
+    }
+  }
+
   test("resize caps the longest side, preserves aspect, never hits 0") {
     val decoded = Seq(
       (1L, 640, 480),  // downscale: 320×240

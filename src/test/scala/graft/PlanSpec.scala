@@ -48,6 +48,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dd04: simhash candidate dedup is a per-row filter — no distinct, no aggregate") {
+    // distinct() would plan as a partial+final HashAggregate pair (an extra
+    // exchange of the full candidate stream); the first_eq_index filter
+    // leaves the whole query aggregate-free
+    val p = planOf("dd04_simhash_pairs")
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q25: bucketed tables join with no exchange on either side") {
     import org.apache.spark.sql.functions.col
     val t   = graft.core.Tables(spark, sf0001)

@@ -22,15 +22,25 @@ class SkewStreamSpec extends SparkSpec {
     assert(salted == direct)
   }
 
-  test("default salt spreads a CONSTANT-value hot key (the degenerate case)") {
-    // every row of the hot key identical — a value/payload-derived salt
-    // collapses to one group here; the position-id default must not
-    val df = (1 to 1000).map(_ => ("hot", 1.0)).toDF("key", "value")
-    val salted = Skew.saltedSum(df, "key", "value", nSalts = 8)
+  test("default salt is deterministic and spreads a hot key with distinct values") {
+    // Deterministic (retry-safe — the SPARK-23207 class of partial-
+    // recompute bug rules out position ids): same rows → same salt, twice.
+    val df = (1 to 1000).map(i => ("hot", i.toDouble)).toDF("key", "value")
+    def saltCounts() = df
+      .select(Skew.defaultSalt(8, Seq($"key", $"value")).as("s"))
+      .groupBy($"s").count().as[(Long, Long)].collect().toMap
+    val a = saltCounts()
+    assert(a == saltCounts(), "default salt must be deterministic across runs")
+    // the regime where salting matters — a hot key with many DISTINCT
+    // values (map-side combine can't compress it) — spreads over the salts
+    assert(a.size == 8, s"expected 8 salt groups, got ${a.size}")
+    // constant-value rows DO collapse to one salt group, and that is fine:
+    // map-side partial aggregation compresses identical rows before the
+    // shuffle, so the totals (and the skew) are unaffected
+    val const = (1 to 1000).map(_ => ("hot", 1.0)).toDF("key", "value")
+    val salted = Skew.saltedSum(const, "key", "value", nSalts = 8)
       .as[(String, Double, Long)].collect().toSet
     assert(salted == Set(("hot", 1000.0, 1000L)))
-    val groups = df.select(Skew.defaultSalt(8).as("s")).distinct().count()
-    assert(groups > 1, s"constant-value hot key stayed in $groups salt group")
   }
 
   test("salted plan spreads the hot key over nSalts first-stage groups") {
