@@ -300,20 +300,103 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
-  /** Duplicate CLUSTERS from near-dup pairs: connected components by
-    * min-label propagation ("HashMin"), the step that turns pairwise
-    * near-dup evidence into keep-one-per-cluster decisions. Every node's
-    * label converges to the smallest id reachable from it; the canonical
-    * survivor of a cluster is the row whose id equals its label.
+  /** Lineage truncation for iterative loops. By default `localCheckpoint`
+    * (executor-local blocks — fast, but NOT resilient: losing one executor
+    * mid-loop fails the job unrecoverably, acceptable only in local mode).
+    * Set `spark.graft.checkpoint.dir` to a durable path (HDFS/object
+    * store) and each round is a reliable `checkpoint()` instead — the
+    * 100 TB posture, where executor loss over a multi-round job is the
+    * expected case, not the exception.
+    */
+  private def ckpt(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(dir) =>
+        if (!spark.sparkContext.getCheckpointDir.contains(dir))
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
+  /** Connected components by ALTERNATING large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): each round is two aggregate+join passes over the edge
+    * list, and the edge set contracts onto stars centered at each
+    * component's minimum id in O(log² n) rounds on ANY graph shape —
+    * min-label propagation ("HashMin") needs diameter rounds, degenerate
+    * on chain-shaped graphs (a 64-node path: 63 HashMin rounds vs ≲ 10
+    * star rounds, asserted in DedupSpec).
     *
-    * Execution: a driver-side loop of (edge ⋈ label → per-node min) hash
-    * joins — iterations = graph diameter, which for near-dup graphs is tiny
-    * (duplicate groups are clique-like). Each iteration is one shuffle pair;
-    * `localCheckpoint` truncates lineage so plan size stays O(1) across
-    * iterations. At extreme diameters (chain-shaped graphs) swap in
-    * large/small-star (Kiveris et al.) — same join primitives, O(log d)
-    * rounds. The loop compares a single aggregated count per round — no
-    * per-row data ever reaches the driver.
+    *  - large-star: every node's LARGER neighbors connect to the minimum
+    *    of its closed neighborhood — m ≤ u < v ⟹ edges only ever point
+    *    "down", so the potential Σ heights strictly falls;
+    *  - small-star: every node's smaller-or-equal neighbors (and the node)
+    *    connect to their minimum — the path-halving step.
+    *
+    * The loop compares one aggregated edge count per round (set equality
+    * via |new| = |old| = |new ∪ old|); no per-row data reaches the driver.
+    * Rounds are lineage-truncated via [[ckpt]] — reliable checkpoints
+    * under `spark.graft.checkpoint.dir`, `localCheckpoint` in local mode.
+    * Returns (labels = (id, label) for every node incl. singletons,
+    * rounds run).
+    */
+  private[graft] def connectedComponents(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      idCol: String = "doc_id",
+      aCol: String = "id_a",
+      bCol: String = "id_b"): (DataFrame, Int) = {
+    // canonical undirected edge list (lo < hi), self-loops dropped
+    var edges = ckpt(pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct())
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      // large-star: u's neighbors v > u attach to m = min(Γ(u) ∪ {u})
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mLarge = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mLarge, "u").where(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v: canonical
+        .distinct()
+      // small-star: u's neighbors v < u, plus u itself, attach to
+      // m = min of those neighbors (all < u, so m is the closed min too)
+      val dir = large.select(col("hi").as("u"), col("lo").as("v"))
+      val joined = dir.join(dir.groupBy(col("u")).agg(min(col("v")).as("m")), "u")
+      val small = joined.select(col("m").as("lo"), col("v").as("hi"))
+        .union(joined.select(col("m").as("lo"), col("u").as("hi")))
+        .where(col("lo") =!= col("hi"))
+        .distinct()
+      val next = ckpt(small)
+      // fixpoint = the star forest: both steps leave it unchanged. Set
+      // equality via three aggregated counts — no rows to the driver.
+      val nOld = edges.count()
+      val nNew = next.count()
+      converged = nNew == nOld &&
+        next.union(edges).distinct().count() == nOld
+      edges = next
+      rounds += 1
+    }
+    // at the fixpoint every non-root points directly at its component's
+    // minimum; roots and singletons label themselves
+    val stars = edges.groupBy(col("hi").as("nid")).agg(min(col("lo")).as("lbl"))
+    val labels = nodes.select(col(idCol).as("id"))
+      .join(stars, col("id") === col("nid"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+    (labels, rounds)
+  }
+
+  /** Duplicate CLUSTERS from near-dup pairs: connected components over the
+    * pair graph ([[connectedComponents]] — alternating star rounds), the
+    * step that turns pairwise near-dup evidence into keep-one-per-cluster
+    * decisions. Every node's label is the smallest id reachable from it;
+    * the canonical survivor of a cluster is the row whose id equals its
+    * label.
     */
   def dupClusters(
       pairs: DataFrame,
@@ -321,31 +404,7 @@ object Dedup {
       idCol: String = "doc_id",
       aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    // round 1 shortcut: labels start as the identity, so the first
-    // neighbor-min is min(src) per dst straight off the edge list — one
-    // aggregation instead of an edges ⋈ labels join
-    val firstMin = edges.groupBy(col("dst").as("nid")).agg(min(col("src")).as("nbr_min"))
-    var labels = nodes.select(col(idCol).as("id"))
-      .join(firstMin, col("id") === col("nid"), "left")
-      .select(col("id"),
-        least(col("id"), coalesce(col("nbr_min"), col("id"))).as("label"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(edges("dst").as("id")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.as("l")
-        .join(nbrMin.as("m"), col("l.id") === col("m.id"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("m.nbr_min"), col("l.label"))).as("label"),
-          col("l.label").as("_old"))
-        .localCheckpoint()
-      changed = next.where(col("label") =!= col("_old")).count()
-      labels = next.drop("_old")
-    }
+    val (labels, _) = connectedComponents(pairs, nodes, idCol, aCol, bCol)
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

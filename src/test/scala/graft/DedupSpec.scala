@@ -89,6 +89,33 @@ class DedupSpec extends SparkSpec {
     // recall on this corpus (planes are hash-derived, not random)
   }
 
+  test("star-round components converge in O(log n) rounds on a path graph") {
+    // 64-node path 0-1-2-…-63: HashMin label propagation needs 63 rounds
+    // (information travels one hop per round); alternating large/small-star
+    // contracts it in a handful
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L until 64L).toDF("doc_id")
+    val (labels, rounds) = Dedup.connectedComponents(pairs, nodes)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L),
+      s"all 64 path nodes must label 0, got ${got.filter(_._2 != 0L)}")
+    assert(rounds <= 12, s"expected O(log n) star rounds on a path, ran $rounds")
+  }
+
+  test("components with a reliable checkpoint dir produce identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+      val got = Dedup.dupClusters(pairs, nodes).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+      // the rounds actually went through the reliable checkpoint path
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    } finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+
   test("simhash: near-identical docs collide, different docs don't") {
     val r = Dedup.simhashDupPairs(docs, maxHamming = 3)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
