@@ -684,7 +684,64 @@ object Relational {
       |FROM lineitem WHERE l_quantity < 10
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Approximate distinct count (HyperLogLog++) — THE default distinct
+    * form at 100 TB, where exact countDistinct means shuffling every key:
+    * the sketch is fixed-size per group, merges associatively in the
+    * partial aggregate, and the exchange carries one ~kB buffer per
+    * (group × partition) instead of the key stream.
+    *
+    * Sketch values are engine-specific, so the gate is ON BOUNDS, not
+    * equality: the query computes BOTH approx (rsd 0.01) and exact counts,
+    * keeps only groups where |approx − exact| / exact ≤ 0.05 (5σ of the
+    * configured sketch error — a correct sketch essentially never trips
+    * it), and emits the SQL-expressible columns. The DuckDB oracle emits
+    * every group with its exact count — so one out-of-tolerance sketch
+    * drops a row and fails the row/hash compare loudly.
+    */
+  private def q31(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_cust"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .where(
+        abs(col("approx_cust") - col("n_cust")).cast("double") /
+          col("n_cust").cast("double") <= 0.05)
+      .select(col("yr"), col("n_cust"))
+      .orderBy(col("yr"))
+  private val q31Sql =
+    """SELECT year(o_orderdate) AS yr, count(DISTINCT o_custkey) AS n_cust
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
+  /** Approximate percentile (t-digest-style quantile sketch,
+    * `percentile_approx`) — the scale form of q21's exact percentile: one
+    * bounded-size mergeable sketch per group instead of buffering the
+    * column. Same bounds-gate pattern as q31: the query keeps groups only
+    * where the approx p50 is within 1% of the exact interpolated p50
+    * (accuracy 50k ⇒ rank error ≤ n/50k — far inside 1% on this data) and
+    * emits the exact, SQL-expressible columns; the oracle emits all
+    * groups, so a drifting sketch fails the compare.
+    */
+  private def q32(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 50000)").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        count(lit(1)).as("n"))
+      .where(
+        abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") <= 0.01)
+      .select(col("l_returnflag"), col("exact_p50"), col("n"))
+      .orderBy(col("l_returnflag"))
+  private val q32Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q31_approx_distinct"  -> QueryDef(q31, Some(q31Sql)),
+    "q32_approx_percentile" -> QueryDef(q32, Some(q32Sql)),
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
     "q03_star_join"        -> QueryDef(q03, Some(q03Sql), benchmark = true),
