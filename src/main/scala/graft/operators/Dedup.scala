@@ -161,10 +161,7 @@ object Dedup {
     // tokens the corpus-wide chance of a 64-bit hash collision perturbing a
     // Jaccard count is ~1e-9.
     val tokSets = docs.select(col(idCol).as("doc_id"),
-      sort_array(transform(
-        filter(array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
-          t => length(t) > 0),
-        t => xxhash64(t))).as("toks"))
+      tokenHashSet(col(textCol)).as("toks"))
     // No join-strategy hint: the candidate stream is orders of magnitude
     // larger than the per-doc token-set table, so the RIGHT plan depends on
     // the corpus — AQE broadcasts the token sets while they fit (candidates
@@ -184,6 +181,106 @@ object Dedup {
           (col("na") + col("nb") - col("n_common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Sorted 64-bit token-hash set per document — the exact-Jaccard
+    * verification payload shared by [[minhashDupPairs]] and the persisted
+    * index: string-distinct once per doc, then hashed, so per-pair
+    * intersection is a codegen'd two-pointer merge over primitive longs.
+    */
+  private def tokenHashSet(textCol: Column): Column =
+    sort_array(transform(
+      filter(array_distinct(TextFunctions.tokenize(lower(textCol))),
+        t => length(t) > 0),
+      t => xxhash64(t)))
+
+  /** Build the PERSISTED dedup index of a corpus — the cross-snapshot form
+    * a real pipeline runs daily: sketch the corpus ONCE, store the sketch,
+    * and dedup each new crawl batch against it ([[dedupAgainstIndex]])
+    * without ever re-tokenizing the corpus.
+    *
+    * One row per (doc, band): (band, bucket, doc_id, bk, n_tok, toks) —
+    * `bucket` is the band's LSH key (band-salted, so cross-band collisions
+    * are impossible and the lookup join needs only the bucket column),
+    * `bk` the full per-band bucket array (per-row candidate dedup at
+    * lookup time — no distinct), `toks` the sorted 64-bit token-hash set
+    * (exact-Jaccard verification payload). Persist with [[writeIndex]]
+    * (bucketBy on `bucket`) and batch lookups co-locate with the stored
+    * layout instead of shuffling the index.
+    *
+    * Denormalization tradeoff, documented deliberately: `toks` is
+    * duplicated `bands` times so a lookup is ONE join with no secondary
+    * corpus fetch. For token-heavy corpora, store (doc_id, toks) in a side
+    * table keyed by doc_id and re-join on the (much smaller) candidate ids
+    * instead — same operators, one extra hash join.
+    */
+  def minhashIndex(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        HashExprs.minhashBuckets(
+          array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
+          bands, rowsPerBand).as("bk"),
+        tokenHashSet(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("bk"), col("toks"), posexplode_outer(col("bk")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .select(col("band"), col("bucket"), col("doc_id"), col("bk"),
+        size(col("toks")).as("n_tok"), col("toks"))
+
+  /** Persist a [[minhashIndex]] as a parquet-backed bucketed table keyed on
+    * `bucket` (the lookup join key): every incremental batch join reads
+    * the index co-located — the write-once shuffle is amortized over every
+    * subsequent batch, the same lever as [[Bucketing]]'s q25 join.
+    */
+  def writeIndex(index: DataFrame, table: String, path: String, nBuckets: Int): Unit =
+    Bucketing.writeBucketed(index, table, path, nBuckets, "bucket")
+
+  /** Incremental near-dedup of a NEW batch against a persisted corpus
+    * index: sketch ONLY the batch (the index side is consumed as stored —
+    * PlanSpec asserts the single sketch expression in the plan), equi-join
+    * on the LSH bucket, per-row candidate dedup via `first_eq_index` (a
+    * batch/corpus pair colliding in several bands survives only where the
+    * first agreeing band equals the joined row's band — no distinct), then
+    * exact token-set Jaccard verification from the index's stored hash
+    * sets. Emits (batch_id, corpus_id, jaccard) for pairs ≥ threshold.
+    *
+    * Scale shape: the corpus index NEVER shuffles (bucketed on the join
+    * key; with a small batch AQE broadcasts the batch side and the index
+    * streams through map-side); per-batch cost is linear in batch postings
+    * + candidate pairs, independent of corpus tokenization cost.
+    */
+  def dedupAgainstIndex(
+      batch: DataFrame,
+      index: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val b = batch
+      .select(col(idCol).as("batch_id"),
+        HashExprs.minhashBuckets(
+          array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
+          bands, rowsPerBand).as("qbk"),
+        tokenHashSet(col(textCol)).as("qtoks"))
+      .select(col("batch_id"), col("qbk"), col("qtoks"), posexplode_outer(col("qbk")))
+      .withColumnRenamed("pos", "qband")
+      .withColumnRenamed("col", "qbucket")
+    b.join(index, col("qbucket") === col("bucket"))
+      .where(HashExprs.firstEqIndex(col("qbk"), col("bk")) === col("qband"))
+      .select(col("batch_id"), col("doc_id").as("corpus_id"),
+        HashExprs.sortedIntersectSize(col("qtoks"), col("toks")).as("n_common"),
+        size(col("qtoks")).as("na"), col("n_tok").as("nb"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** 64-bit SimHash from per-token FNV-1a (code points): bit b of the

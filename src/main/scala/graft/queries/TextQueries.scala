@@ -174,6 +174,44 @@ object TextQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Incremental dedup against a PERSISTED index ([[Dedup.minhashIndex]] /
+    * [[Dedup.dedupAgainstIndex]]) — the operator a real pipeline runs
+    * daily: docs < 400 play the standing corpus (sketched once, stored as
+    * a bucketed table, READ BACK from disk), docs ≥ 400 the new crawl
+    * batch (the only side tokenized at query time — PlanSpec asserts the
+    * plan has exactly one sketch expression). Oracle: exact token-set
+    * Jaccard between batch and corpus in plain SQL. LSH recall at 16
+    * bands × 4 rows makes P(miss | J ≥ 0.8) ≈ 2e-4 per pair — verified
+    * equal to the exact pair set on the fixture corpora (dd03 precedent).
+    */
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables(spark, dir).documents
+    val tmp    = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/warehouse"
+    Dedup.writeIndex(
+      Dedup.minhashIndex(docs.where(col("doc_id") < 400)),
+      "graft_dd09_index", s"$tmp/dd09_index", 8)
+    Dedup.dedupAgainstIndex(
+        docs.where(col("doc_id") >= 400), spark.table("graft_dd09_index"),
+        threshold = 0.8)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+  private val dedupIncrementalSql =
+    """WITH tok AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS n_common
+      |  FROM tok b JOIN tok c ON b.tok = c.tok
+      |  WHERE b.doc_id >= 400 AND c.doc_id < 400
+      |  GROUP BY 1, 2)
+      |SELECT batch_id, corpus_id,
+      |  CAST(n_common AS DOUBLE) / CAST(sb.n_tok + sc.n_tok - n_common AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sizes sb ON sb.doc_id = batch_id JOIN sizes sc ON sc.doc_id = corpus_id
+      |WHERE CAST(n_common AS DOUBLE) / CAST(sb.n_tok + sc.n_tok - n_common AS DOUBLE) >= 0.8
+      |ORDER BY batch_id, corpus_id""".stripMargin
+
   /** Per-document text statistics — token counts (whitespace + BPE-ish),
     * punctuation/stopword ratios, mean token length. All ratios are
     * int/int → one IEEE division, engine-exact.
@@ -724,5 +762,6 @@ object TextQueries {
     "tx08_det_sample"        -> QueryDef(detSample, Some(detSampleSql)),
     "tx09_seq_pack"          -> QueryDef(seqPack, Some(seqPackSql)),
     "dd07_dup_clusters"      -> QueryDef(dupClusters, Some(dupClustersSql), benchmark = true),
+    "dd09_incremental"       -> QueryDef(dedupIncremental, Some(dedupIncrementalSql), benchmark = true),
   )
 }

@@ -89,6 +89,24 @@ class DedupSpec extends SparkSpec {
     // recall on this corpus (planes are hash-derived, not random)
   }
 
+  test("incremental dedup vs persisted index equals cross-split exact jaccard") {
+    val docsTable = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = docsTable.where($"doc_id" < 400)
+    val batch  = docsTable.where($"doc_id" >= 400)
+    // expected: exact jaccard pairs across the split (order-free token sets)
+    val all = Dedup.jaccardPairs(docsTable, threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val expected = all.collect {
+      case (a, b) if a < 400 && b >= 400 => (b, a)
+      case (a, b) if b < 400 && a >= 400 => (a, b)
+    }.toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    Dedup.writeIndex(Dedup.minhashIndex(corpus), "spec_dd09_idx", s"$tmp/idx", 4)
+    val got = Dedup.dedupAgainstIndex(batch, spark.table("spec_dd09_idx"), threshold = 0.8)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("star-round components converge in O(log n) rounds on a path graph") {
     // 64-node path 0-1-2-…-63: HashMin label propagation needs 63 rounds
     // (information travels one hop per round); alternating large/small-star

@@ -57,6 +57,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dd09: incremental dedup sketches ONLY the batch — index consumed as stored") {
+    val p = planOf("dd09_incremental")
+    val sketches = "minhash_buckets".r.findAllIn(p).size
+    assert(sketches == 1,
+      s"expected exactly 1 sketch expression (batch side), found $sketches:\n$p")
+    // the corpus side is the stored index parquet, not a tokenization
+    assert(p.contains("dd09_index"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q25: bucketed tables join with no exchange on either side") {
     import org.apache.spark.sql.functions.col
     val t   = graft.core.Tables(spark, sf0001)
