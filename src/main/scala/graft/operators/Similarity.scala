@@ -104,18 +104,92 @@ object Similarity {
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
   }
 
-  /** IVF (inverted-file) approximate top-k: partition the corpus into
-    * `nCells` Voronoi cells around fixed seed centroids, then search each
-    * query only in the `nProbe` cells whose centroids are nearest to it,
-    * rescoring candidates with exact cosine.
+  /** Deterministic seed centroids: the embeddings of the first `nCells`
+    * corpus ids, numbered 1..nCells.
+    */
+  def seedCentroids(
+      corpus: DataFrame,
+      nCells: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(row_number().over(Window.orderBy(col(idCol))).as("cell"),
+        col(vecCol).cast("array<double>").as("mv"))
+
+  /** Fixed-point quantization scale for k-means sums: 2²⁰ ticks per unit.
+    * Integer sums are associative and commutative EXACTLY, so the per-cell
+    * mean is independent of partition order / parallelism — the property
+    * that makes trained centroids reproducible across engines and runs
+    * (floating-point Σ would differ by summation order). floor(x·Q + 0.5)
+    * (round-half-up) rather than round(): both engines define floor
+    * identically on doubles, while round() ties differ cross-engine.
+    */
+  final val KmeansQuantScale = 1L << 20
+
+  /** Deterministic Lloyd's k-means over cosine similarity, seeded from
+    * [[seedCentroids]]: each round assigns every corpus vector to its
+    * nearest centroid (ties to the lowest cell) and recomputes each cell's
+    * centroid as the element-wise mean via quantized integer sums (see
+    * [[KmeansQuantScale]]); empty cells keep their previous centroid.
     *
-    * Centroids are the embeddings of the first `nCells` corpus ids —
-    * deterministic seeds rather than trained k-means means (no iterative
-    * fitting in a pure-DataFrame pipeline; at scale you would precompute
-    * centroids offline and broadcast them the same way). Plan shape: the
-    * centroid table broadcasts twice (cell assignment for corpus and
-    * queries); the corpus shuffles ONCE on cell id; candidate generation is
-    * an equi-join on cell id — no corpus × query product.
+    * Scale shape per round: centroids broadcast; assignment is map-side;
+    * the mean is one (cell, dim)-keyed hash aggregate — partial map-side,
+    * 64·nCells final rows. The new centroid table (nCells rows — model
+    * parameters, not data) is collected to the driver and re-literalized,
+    * which truncates lineage without checkpoint machinery; at 100 TB run
+    * the rounds on a deterministic sample (e.g. [[graft.functions
+    * .TextFunctions.fingerprint64]]-mod sampling) and train offline.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      nCells: Int,
+      rounds: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+    var cent = seedCentroids(corpus, nCells, idCol, vecCol)
+    for (_ <- 1 to rounds) {
+      val wc = Window.partitionBy(col("vid")).orderBy(col("cos_c").desc, col("cell"))
+      val assigned = c.join(broadcast(cent))
+        .select(col("vid"), col("v"), col("cell"), cosine(col("v"), col("mv")).as("cos_c"))
+        .withColumn("rn", row_number().over(wc)).where(col("rn") === 1)
+        .select(col("cell"), col("v"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .select(col("cell"), col("pos").as("dim"),
+          floor(col("col") * lit(KmeansQuantScale.toDouble) + lit(0.5)).cast("long").as("q"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      val trained = sums
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"),
+          (col("s").cast("double") / col("n").cast("double") /
+            lit(KmeansQuantScale.toDouble)).as("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("mv"))
+      val next = cent.as("c0").join(trained.as("t"), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("t.mv"), col("c0.mv")).as("mv"))
+      // nCells rows of model parameters — re-literalize to cut lineage
+      val rows = next.collect().toSeq
+      cent = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), next.schema)
+    }
+    cent
+  }
+
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nCells` Voronoi cells around centroids, then search each query only
+    * in the `nProbe` cells whose centroids are nearest to it, rescoring
+    * candidates with exact cosine.
+    *
+    * Centroids, in preference order: `centroids` (an offline-trained table
+    * (cell, mv: array<double>) — the production path at 100 TB: train on a
+    * sample, broadcast the result), else `trainRounds` > 0 deterministic
+    * k-means rounds ([[kmeansCentroids]]), else the first-`nCells` seed
+    * embeddings ([[seedCentroids]]). Plan shape: the centroid table
+    * broadcasts twice (cell assignment for corpus and queries); the corpus
+    * shuffles ONCE on cell id; candidate generation is an equi-join on
+    * cell id — no corpus × query product.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -124,21 +198,23 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      trainRounds: Int = 0,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(row_number().over(Window.orderBy(col(idCol))).as("cell"),
-        col(vecCol).cast("array<double>").as("mv"))
+    val centroidTable = centroids.getOrElse(
+      if (trainRounds > 0) kmeansCentroids(corpus, nCells, trainRounds, idCol, vecCol)
+      else seedCentroids(corpus, nCells, idCol, vecCol))
     // nearest centroid per corpus vector (cell assignment)
     val wc = Window.partitionBy(col("neighbor_id")).orderBy(col("cos_c").desc, col("cell"))
-    val assigned = c.join(broadcast(centroids))
+    val assigned = c.join(broadcast(centroidTable))
       .select(col("neighbor_id"), col("cv"), col("cell"), cosine(col("cv"), col("mv")).as("cos_c"))
       .withColumn("rn", row_number().over(wc)).where(col("rn") === 1)
       .select(col("neighbor_id"), col("cv"), col("cell"))
     // nProbe nearest cells per query
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_q").desc, col("cell"))
-    val probes = q.join(broadcast(centroids))
+    val probes = q.join(broadcast(centroidTable))
       .select(col("query_id"), col("qv"), col("cell"), cosine(col("qv"), col("mv")).as("cos_q"))
       .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))

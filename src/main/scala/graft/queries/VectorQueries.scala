@@ -129,45 +129,73 @@ object VectorQueries {
       |      FROM embeddings) t
       |GROUP BY label ORDER BY label""".stripMargin
 
-  /** IVF-bucketed approximate top-3: corpus partitioned into Voronoi cells
-    * around seed centroids, queries probe the nearest cells only. The
-    * centroid seeds are deterministic (first nCells corpus ids) and cosine
-    * folds are bit-identical cross-engine, so the WHOLE pipeline — cell
-    * assignment, probe choice, rescored top-k — is SQL-expressible and
-    * hash-gated by the DuckDB oracle below (it mirrors each stage).
+  /** IVF-bucketed approximate top-3 over TRAINED centroids: 5
+    * deterministic k-means rounds ([[Similarity.kmeansCentroids]]) from
+    * the first-nCells seeds, then corpus partitioned into Voronoi cells
+    * and queries probe the nearest cells only. Every stage is
+    * SQL-expressible and hash-gated: centroid means go through quantized
+    * INTEGER sums (order-independent, so Spark's parallel aggregation and
+    * DuckDB's serial one produce bit-identical centroids), assignment
+    * ties break to the lowest cell, and cosine folds are bit-identical
+    * cross-engine — the oracle below mirrors each training round as a CTE
+    * chain. Trained-vs-seed recall is asserted in SimilaritySpec.
     */
+  private val ivfRounds = 5
+  private val ivfCells  = 16
   private def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 3,
-      nCells = 16, nProbe = 6)
+      nCells = ivfCells, nProbe = 6, trainRounds = ivfRounds)
       .orderBy(col("query_id"), col("rank"))
   }
-  private val annIvfSql =
-    """WITH centroids AS (
-      |  SELECT row_number() OVER (ORDER BY vec_id) AS cell,
-      |         CAST(embedding AS DOUBLE[]) AS mv
-      |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) s),
-      |assigned AS (
-      |  SELECT vec_id AS neighbor_id, cv, cell FROM (
-      |    SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS cv, ct.cell,
-      |      row_number() OVER (PARTITION BY c.vec_id
-      |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), ct.mv) DESC,
-      |                 ct.cell) AS rn
-      |    FROM embeddings c CROSS JOIN centroids ct) t WHERE rn = 1),
-      |probes AS (
-      |  SELECT vec_id AS query_id, qv, cell FROM (
-      |    SELECT q.vec_id, CAST(q.embedding AS DOUBLE[]) AS qv, ct.cell,
-      |      row_number() OVER (PARTITION BY q.vec_id
-      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), ct.mv) DESC,
-      |                 ct.cell) AS rn
-      |    FROM embeddings q CROSS JOIN centroids ct WHERE q.vec_id < 10) t WHERE rn <= 6)
-      |SELECT query_id, rank, neighbor_id, cos FROM (
-      |  SELECT p.query_id, a.neighbor_id, list_cosine_similarity(p.qv, a.cv) AS cos,
-      |    row_number() OVER (PARTITION BY p.query_id
-      |      ORDER BY list_cosine_similarity(p.qv, a.cv) DESC, a.neighbor_id) AS rank
-      |  FROM probes p JOIN assigned a ON p.cell = a.cell
-      |  WHERE p.query_id <> a.neighbor_id) t
-      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  private val annIvfSql: String = {
+    val dims = 64 // embeddings fixture dimensionality (TESTDATA.md)
+    val q = Similarity.KmeansQuantScale // 2^20 fixed-point ticks
+    def roundCtes(r: Int): String =
+      s"""assign$r AS (
+         |  SELECT cell, v FROM (
+         |    SELECT e.v, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.mv) DESC, c.cell) AS rn
+         |    FROM emb e CROSS JOIN cent${r - 1} c) t WHERE rn = 1),
+         |sums$r AS (
+         |  SELECT cell, dim,
+         |    sum(CAST(floor(v[dim] * $q.0 + 0.5) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM assign$r CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS dim) d
+         |  GROUP BY cell, dim),
+         |cent$r AS (
+         |  SELECT c0.cell, coalesce(t.mv, c0.mv) AS mv
+         |  FROM cent${r - 1} c0 LEFT JOIN (
+         |    SELECT cell,
+         |      list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / $q.0 ORDER BY dim) AS mv
+         |    FROM sums$r GROUP BY cell) t ON c0.cell = t.cell)""".stripMargin
+    val rounds = (1 to ivfRounds).map(roundCtes).mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS mv
+       |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $ivfCells) s),
+       |$rounds,
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, cv, cell FROM (
+       |    SELECT c.vec_id, c.v AS cv, ct.cell,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_cosine_similarity(c.v, ct.mv) DESC, ct.cell) AS rn
+       |    FROM emb c CROSS JOIN cent$ivfRounds ct) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, qv, cell FROM (
+       |    SELECT q.vec_id, q.v AS qv, ct.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, ct.mv) DESC, ct.cell) AS rn
+       |    FROM emb q CROSS JOIN cent$ivfRounds ct WHERE q.vec_id < 10) t WHERE rn <= 6)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT p.query_id, a.neighbor_id, list_cosine_similarity(p.qv, a.cv) AS cos,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY list_cosine_similarity(p.qv, a.cv) DESC, a.neighbor_id) AS rank
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.neighbor_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
     "ann01_bruteforce_topk" -> QueryDef(annBrute, Some(annBruteSql), benchmark = true),

@@ -62,6 +62,30 @@ class SimilaritySpec extends SparkSpec {
     // cells; same contract as LSH: a useful fraction without the product
   }
 
+  test("trained IVF centroids: deterministic, and recall >= seed centroids at equal nProbe") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(rounds: Int): Double = {
+      val approx = Similarity.ivfTopK(q, emb, k = 3, nCells = 16, nProbe = 6,
+          trainRounds = rounds)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val seed = recallOf(0)
+    val trained = recallOf(5)
+    assert(trained >= seed,
+      s"k-means centroids must not lose recall: trained=$trained seed=$seed")
+    // determinism: quantized integer sums make the trained centroids
+    // bit-identical across runs (the property the ann05 oracle relies on)
+    val c1 = Similarity.kmeansCentroids(emb, nCells = 16, rounds = 3)
+      .orderBy($"cell").as[(Int, Seq[Double])].collect().toSeq
+    val c2 = Similarity.kmeansCentroids(emb, nCells = 16, rounds = 3)
+      .orderBy($"cell").as[(Int, Seq[Double])].collect().toSeq
+    assert(c1 == c2)
+  }
+
   test("srpBucket bit p for basis vector e_d is the sign of planeComponent(p, d)") {
     // locks the bucket loop to the plane matrix the ann02 oracle
     // interpolates as literals — if either drifts, this fails before the
