@@ -29,8 +29,16 @@ import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
   * timestamp from one side and lo/hi expressions over the other, and NO
   * attr=attr equi conjunct (with one, the join already hash-partitions).
   * Idempotent: the rewritten join has an equi conjunct, so it never
-  * refires. Bin width comes from `spark.graft.rangejoin.binwidth.micros`
-  * (default 10 minutes) — set it near the typical interval span.
+  * refires. Bin width: `spark.graft.rangejoin.binwidth.micros` when set;
+  * otherwise AUTO-DERIVED at plan time as the median interval span
+  * (`approx_percentile(hi − lo, 0.5)` over a bounded sample of the
+  * interval side — one tiny job during optimization, run at most once per
+  * query since the rewrite never refires). Width ≈ median span keeps the
+  * explode at ≤ ~2 bins per typical interval; a fixed default would emit
+  * span/width bins per row when intervals are much wider than it
+  * (6-hour intervals over a 10-minute default: 37 bins/row), or collapse
+  * every row into a handful of buckets when much narrower. Fallback when
+  * sampling finds no rows (or fails): 10 minutes.
   *
   * Registered by [[graft.functions.GraftExtensions]] (injectOptimizerRule)
   * and available at runtime via `spark.experimental.extraOptimizations`.
@@ -39,8 +47,7 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val widthKey = "spark.graft.rangejoin.binwidth.micros"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = spark.conf.getOption(widthKey).map(_.toLong).getOrElse(600000000L)
+  override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if !j.left.isStreaming && !j.right.isStreaming =>
@@ -48,11 +55,33 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (hasEquiConjunct(conjuncts, left, right)) j
         else findRangePattern(conjuncts, left, right) match {
           case Some((ts, lo, hi, hiInclusive, pointsLeft)) =>
+            val intervalsSide = if (pointsLeft) j.right else j.left
+            val width = spark.conf.getOption(widthKey).map(_.toLong)
+              .orElse(medianSpanMicros(intervalsSide, lo, hi))
+              .getOrElse(600000000L)
             rewrite(j, ts, lo, hi, hiInclusive, pointsLeft, width, hint)
           case None => j
         }
     }
-  }
+
+  /** Median interval span in microseconds from a bounded sample of the
+    * interval side, executed as a subquery during optimization. The
+    * sampling query is an aggregate over one relation — no join — so this
+    * rule no-ops on it (no recursion). None on empty input or any
+    * execution failure (caller falls back to the conf default).
+    */
+  private def medianSpanMicros(
+      intervals: LogicalPlan, lo: Expression, hi: Expression): Option[Long] =
+    try {
+      val span = Alias(Subtract(UnixMicros(hi), UnixMicros(lo)), "_graft_span")()
+      val sample = org.apache.spark.sql.graft.ColumnShim
+        .ofRows(spark, Project(Seq(span), intervals))
+        .limit(100000)
+        .agg(org.apache.spark.sql.functions
+          .expr("approx_percentile(_graft_span, 0.5, 1000)"))
+        .head()
+      if (sample.isNullAt(0)) None else Some(math.max(sample.getLong(0), 1L))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)

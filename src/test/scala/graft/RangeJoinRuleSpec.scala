@@ -63,6 +63,27 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("auto bin width: 6-hour intervals derive a 6-hour bin (<= 2 bins/row)") {
+    withRule {
+      // 20 intervals, each spanning exactly 6 h — the case a fixed
+      // 10-minute width would explode into 37 bins per interval row
+      val pts = (0 until 50).map(i => (i.toLong, ts(i * 30))).toDF("pid", "pts")
+      val ivs = (0 until 20).map(i => (i.toLong, ts(i * 60), ts(i * 60 + 360)))
+        .toDF("iid", "lo", "hi")
+      val j = pts.join(ivs, $"pts" >= $"lo" && $"pts" < $"hi")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_bin"), plan) // rewrite fired
+      // width == the sampled median span (6 h = 21_600_000_000 µs), so
+      // every interval explodes into at most 2 bins
+      assert(plan.contains("21600000000"), plan)
+      val got = j.select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      spark.experimental.extraOptimizations = Nil
+      val want = pts.join(ivs, $"pts" >= $"lo" && $"pts" < $"hi")
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      assert(got == want)
+    }
+  }
+
   test("rewrite matches the hand-built intervalJoin result on fixture events") {
     val ev = graft.core.Tables(spark, sf0001).events
     val purchases = ev.where($"event_type" === "purchase")
