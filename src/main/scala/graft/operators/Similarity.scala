@@ -126,19 +126,57 @@ object Similarity {
     */
   final val KmeansQuantScale = 1L << 20
 
+  /** Collect a centroid table (cell, mv) to the driver — nCells rows of
+    * MODEL PARAMETERS, not data; the one justified `.collect()` in this
+    * package. Literalizing the centroids is what lets every nearest-cell
+    * assignment run as a per-row expression with no join and no exchange.
+    */
+  private def collectCentroids(centroids: DataFrame): Seq[(Int, Seq[Double])] =
+    centroids.select(col("cell").cast("int"), col("mv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+      .sortBy(_._1).toSeq
+
+  /** Per-row centroid score array: one struct(cos, -cell) per literalized
+    * centroid. `array_max`/`array_sort` over it order by (cosine, then
+    * LOWEST cell) — the same deterministic tie-break the ann05 oracle's
+    * `ORDER BY cos DESC, cell` encodes — and the whole computation is a
+    * single projection: no join against a centroid table, no window, and
+    * therefore no exchange carrying the vector column.
+    */
+  private def centroidScores(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array(cents.map { case (cell, mv) =>
+      struct(cosine(v, typedLit(mv)).as("c"), lit(-cell).as("negcell"))
+    }: _*)
+
+  /** Nearest-centroid cell id as a map-side expression (ties → lowest cell). */
+  private def nearestCell(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    -array_max(centroidScores(v, cents)).getField("negcell")
+
+  /** The `nProbe` nearest cells, best first, as a map-side expression. */
+  private def nearestCells(v: Column, cents: Seq[(Int, Seq[Double])], nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(centroidScores(v, cents))), 1, nProbe),
+      s => -s.getField("negcell"))
+
   /** Deterministic Lloyd's k-means over cosine similarity, seeded from
     * [[seedCentroids]]: each round assigns every corpus vector to its
     * nearest centroid (ties to the lowest cell) and recomputes each cell's
     * centroid as the element-wise mean via quantized integer sums (see
     * [[KmeansQuantScale]]); empty cells keep their previous centroid.
     *
-    * Scale shape per round: centroids broadcast; assignment is map-side;
-    * the mean is one (cell, dim)-keyed hash aggregate — partial map-side,
-    * 64·nCells final rows. The new centroid table (nCells rows — model
-    * parameters, not data) is collected to the driver and re-literalized,
-    * which truncates lineage without checkpoint machinery; at 100 TB run
-    * the rounds on a deterministic sample (e.g. [[graft.functions
-    * .TextFunctions.fingerprint64]]-mod sampling) and train offline.
+    * Scale shape per round: the current centroids are nCells rows of model
+    * parameters held on the driver and LITERALIZED into the assignment
+    * expression ([[nearestCell]]), so assignment is genuinely map-side —
+    * the corpus crosses no exchange at all; the only shuffle is the
+    * (cell, dim)-keyed hash aggregate of quantized longs, reduced
+    * map-side to ≤ nCells·dims rows per partition before the exchange.
+    * The per-round (cell, dim, Σq, n) aggregate (≤ nCells·dims rows) comes
+    * back to the driver and the means are folded there — the same
+    * `s / n / Q` double ops the previous in-plan version (and the ann05
+    * oracle's CTE chain) computes, so trained centroids are bit-identical.
+    * At 100 TB run the rounds on a deterministic sample (e.g.
+    * [[graft.functions.TextFunctions.fingerprint64]]-mod sampling) and
+    * train offline.
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -147,34 +185,30 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
-    var cent = seedCentroids(corpus, nCells, idCol, vecCol)
+    import spark.implicits._
+    val c = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    var cents = collectCentroids(seedCentroids(corpus, nCells, idCol, vecCol))
     for (_ <- 1 to rounds) {
-      val wc = Window.partitionBy(col("vid")).orderBy(col("cos_c").desc, col("cell"))
-      val assigned = c.join(broadcast(cent))
-        .select(col("vid"), col("v"), col("cell"), cosine(col("v"), col("mv")).as("cos_c"))
-        .withColumn("rn", row_number().over(wc)).where(col("rn") === 1)
-        .select(col("cell"), col("v"))
-      val sums = assigned
-        .select(col("cell"), posexplode(col("v")))
+      val sums = c
+        .select(nearestCell(col("v"), cents).as("cell"), posexplode(col("v")))
         .select(col("cell"), col("pos").as("dim"),
           floor(col("col") * lit(KmeansQuantScale.toDouble) + lit(0.5)).cast("long").as("q"))
         .groupBy(col("cell"), col("dim"))
         .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-      val trained = sums
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"),
-          (col("s").cast("double") / col("n").cast("double") /
-            lit(KmeansQuantScale.toDouble)).as("m")))).as("dm"))
-        .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("mv"))
-      val next = cent.as("c0").join(trained.as("t"), Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("t.mv"), col("c0.mv")).as("mv"))
-      // nCells rows of model parameters — re-literalize to cut lineage
-      val rows = next.collect().toSeq
-      cent = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), next.schema)
+        .collect() // ≤ nCells·dims aggregated rows — model parameters
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (cell, mv0) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            // same op order as the oracle: CAST(s AS DOUBLE) / n / Q
+            (cell, rows.sortBy(_.getInt(1)).map(r =>
+              r.getLong(2).toDouble / r.getLong(3).toDouble /
+                KmeansQuantScale.toDouble).toIndexedSeq: Seq[Double])
+          case None => (cell, mv0) // empty cell keeps its previous centroid
+        }
+      }
     }
-    cent
+    cents.toDF("cell", "mv")
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
@@ -184,12 +218,19 @@ object Similarity {
     *
     * Centroids, in preference order: `centroids` (an offline-trained table
     * (cell, mv: array<double>) — the production path at 100 TB: train on a
-    * sample, broadcast the result), else `trainRounds` > 0 deterministic
+    * sample, ship the result), else `trainRounds` > 0 deterministic
     * k-means rounds ([[kmeansCentroids]]), else the first-`nCells` seed
-    * embeddings ([[seedCentroids]]). Plan shape: the centroid table
-    * broadcasts twice (cell assignment for corpus and queries); the corpus
-    * shuffles ONCE on cell id; candidate generation is an equi-join on
-    * cell id — no corpus × query product.
+    * embeddings ([[seedCentroids]]).
+    *
+    * Plan shape: the centroid table is nCells rows of model parameters —
+    * collected once and LITERALIZED into per-row assignment expressions
+    * ([[nearestCell]] / [[nearestCells]]), so corpus cell-assignment and
+    * query probing are pure projections. The (small) probe side is
+    * broadcast for the cell equi-join, so the CORPUS NEVER CROSSES AN
+    * EXCHANGE at all: its vectors are scored where they are scanned, and
+    * the only shuffle in the whole query is the final per-query top-k over
+    * (query_id, neighbor_id, cos) triples (PlanSpec asserts no shuffle
+    * carries an array column). No corpus × query product anywhere.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -206,21 +247,15 @@ object Similarity {
     val centroidTable = centroids.getOrElse(
       if (trainRounds > 0) kmeansCentroids(corpus, nCells, trainRounds, idCol, vecCol)
       else seedCentroids(corpus, nCells, idCol, vecCol))
-    // nearest centroid per corpus vector (cell assignment)
-    val wc = Window.partitionBy(col("neighbor_id")).orderBy(col("cos_c").desc, col("cell"))
-    val assigned = c.join(broadcast(centroidTable))
-      .select(col("neighbor_id"), col("cv"), col("cell"), cosine(col("cv"), col("mv")).as("cos_c"))
-      .withColumn("rn", row_number().over(wc)).where(col("rn") === 1)
-      .select(col("neighbor_id"), col("cv"), col("cell"))
-    // nProbe nearest cells per query
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_q").desc, col("cell"))
-    val probes = q.join(broadcast(centroidTable))
-      .select(col("query_id"), col("qv"), col("cell"), cosine(col("qv"), col("mv")).as("cos_q"))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val cents = collectCentroids(centroidTable)
+    // map-side cell assignment (corpus) and nProbe nearest cells (queries)
+    val assigned = c.select(
+      col("neighbor_id"), col("cv"), nearestCell(col("cv"), cents).as("cell"))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(nearestCells(col("qv"), cents, nProbe)).as("cell"))
     // search only the probed cells; exact rescore
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(assigned, Seq("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(w))

@@ -67,6 +67,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann05/ivf: no shuffle carries a vector column — assignment is map-side") {
+    // the r3 verdict's one plan defect: nearest-centroid assignment via
+    // row_number().over(Window.partitionBy(vid)) planted an exchange that
+    // moved the corpus, duplicated nCells×, WITH its vectors. Assignment is
+    // now a literalized-centroid projection: the only shuffle left is the
+    // final per-query top-k over (query_id, neighbor_id, cos) triples.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    import spark.implicits._
+    val emb = (0L until 200L).map(i =>
+        (i, Seq.tabulate(8)(d => math.sin(i * 13.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.operators.Similarity.ivfTopK(
+        emb.where($"vec_id" < 5), emb, k = 3, nCells = 4, nProbe = 2,
+        trainRounds = 2)
+      val plan = out.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, plan.toString) // the top-k ranking exchange
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"shuffle carries an array column: ${e.output}\n$plan")
+      }
+      assert(out.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
   test("q25: bucketed tables join with no exchange on either side") {
     import org.apache.spark.sql.functions.col
     val t   = graft.core.Tables(spark, sf0001)
