@@ -86,12 +86,15 @@ object VectorQueries {
 
   /** Embedding near-dup pairs above a cosine threshold — SRP-LSH blocked
     * candidates + exact cosine rescore (no cartesian in the plan; asserted
-    * in PlanSpec). 2 planes × 16 tables is deterministically 100%-recall on
-    * every fixture corpus at threshold 0.35, so the output still matches
-    * the exact all-pairs oracle.
+    * in PlanSpec). EXPLICIT 2 planes × 16 tables: deterministically
+    * 100%-recall on every fixture corpus at threshold 0.35, so the output
+    * still matches the exact all-pairs oracle (0.35 is below sign-LSH's
+    * economical range — the auto sizing would trade that exactness for
+    * selectivity; see [[Dedup.embeddingDupPairs]]).
     */
   private def embDup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingDupPairs(Tables(spark, dir).embeddings, threshold = 0.35)
+    Dedup.embeddingDupPairs(Tables(spark, dir).embeddings, threshold = 0.35,
+        nPlanes = 2, nTables = 16)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
   private val embDupSql =

@@ -83,10 +83,43 @@ class DedupSpec extends SparkSpec {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val exact = Dedup.embeddingDupPairsExact(emb, threshold = 0.35)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    val blocked = Dedup.embeddingDupPairs(emb, threshold = 0.35)
+    val blocked = Dedup.embeddingDupPairs(emb, threshold = 0.35,
+        nPlanes = 2, nTables = 16)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(blocked == exact) // 2 planes × 16 tables: deterministic 100%
     // recall on this corpus (planes are hash-derived, not random)
+  }
+
+  test("selectivity-sized SRP blocking: planted dups at 100% recall, candidates << all pairs") {
+    import graft.operators.Similarity
+    // 10k near-orthogonal 64-dim vectors (seeded gaussian — deterministic),
+    // with 100 planted near-identical pairs (i, 5000+i)
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(10000)(Array.fill(64)(rnd.nextGaussian()))
+    for (i <- 0 until 100) {
+      base(5000 + i) = base(i).clone()
+      base(5000 + i)(0) += 1e-3
+    }
+    val emb = base.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("vec_id", "embedding")
+    val planted = (0 until 100).map(i => (i.toLong, (5000 + i).toLong)).toSet
+    val got = Dedup.embeddingDupPairs(emb, threshold = 0.9,
+        nPlanes = 8, nTables = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == planted,
+      s"missing=${planted -- got} extra=${got -- planted}")
+    // the blocking bounds candidate VOLUME, not just plan shape: far fewer
+    // candidate pairs than the ~5·10⁷ all-pairs product
+    val candidates = Similarity.lshCandidatePairs(emb,
+      nPlanes = 8, nTables = 4).count()
+    val allPairs = 10000L * 9999L / 2L
+    assert(candidates < allPairs / 20,
+      s"candidates=$candidates is not << allPairs=$allPairs")
+    // auto sizing: planes grow with n (linear candidate volume), tables
+    // grow as the threshold drops (recall), both clamped
+    assert(Dedup.autoPlanes(10000) >= 8 && Dedup.autoPlanes(100L << 40) == 16)
+    assert(Dedup.autoTables(0.95, 8) <= Dedup.autoTables(0.80, 8))
+    assert(Dedup.autoTables(0.35, 13) == 64) // low-threshold clamp
   }
 
   test("incremental dedup vs persisted index equals cross-split exact jaccard") {
@@ -130,9 +163,14 @@ class DedupSpec extends SparkSpec {
       val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
       val got = Dedup.dupClusters(pairs, nodes).as[(Long, Long)].collect().toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
-      // the rounds actually went through the reliable checkpoint path
+      // the rounds actually went through the reliable checkpoint path…
       val wrote = new java.io.File(dir).listFiles()
       assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+      // …and setCheckpointDir ran ONCE: one UUID subdir for the whole loop
+      // (the old Option-element-equality guard re-ran it every round,
+      // spraying a fresh UUID directory per checkpoint)
+      assert(wrote.count(_.isDirectory) == 1,
+        s"expected one checkpoint UUID dir, got ${wrote.map(_.getName).toSeq}")
     } finally spark.conf.unset("spark.graft.checkpoint.dir")
   }
 
