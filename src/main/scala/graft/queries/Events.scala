@@ -241,6 +241,43 @@ object Events {
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
 
+  /** The auto-rewrite on WIDE intervals — the distribution the
+    * AUTO-DERIVED bin width exists for: 6-hour windows (purchases by users
+    * < 50, ±3 h) over click points. With the r2 fixed 10-minute default
+    * each interval row exploded into 37 bins; the plan-time median-span
+    * sample derives a ~6-hour width instead, ≤ 2 bins per interval. No
+    * `spark.graft.rangejoin.binwidth.micros` is set anywhere in the judged
+    * path, so this row oracle-gates the sampling-derived plan end to end
+    * (ev09 covers the narrow-interval case the default happened to fit).
+    */
+  private def wideRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule(spark)
+    val ev = Tables(spark, dir).events
+    val windows = ev
+      .where(col("event_type") === "purchase" && col("user_id") < 50)
+      .select(col("event_id").as("window_id"),
+        (col("ts") - expr("INTERVAL 3 HOURS")).as("lo"),
+        (col("ts") + expr("INTERVAL 3 HOURS")).as("hi"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts"))
+    clicks.join(windows, col("ts") >= col("lo") && col("ts") < col("hi"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click_id"))
+      .orderBy(col("window_id"))
+  }
+  private val wideRangeJoinSql =
+    """SELECT p.event_id AS window_id, count(*) AS n_clicks,
+      |  min(c.event_id) AS first_click_id
+      |FROM events p JOIN events c
+      |  ON c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL '3 hours'
+      |  AND c.ts <  p.ts + INTERVAL '3 hours'
+      |WHERE p.event_type = 'purchase' AND p.user_id < 50
+      |GROUP BY p.event_id ORDER BY window_id""".stripMargin
+
   /** Resample + gap-fill ([[graft.operators.Resample.gapFill]]): hourly
     * spine per user over [min ts, max ts], bucket sums, forward-filled
     * values across empty buckets. Restricted to 20 users to bound spine
@@ -277,6 +314,7 @@ object Events {
     "ev01_tumbling_window" -> QueryDef(tumbling, Some(tumblingSql), benchmark = true),
     "ev08_partitioned_sink" -> QueryDef(partitionedSink, Some(partitionedSinkSql)),
     "ev09_auto_range_join" -> QueryDef(autoRangeJoin, Some(autoRangeJoinSql)),
+    "ev11_wide_range_join" -> QueryDef(wideRangeJoin, Some(wideRangeJoinSql)),
     "ev10_gapfill"         -> QueryDef(gapFill, Some(gapFillSql)),
     "ev06_range_join"      -> QueryDef(rangeJoin, Some(rangeJoinSql), benchmark = true),
     "ev02_json_extract"    -> QueryDef(json, Some(jsonSql)),
