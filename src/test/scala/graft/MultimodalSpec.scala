@@ -53,6 +53,14 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("codec seam: an injected MediaCodec replaces the stub, plumbing untouched") {
+    val r = Multimodal.decodeFeatures(Multimodal.asMediaTable(docs), ConstCodec)
+      .where($"media_id" === 1)
+      .select($"width", $"height", $"channels", $"checksum")
+      .as[(Int, Int, Int, Long)].head()
+    assert(r == ((7, 9, 1, 5L))) // checksum = payload length per ConstCodec
+  }
+
   test("resize caps the longest side, preserves aspect, never hits 0") {
     val decoded = Seq(
       (1L, 640, 480),  // downscale: 320×240
@@ -75,4 +83,10 @@ class MultimodalSpec extends SparkSpec {
     assert(r._1 == 10)
     assert(r._2 == Seq(0L, 3L, 6L, 9L))
   }
+}
+
+/** Top-level (no outer capture) so the task closure serializes cleanly. */
+object ConstCodec extends graft.operators.Multimodal.MediaCodec {
+  def decode(payload: Array[Byte]): graft.operators.Multimodal.MediaFeatures =
+    graft.operators.Multimodal.MediaFeatures(7, 9, 1, payload.length.toLong)
 }
