@@ -739,9 +739,41 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** CORRELATED subquery semantics — orders pricier than their own
+    * customer's average — in the scalable decorrelated form: one per-key
+    * aggregate + an equi-join, the rewrite Catalyst itself applies to
+    * correlated scalar subqueries (hash-partitioned both sides, no
+    * per-row subquery execution). The avg compare is exchanged for the
+    * exact integer form `price · n > Σ price` in DECIMAL, so no division
+    * and no cross-engine float drift decides membership; the oracle states
+    * the same predicate with literal correlated subqueries.
+    */
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.select(
+      col("o_custkey"), col("o_orderpriority"), dec(col("o_totalprice")).as("p"))
+    val perCust = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s"))
+    o.join(perCust, "o_custkey")
+      .where(col("p") * col("n") > col("s"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+        sum(col("p")).cast("double").as("above_value"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val q33Sql =
+    """SELECT o_orderpriority, count(*) AS n_above,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS above_value
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+      |      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) >
+      |      (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders i
+      |       WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q31_approx_distinct"  -> QueryDef(q31, Some(q31Sql)),
     "q32_approx_percentile" -> QueryDef(q32, Some(q32Sql)),
+    "q33_correlated_subquery" -> QueryDef(q33, Some(q33Sql)),
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
     "q03_star_join"        -> QueryDef(q03, Some(q03Sql), benchmark = true),

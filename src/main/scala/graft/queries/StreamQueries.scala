@@ -219,7 +219,38 @@ object StreamQueries {
       |WHERE s_end <= (SELECT max(ts) FROM events)
       |ORDER BY user_id, s_start""".stripMargin
 
+  /** Stream-STATIC join: the streaming event feed inner-joined to a batch
+    * dimension table (per-user segments — derived deterministically here;
+    * any parquet/Delta dim table slots in the same way). Stateless on the
+    * stream side — no watermark, no join state: each microbatch hash-joins
+    * against the static side (broadcast when small), THE pattern for
+    * enriching a 100 TB/day feed against slowly-changing dimensions.
+    * Rollup of the joined rows is batch, so the DuckDB oracle applies.
+    */
+  private def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val segments = graft.core.Tables(spark, dir).events
+      .select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(3L)))
+    val src = StreamOps.nanosToTs(
+        StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+      .select(col("user_id"), col("value"))
+    val joined = src.join(segments, Seq("user_id"))
+      .select(col("segment"), col("value"))
+    StreamOps.runToMemory(spark, joined,
+        s"graft_stream_static_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .orderBy(col("segment"))
+  }
+  private val streamStaticJoinSql =
+    """SELECT user_id % 3 AS segment, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY segment""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st09_stream_static_join" -> QueryDef(streamStaticJoin, Some(streamStaticJoinSql)),
     "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
     "st08_stream_session"   -> QueryDef(streamSession, Some(streamSessionSql)),
     "st07_stream_file_sink" -> QueryDef(streamParquetSink, Some(streamParquetSinkSql)),

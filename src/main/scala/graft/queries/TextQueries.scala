@@ -774,6 +774,87 @@ object TextQueries {
       |FROM toks JOIN dfc USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Repetition metrics (the Gopher-class repetition quality filter, word
+    * level — the fixture corpus is single-line, so line-level dedup ratios
+    * would be vacuous): per document, total tokens, distinct tokens, the
+    * most-frequent token's count, and the repeated-token fraction. Two hash
+    * aggregates — (doc, token) then doc — all integer until one final IEEE
+    * division, so engine-exact.
+    */
+  private def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(TextFunctions.tokenize(lower(col("text")))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .withColumn("repeat_ratio",
+        (col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+  private val repetitionSql =
+    """WITH tc AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) t
+      |  WHERE length(tok) > 0 GROUP BY doc_id, tok)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_count,
+      |  CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS repeat_ratio
+      |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** PII scrubbing ([[TextFunctions.scrubPii]]), oracle-gated end to end.
+    * The fixture corpus carries no PII, so each row gets a deterministic
+    * synthetic email + phone appended (constructed identically in the
+    * oracle) before scrubbing; the judged columns are the match counts and
+    * the FNV fingerprint of the scrubbed text — the fingerprint pins the
+    * exact replacement bytes, not just that something matched. The scrub
+    * regexes use the java.regex ∩ RE2 portable subset (no lookaround, no
+    * backrefs), which is what makes this oracle possible.
+    */
+  private def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+    val synth = concat(col("text"),
+      lit(" reach me at user"), col("doc_id").cast("string"),
+      lit("@mail.example.org or call +1 555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit("1234 now"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        regexp_count(synth, lit(emailRe)).as("n_emails"),
+        regexp_count(synth, lit(phoneRe)).as("n_phones"),
+        graft.functions.HashExprs.fnv64(
+          TextFunctions.scrubPii(synth)).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+  }
+  private val piiScrubSql = {
+    // single line: a leading "||" on a continuation line would lose a pipe
+    // to the outer stripMargin
+    val synth = "text || ' reach me at user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.org or call +1 555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '1234 now'"
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(s, '$emailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(s, '$phoneRe')) AS INT) AS n_phones,
+       |  $fnvSignSql AS scrubbed_fp
+       |FROM (
+       |  SELECT doc_id,
+       |    ${fnvFoldSql(
+             s"""regexp_replace(regexp_replace(s, '$emailRe', '<EMAIL>', 'g'),
+                |      '$phoneRe', '<PHONE>', 'g')""".stripMargin)} AS h,
+       |    s
+       |  FROM (SELECT doc_id, $synth AS s FROM documents) b) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
     "dd08_contamination"     -> QueryDef(contamination, Some(contaminationSql)),
@@ -801,5 +882,7 @@ object TextQueries {
     "dd07_dup_clusters"      -> QueryDef(dupClusters, Some(dupClustersSql), benchmark = true),
     "dd09_incremental"       -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dd10_incremental_lookup" -> QueryDef(dedupIncrementalLookup, Some(dedupIncrementalSql), benchmark = true),
+    "tx12_repetition"        -> QueryDef(repetition, Some(repetitionSql)),
+    "tx13_pii_scrub"         -> QueryDef(piiScrub, Some(piiScrubSql)),
   )
 }
