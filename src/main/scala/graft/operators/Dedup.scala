@@ -502,13 +502,18 @@ object Dedup {
       nodes: DataFrame,
       idCol: String = "doc_id",
       aCol: String = "id_a",
-      bCol: String = "id_b"): (DataFrame, Int) = {
-    // canonical undirected edge list (lo < hi), self-loops dropped
-    var edges = ckpt(pairs
+      bCol: String = "id_b",
+      pairsDistinct: Boolean = false): (DataFrame, Int) = {
+    // canonical undirected edge list (lo < hi), self-loops dropped.
+    // `pairsDistinct` skips the canonicalizing distinct() — one full
+    // edge-set shuffle — when the caller guarantees unique (a < b) pairs,
+    // which every near-dup pair generator in this package emits (their
+    // outputs are grouped or per-row-deduplicated on exactly that key).
+    val canon = pairs
       .select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
       .where(col("lo") =!= col("hi"))
-      .distinct())
+    var edges = ckpt(if (pairsDistinct) canon else canon.distinct())
     // (cardinality, order-independent xor-of-hashes checksum) in one job;
     // the edge set is distinct, so equal stats ⟹ equal sets up to a ~2⁻⁶⁴
     // per-round hash collision
@@ -569,8 +574,10 @@ object Dedup {
       nodes: DataFrame,
       idCol: String = "doc_id",
       aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame = {
-    val (labels, _) = connectedComponents(pairs, nodes, idCol, aCol, bCol)
+      bCol: String = "id_b",
+      pairsDistinct: Boolean = false): DataFrame = {
+    val (labels, _) =
+      connectedComponents(pairs, nodes, idCol, aCol, bCol, pairsDistinct)
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -249,7 +249,54 @@ object StreamQueries {
       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** MULTI-microbatch incremental aggregation — the surface every other
+    * st-query's one-file/one-batch fixture cannot reach: events are split
+    * at the time midpoint into two parquet files replayed as two
+    * microbatches (`maxFilesPerTrigger = 1`, write order fixes batch
+    * order), so windows straddling the split accumulate state ACROSS
+    * batches, the watermark advances batch-to-batch, and Append mode
+    * emits exactly the windows the final watermark (max ts − 1 h) closed.
+    * The split is by event time, so no row is ever late — the oracle is
+    * the batch aggregation with the same closed-window exclusion. A
+    * straddling window whose two partial counts failed to merge would
+    * hash-mismatch immediately.
+    */
+  private def streamMultibatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables(spark, dir).events
+      .select(col("ts"), col("event_type"), col("value"))
+    val Array(loM, hiM) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = loM + (hiM - loM) / 2
+    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
+      s"/roundtrip/stream_multibatch_${System.nanoTime()}"
+    // two time-ordered files; written early-half first so the file stream
+    // (ordered by modification time) replays them in event-time order
+    ev.where(unix_micros(col("ts")) < mid)
+      .coalesce(1).write.parquet(s"$out/in")
+    ev.where(unix_micros(col("ts")) >= mid)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val agg = StreamOps.tumblingCounts(src, "10 minutes", "1 hour")
+    StreamOps.runToMemory(spark, agg,
+        s"graft_stream_multibatch_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy(col("w_start"), col("event_type"))
+  }
+  private val streamMultibatchSql =
+    """SELECT w_start, event_type, n, total_value FROM (
+      |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2) t
+      |WHERE w_start + INTERVAL '10 minutes' <=
+      |      (SELECT max(ts) - INTERVAL '1 hour' FROM events)
+      |ORDER BY w_start, event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st10_stream_multibatch" -> QueryDef(streamMultibatch, Some(streamMultibatchSql)),
     "st09_stream_static_join" -> QueryDef(streamStaticJoin, Some(streamStaticJoinSql)),
     "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
     "st08_stream_session"   -> QueryDef(streamSession, Some(streamSessionSql)),

@@ -643,7 +643,9 @@ object TextQueries {
     val docs = Tables(spark, dir).documents
     Dedup.dupClusters(
         Dedup.jaccardPairs(docs, threshold = 0.8, maxDf = 400L),
-        docs)
+        docs,
+        // jaccardPairs groups on (id_a < id_b) — already canonical unique
+        pairsDistinct = true)
       .orderBy(col("doc_id"))
   }
   private val dupClustersSql =
@@ -855,6 +857,39 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Approximate frequent items (`freqItems` — Misra-Gries style one-pass
+    * summary, partial-mergeable, O(1/support) state): candidate heavy
+    * tokens above 1% support, EXACT-verified like every sketch in this
+    * engine. The sketch guarantees a SUPERSET of the truly frequent items,
+    * so `isin(candidates) && exact_count > threshold` equals the exact
+    * frequent set — and a sketch that dropped a frequent item loses a row
+    * and fails the oracle compare (the q31/q32 gate pattern). At 100 TB
+    * the sketch pass replaces a full token groupBy as the first cut; the
+    * exact verify then touches only |candidates| groups.
+    */
+  private def frequentTokens(spark: SparkSession, dir: String): DataFrame = {
+    val support = 0.01
+    val toks = Tables(spark, dir).documents
+      .select(explode(TextFunctions.tokenize(lower(col("text")))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val total = toks.count()
+    val cand = toks.stat.freqItems(Seq("tok"), support)
+      .head().getSeq[String](0)
+    val verified = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > lit(support * total))
+    (if (cand.isEmpty) verified.where(lit(false))
+     else verified.where(col("tok").isin(cand: _*)))
+      .orderBy(col("tok"))
+  }
+  private val frequentTokensSql =
+    """WITH tok AS (
+      |  SELECT t FROM (
+      |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      |    FROM documents) x WHERE length(t) > 0)
+      |SELECT t AS tok, count(*) AS cnt FROM tok GROUP BY t
+      |HAVING count(*) > 0.01 * (SELECT count(*) FROM tok)
+      |ORDER BY tok""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
     "dd08_contamination"     -> QueryDef(contamination, Some(contaminationSql)),
@@ -884,5 +919,6 @@ object TextQueries {
     "dd10_incremental_lookup" -> QueryDef(dedupIncrementalLookup, Some(dedupIncrementalSql), benchmark = true),
     "tx12_repetition"        -> QueryDef(repetition, Some(repetitionSql)),
     "tx13_pii_scrub"         -> QueryDef(piiScrub, Some(piiScrubSql)),
+    "tx14_frequent_tokens"   -> QueryDef(frequentTokens, Some(frequentTokensSql)),
   )
 }
