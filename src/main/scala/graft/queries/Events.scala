@@ -310,7 +310,30 @@ object Events {
       |  ON s.user_id = p.user_id AND s.bucket = p.bucket
       |ORDER BY s.user_id, s.bucket""".stripMargin
 
+  /** MapType surface: build a map<string,string> from event columns,
+    * explode it to (key, value) rows, aggregate. Exercises map
+    * construction, generator execution over maps, and map-entry grouping —
+    * the complex-type path the struct/array queries don't touch. The
+    * oracle states the same relation as a UNION ALL of the entries.
+    */
+  private def mapOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(explode(map(
+        lit("event_type"), col("event_type"),
+        lit("uid_bucket"), pmod(col("user_id"), lit(10L)).cast("string")))
+        .as(Seq("k", "v")))
+      .groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k"), col("v"))
+  private val mapOpsSql =
+    """SELECT k, v, count(*) AS n FROM (
+      |  SELECT 'event_type' AS k, event_type AS v FROM events
+      |  UNION ALL
+      |  SELECT 'uid_bucket' AS k, CAST(user_id % 10 AS VARCHAR) AS v FROM events) t
+      |GROUP BY k, v ORDER BY k, v""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev12_map_ops"         -> QueryDef(mapOps, Some(mapOpsSql)),
     "ev01_tumbling_window" -> QueryDef(tumbling, Some(tumblingSql), benchmark = true),
     "ev08_partitioned_sink" -> QueryDef(partitionedSink, Some(partitionedSinkSql)),
     "ev09_auto_range_join" -> QueryDef(autoRangeJoin, Some(autoRangeJoinSql)),

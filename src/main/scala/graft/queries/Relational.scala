@@ -770,10 +770,51 @@ object Relational {
       |       WHERE i.o_custkey = o.o_custkey)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** The full ranking-window family in one pass — row_number, ntile,
+    * percent_rank, cume_dist, lead/lag, first/last with an explicit
+    * unbounded frame — partitioned by priority, ordered by the UNIQUE
+    * (totalprice, orderkey) key so every function is tie-free
+    * deterministic. No arithmetic beyond the rank ratios (one integer
+    * division each, identical IEEE on both engines); one window shuffle
+    * serves all eight functions.
+    */
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"),
+        last(col("o_orderkey")).over(wFull).as("priciest_key"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+  private val q35Sql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  row_number() OVER w AS rn,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  lag(o_orderkey, 1) OVER w AS prev_key,
+      |  lead(o_orderkey, 1) OVER w AS next_key,
+      |  first_value(o_orderkey) OVER w AS cheapest_key,
+      |  last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "q31_approx_distinct"  -> QueryDef(q31, Some(q31Sql)),
     "q32_approx_percentile" -> QueryDef(q32, Some(q32Sql)),
     "q33_correlated_subquery" -> QueryDef(q33, Some(q33Sql)),
+    "q35_window_family"    -> QueryDef(q35, Some(q35Sql)),
     "q01_pricing_summary"  -> QueryDef(q01, Some(q01Sql), benchmark = true),
     "q02_filter_project"   -> QueryDef(q02, Some(q02Sql)),
     "q03_star_join"        -> QueryDef(q03, Some(q03Sql), benchmark = true),
