@@ -468,7 +468,10 @@ object Dedup {
         if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint()
-      case None => df.localCheckpoint()
+      // lazy: the caller's next action (the per-round stats aggregate)
+      // both computes the round and caches its blocks — one job instead of
+      // a materialize-then-aggregate pair per round
+      case None => df.localCheckpoint(eager = false)
     }
   }
 

@@ -332,7 +332,39 @@ object Events {
       |  SELECT 'uid_bucket' AS k, CAST(user_id % 10 AS VARCHAR) AS v FROM events) t
       |GROUP BY k, v ORDER BY k, v""".stripMargin
 
+  /** Parquet schema EVOLUTION: v1 files lack a column later versions
+    * carry; `mergeSchema` reconciles the union schema at read time and
+    * fills the missing column with null — how a 100 TB lake actually
+    * grows columns (no rewrite of old files). Even event_ids are written
+    * as v1 (no `sev`), odd as v2 (sev = event_id % 5, exact integers);
+    * the rollup counts and sums the evolved column per type, nulls
+    * ignored by the aggregate — all mirrored conditionally in the oracle.
+    */
+  private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val t   = Tables(spark, dir)
+    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/roundtrip"
+    val out = s"$tmp/events_evolved"
+    val base = t.events.select(col("event_id"), col("event_type"))
+    base.where(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(out)
+    base.where(col("event_id") % 2 === 1)
+      .withColumn("sev", pmod(col("event_id"), lit(5L)))
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("sev")).as("n_v2"),
+        sum(col("sev")).as("sum_sev"))
+      .orderBy(col("event_type"))
+  }
+  private val schemaEvolutionSql =
+    """SELECT event_type, count(*) AS n,
+      |  count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_v2,
+      |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 5 END) AS BIGINT) AS sum_sev
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev13_schema_evolution" -> QueryDef(schemaEvolution, Some(schemaEvolutionSql)),
     "ev12_map_ops"         -> QueryDef(mapOps, Some(mapOpsSql)),
     "ev01_tumbling_window" -> QueryDef(tumbling, Some(tumblingSql), benchmark = true),
     "ev08_partitioned_sink" -> QueryDef(partitionedSink, Some(partitionedSinkSql)),
