@@ -363,7 +363,34 @@ object Events {
       |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 5 END) AS BIGINT) AS sum_sev
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Small-file compaction ([[graft.operators.Compaction]]): fragment the
+    * event table into 32 tiny files (a streaming sink's typical droppings),
+    * compact to ~1 GiB target (→ one file here), and roll up the COMPACTED
+    * copy — the oracle runs on the original table, so the judged surface
+    * is content preservation through the rewrite; CompactionSpec asserts
+    * the file-count mechanics (shrink = coalesce, no shuffle).
+    */
+  private def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val tmp  = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/roundtrip"
+    val frag = s"$tmp/events_fragmented"
+    val comp = s"$tmp/events_compacted"
+    Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(frag)
+    graft.operators.Compaction.compact(spark, frag, comp, targetBytes = 1L << 30)
+    spark.read.parquet(comp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+  private val compactionSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev14_compaction"      -> QueryDef(compaction, Some(compactionSql)),
     "ev13_schema_evolution" -> QueryDef(schemaEvolution, Some(schemaEvolutionSql)),
     "ev12_map_ops"         -> QueryDef(mapOps, Some(mapOpsSql)),
     "ev01_tumbling_window" -> QueryDef(tumbling, Some(tumblingSql), benchmark = true),

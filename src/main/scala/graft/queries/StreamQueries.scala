@@ -261,7 +261,13 @@ object StreamQueries {
     * straddling window whose two partial counts failed to merge would
     * hash-mismatch immediately.
     */
-  private def streamMultibatch(spark: SparkSession, dir: String): DataFrame = {
+  /** Events split at the time midpoint into two time-ordered parquet
+    * files under a fresh dir — a deterministic TWO-microbatch replay
+    * source (file streams order by modification time; the early half is
+    * written first). Split is by event time, so nothing is ever late.
+    * Returns the input dir; read it with `maxFilesPerTrigger = 1`.
+    */
+  private def twoBatchEventsDir(spark: SparkSession, dir: String): String = {
     val ev = graft.core.Tables(spark, dir).events
       .select(col("ts"), col("event_type"), col("value"))
     val Array(loM, hiM) = ev
@@ -269,16 +275,22 @@ object StreamQueries {
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = loM + (hiM - loM) / 2
     val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
-      s"/roundtrip/stream_multibatch_${System.nanoTime()}"
-    // two time-ordered files; written early-half first so the file stream
-    // (ordered by modification time) replays them in event-time order
+      s"/roundtrip/stream_twobatch_${System.nanoTime()}"
     ev.where(unix_micros(col("ts")) < mid)
       .coalesce(1).write.parquet(s"$out/in")
     ev.where(unix_micros(col("ts")) >= mid)
       .coalesce(1).write.mode("append").parquet(s"$out/in")
-    val src = spark.readStream.schema(ev.schema)
+    s"$out/in"
+  }
+
+  private def twoBatchSchema(spark: SparkSession, dir: String) =
+    graft.core.Tables(spark, dir).events
+      .select(col("ts"), col("event_type"), col("value")).schema
+
+  private def streamMultibatch(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.readStream.schema(twoBatchSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$out/in")
+      .parquet(twoBatchEventsDir(spark, dir))
     val agg = StreamOps.tumblingCounts(src, "10 minutes", "1 hour")
     StreamOps.runToMemory(spark, agg,
         s"graft_stream_multibatch_${System.nanoTime()}",
@@ -295,7 +307,49 @@ object StreamQueries {
       |      (SELECT max(ts) - INTERVAL '1 hour' FROM events)
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** foreachBatch sink — the production escape hatch for sinks Spark has
+    * no connector for (idempotent upserts, multi-table writes): each
+    * microbatch arrives as a BATCH DataFrame plus its replay-stable
+    * batchId. Two real microbatches (time-midpoint split), each stamped
+    * with its batchId and appended to parquet; the rollup per batch id is
+    * mirrored by the oracle re-deriving the id from the same midpoint
+    * split — if batch boundaries, the id stamp, or exactly-once append
+    * drifted, the compare fails.
+    */
+  private def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
+    val in  = twoBatchEventsDir(spark, dir)
+    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
+      s"/roundtrip/stream_foreach_${System.nanoTime()}"
+    val src = spark.readStream.schema(twoBatchSchema(spark, dir))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val writeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(s"$out/data")
+    val q = src.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", s"$out/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/data")
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .orderBy(col("batch_id"))
+  }
+  private val streamForeachBatchSql =
+    """WITH b AS (SELECT epoch_us(min(ts)) +
+      |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid FROM events)
+      |SELECT CAST(epoch_us(ts) >= (SELECT mid FROM b) AS BIGINT) AS batch_id,
+      |  count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY batch_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st11_foreach_batch"     -> QueryDef(streamForeachBatch, Some(streamForeachBatchSql)),
     "st10_stream_multibatch" -> QueryDef(streamMultibatch, Some(streamMultibatchSql)),
     "st09_stream_static_join" -> QueryDef(streamStaticJoin, Some(streamStaticJoinSql)),
     "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
