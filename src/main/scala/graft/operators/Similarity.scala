@@ -263,6 +263,94 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF+PQ approximate top-k (the FAISS IVFADC layout, Spark-first):
+    * coarse inverted-file cells bound WHERE to search, product-quantization
+    * codes bound WHAT each candidate costs to score.
+    *
+    *  - Coarse: corpus vectors assign to [[seedCentroids]] cells and
+    *    queries probe their `nProbe` nearest — both as literalized
+    *    map-side expressions ([[nearestCell]]/[[nearestCells]]), so the
+    *    candidate join is an equi-join on cell id (no nested loop, no
+    *    product).
+    *  - Fine: each corpus vector is encoded as `nSub` sub-codes — per
+    *    subspace, the L2-nearest of `kSub` seed sub-centroids (argmin as
+    *    an `array_max` fold, ties to the lowest code) — 8 codes ≈ 8 bytes
+    *    standing in for 256 bytes of floats at scale. Scoring is
+    *    ASYMMETRIC (ADC): the full-precision query against the DECODED
+    *    corpus vector (its sub-centroids concatenated); with an
+    *    inner-product-family metric, Σ_s q_s·c_[code_s] = q·decoded, so
+    *    ADC is ONE native cosine fold against the decoded array — the
+    *    same left-to-right fold the oracle's `list_cosine_similarity`
+    *    computes, which is what makes IVFPQ oracle-gateable at all.
+    *  - Exact: the top `nCand` per query by ADC are re-fetched (hash
+    *    joins on id — query side broadcast, corpus side AQE-planned) and
+    *    rescored with exact cosine; emitted scores are exact.
+    *
+    * Shuffles: the candidate ranking and final top-k windows move only
+    * (query_id, neighbor_id, score) triples; corpus vectors cross no
+    * exchange (codes and decoded arrays are computed where scanned, and
+    * the exact-rescore fetch is the same AQE-planned id join as
+    * [[Dedup.embeddingDupPairs]]). Codebooks here are seeded for
+    * determinism; at 100 TB train both quantizers offline on a sample
+    * (same argument as [[kmeansCentroids]]) and pass them in.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 6,
+      nSub: Int = 8,
+      kSub: Int = 16,
+      nCand: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val coarse = collectCentroids(seedCentroids(corpus, nCells, idCol, vecCol))
+    // PQ codebook: the first kSub corpus vectors, sliced per subspace
+    val seedVecs = corpus.orderBy(col(idCol)).limit(kSub)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val dims = seedVecs.head.length
+    val sub  = dims / nSub
+    val pqCent: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until nSub).map(s => seedVecs.map(v => v.slice(s * sub, (s + 1) * sub): Seq[Double]))
+    def subv(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    // argmin_j ||v_s − c_sj||² = max over struct(−dist, −j): ties → lowest j
+    def codeOf(v: Column, s: Int): Column =
+      -array_max(array((0 until kSub).map(j =>
+        struct((-sqDist(subv(v, s), typedLit(pqCent(s)(j)))).as("nd"),
+          lit(-j).as("nj"))): _*)).getField("nj")
+    def decoded(v: Column): Column = concat((0 until nSub).map { s =>
+      element_at(
+        typedLit(pqCent(s).zipWithIndex.map { case (cj, j) => j -> cj }.toMap),
+        codeOf(v, s))
+    }: _*)
+    val assigned = c.select(col("neighbor_id"),
+      nearestCell(col("cv"), coarse).as("cell"), decoded(col("cv")).as("dv"))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(nearestCells(col("qv"), coarse, nProbe)).as("cell"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("dv")).as("approx"))
+      .withColumn("rn", row_number().over(wCand)).where(col("rn") <= nCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Approximate top-k via LSH candidates, exact-rescored with cosine.
     * Recall depends on (nPlanes, nTables); exactness of emitted scores does
     * not (candidates are rescored exactly).

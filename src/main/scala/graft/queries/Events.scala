@@ -389,7 +389,46 @@ object Events {
       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** DYNAMIC partition overwrite — the partition-level upsert every
+    * partitioned lake runs daily (recompute one day/type, leave the rest
+    * untouched): the full table is seeded `partitionBy(event_type)`, then
+    * a revised 'purchase' slice (values doubled — an exponent bump, so
+    * doubles stay exact) overwrites ONLY its own partition under
+    * `partitionOverwriteMode = dynamic`. In static mode the second write
+    * would wipe every other partition and the row counts would collapse —
+    * the oracle's per-type counts gate exactly that.
+    */
+  private def dynPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/roundtrip"
+    val out = s"$tmp/events_dynpart"
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val modeKey  = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try
+      ev.where(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally prevMode match {
+      case Some(m) => spark.conf.set(modeKey, m)
+      case None    => spark.conf.unset(modeKey)
+    }
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+  private val dynPartitionOverwriteSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value * 2
+      |                     ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev15_dynamic_partition_overwrite" ->
+      QueryDef(dynPartitionOverwrite, Some(dynPartitionOverwriteSql)),
     "ev14_compaction"      -> QueryDef(compaction, Some(compactionSql)),
     "ev13_schema_evolution" -> QueryDef(schemaEvolution, Some(schemaEvolutionSql)),
     "ev12_map_ops"         -> QueryDef(mapOps, Some(mapOpsSql)),

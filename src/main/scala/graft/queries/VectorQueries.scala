@@ -200,7 +200,75 @@ object VectorQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF+PQ approximate top-3 ([[Similarity.ivfPqTopK]] — the FAISS
+    * IVFADC layout): coarse cells bound the search, 8×16 seeded PQ codes
+    * compress the fine scoring, ADC = one cosine fold against the decoded
+    * vector, exact rescore of the top 16. Every stage is deterministic
+    * and SQL-expressible — the oracle mirrors encode (argmin per
+    * subspace), decode (ordered sub-centroid concat), coarse
+    * assign/probe, ADC ranking, and the exact rescore.
+    */
+  private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.ivfPqTopK(emb.where(col("vec_id") < 10), emb, k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val annIvfPqSql: String = {
+    val fold = "list_reduce(list_prepend(0.0, list_transform(list_zip(sv, p.c), " +
+      "x -> (x[1]-x[2])*(x[1]-x[2]))), (a,b) -> a+b)"
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seed16 AS (SELECT row_number() OVER (ORDER BY vec_id) AS rn, v
+       |           FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16) t),
+       |pqcent AS (
+       |  SELECT sub.s, rn - 1 AS j, v[sub.s*8+1 : sub.s*8+8] AS c
+       |  FROM seed16 CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub),
+       |codes AS (
+       |  SELECT vec_id, s, j FROM (
+       |    SELECT e.vec_id, p.s, p.j,
+       |      row_number() OVER (PARTITION BY e.vec_id, p.s
+       |        ORDER BY $fold ASC, p.j ASC) AS rn
+       |    FROM (SELECT vec_id, v FROM emb) e
+       |    CROSS JOIN pqcent p
+       |    CROSS JOIN LATERAL (SELECT e.v[p.s*8+1 : p.s*8+8] AS sv) sl) t
+       |  WHERE rn = 1),
+       |decoded AS (
+       |  SELECT codes.vec_id, flatten(list(p.c ORDER BY codes.s)) AS dv
+       |  FROM codes JOIN pqcent p ON p.s = codes.s AND p.j = codes.j
+       |  GROUP BY codes.vec_id),
+       |cent0 AS (SELECT rn AS cell, v AS mv FROM seed16),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT e.vec_id, ct.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, ct.mv) DESC, ct.cell) AS rn
+       |    FROM emb e CROSS JOIN cent0 ct) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, cell FROM (
+       |    SELECT q.vec_id, q.v, ct.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, ct.mv) DESC, ct.cell) AS rn
+       |    FROM emb q CROSS JOIN cent0 ct WHERE q.vec_id < 10) t WHERE rn <= 6),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, a.neighbor_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_cosine_similarity(p.qv, d.dv) DESC, a.neighbor_id) AS rn
+       |    FROM probes p JOIN assigned a ON p.cell = a.cell
+       |    JOIN decoded d ON d.vec_id = a.neighbor_id
+       |    WHERE p.query_id <> a.neighbor_id) t WHERE rn <= 16)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT c2.query_id, c2.neighbor_id,
+       |    list_cosine_similarity(qe.v, ne.v) AS cos,
+       |    row_number() OVER (PARTITION BY c2.query_id
+       |      ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, c2.neighbor_id) AS rank
+       |  FROM cand c2
+       |  JOIN emb qe ON qe.vec_id = c2.query_id
+       |  JOIN emb ne ON ne.vec_id = c2.neighbor_id) t
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "ann06_ivfpq_topk"      -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "ann01_bruteforce_topk" -> QueryDef(annBrute, Some(annBruteSql), benchmark = true),
     "ann02_lsh_topk"        -> QueryDef(annLsh, Some(annLshSql), benchmark = true),
     "ann05_ivf_topk"        -> QueryDef(annIvf, Some(annIvfSql)),

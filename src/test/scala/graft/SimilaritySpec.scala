@@ -86,6 +86,30 @@ class SimilaritySpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("IVF+PQ top-k: exact emitted scores, useful recall, subset of brute force") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val rows = Similarity.ivfPqTopK(q, emb, k = 3)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    // emitted scores are EXACT cosines (rescore pass), not ADC estimates
+    val byPair = Similarity.bruteForceTopK(q, emb, k = 1000)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { r => assert(byPair((r._1, r._3)) == r._4) }
+    val recall = (exact & rows.map(r => (r._1, r._3)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall") // seeded (untrained) codebooks
+    // over near-orthogonal fixtures — the documented hardest case; the
+    // contract is useful recall at 8-byte-per-vector scoring cost
+  }
+
   test("srpBucket bit p for basis vector e_d is the sign of planeComponent(p, d)") {
     // locks the bucket loop to the plane matrix the ann02 oracle
     // interpolates as literals — if either drifts, this fails before the
