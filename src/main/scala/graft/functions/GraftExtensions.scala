@@ -63,7 +63,10 @@ object GraftExtensions {
     ("srp_bucket", info("srp_bucket",
       "srp_bucket(vec, nPlanes, planeOffset) - sign-random-projection LSH bucket"),
       { case Seq(v, p, o) =>
-        SrpBucket(v, intLit(p, "nPlanes"), intLit(o, "planeOffset")) }))
+        SrpBucket(v, intLit(p, "nPlanes"), intLit(o, "planeOffset")) }),
+    ("nfc_normalize", info("nfc_normalize",
+      "nfc_normalize(str) - Unicode NFC (canonical composition) form"),
+      { case Seq(s) => NfcNormalize(s) }))
 
   /** Register every graft function on an existing session (idempotent —
     * re-registration overwrites with the same builder).

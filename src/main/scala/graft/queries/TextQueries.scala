@@ -890,6 +890,37 @@ object TextQueries {
       |HAVING count(*) > 0.01 * (SELECT count(*) FROM tok)
       |ORDER BY tok""".stripMargin
 
+  /** Unicode NFC normalization ([[graft.functions.StringExprs.nfcNormalize]]
+    * — a native expression, codegen-resident, no UDF): crawled corpora mix
+    * composed and decomposed forms of the same text, which silently breaks
+    * exact dedup and fingerprint joins. The fixture is ASCII, so each row
+    * gets a decomposed sequence appended (`e` + combining acute U+0301 —
+    * `chr(769)` in the oracle) that NFC composes to `é`; the judged
+    * columns are the changed flag and the FNV fingerprint of the
+    * normalized text, pinning the exact composed bytes against DuckDB's
+    * utf8proc-based `nfc_normalize` — two independent Unicode
+    * implementations agreeing byte-for-byte.
+    */
+  private def nfcNormalizeQ(spark: SparkSession, dir: String): DataFrame = {
+    val s    = concat(col("text"), lit(" cafe"), lit("́"))
+    val norm = graft.functions.StringExprs.nfcNormalize(s)
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        when(s === norm, 0).otherwise(1).as("changed"),
+        graft.functions.HashExprs.fnv64(norm).as("nfc_fp"))
+      .orderBy(col("doc_id"))
+  }
+  private val nfcNormalizeSql =
+    s"""SELECT doc_id, CASE WHEN s = n THEN 0 ELSE 1 END AS changed,
+       |  $fnvSignSql AS nfc_fp
+       |FROM (
+       |  SELECT doc_id, s, n, ${fnvFoldSql("n")} AS h
+       |  FROM (
+       |    SELECT doc_id, s, nfc_normalize(s) AS n
+       |    FROM (SELECT doc_id, text || ' cafe' || chr(769) AS s
+       |          FROM documents) b) m) t
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
     "dd08_contamination"     -> QueryDef(contamination, Some(contaminationSql)),
@@ -920,5 +951,6 @@ object TextQueries {
     "tx12_repetition"        -> QueryDef(repetition, Some(repetitionSql)),
     "tx13_pii_scrub"         -> QueryDef(piiScrub, Some(piiScrubSql)),
     "tx14_frequent_tokens"   -> QueryDef(frequentTokens, Some(frequentTokensSql)),
+    "tx15_nfc_normalize"     -> QueryDef(nfcNormalizeQ, Some(nfcNormalizeSql)),
   )
 }

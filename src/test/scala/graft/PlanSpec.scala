@@ -96,6 +96,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
   }
 
+  test("ann06/ivfpq: equi-join candidates, no product join, no vector shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    import spark.implicits._
+    val emb = (0L until 200L).map(i =>
+        (i, Seq.tabulate(16)(d => math.sin(i * 17.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.operators.Similarity.ivfPqTopK(
+        emb.where($"vec_id" < 5), emb, k = 3,
+        nCells = 4, nProbe = 2, nSub = 4, kSub = 8, nCand = 8)
+      val plan = out.queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+      assert(!plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString)
+      // the corpus-vector fetch join may carry arrays on the BROADCAST
+      // side only; shuffles move id/score triples
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"shuffle carries an array column: ${e.output}\n$plan")
+      }
+      assert(out.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
   test("q25: bucketed tables join with no exchange on either side") {
     import org.apache.spark.sql.functions.col
     val t   = graft.core.Tables(spark, sf0001)
