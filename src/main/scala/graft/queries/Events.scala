@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.core.QueryDef.{dec, dsum}
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, Funnel, Graph, RangeJoin, TableDiff}
 
 /** Event-table surface: tumbling windows, JSON extraction, sessionization,
   * as-of join, and file-format round-trips. The reference has no streaming
@@ -426,7 +426,200 @@ object Events {
       |                     ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Ordered funnel view→click→purchase per user ([[Funnel.stepTimes]] —
+    * k chained window-mins over ONE `partitionBy(user)` exchange; the
+    * collapsing groupBy reuses the partitioning, PlanSpec-asserted). Step k
+    * counts only strictly after step k-1's completion time.
+    */
+  private def funnel(spark: SparkSession, dir: String): DataFrame =
+    Funnel.stepTimes(Tables(spark, dir).events,
+        keyCol = "user_id", typeCol = "event_type", tsCol = "ts",
+        steps = Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+  private val funnelSql =
+    """SELECT user_id, t1, t2, t3,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached
+      |FROM (
+      |  SELECT DISTINCT user_id, t1, t2,
+      |    min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t3
+      |  FROM (
+      |    SELECT user_id, event_type, ts, t1,
+      |      min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+      |        OVER (PARTITION BY user_id) AS t2
+      |    FROM (
+      |      SELECT user_id, event_type, ts,
+      |        min(CASE WHEN event_type = 'view' THEN ts END)
+      |          OVER (PARTITION BY user_id) AS t1
+      |      FROM events) a) b) c
+      |ORDER BY user_id""".stripMargin
+
+  /** Weekly cohort retention: cohort = Monday-truncated week of each user's
+    * first event; cell (cohort, offset) counts users active `offset` weeks
+    * later. Two hash aggregates (first-week, distinct user-week) and one
+    * join — at scale the first-week table is n_users rows, broadcastable.
+    * Spark and DuckDB both truncate weeks to Monday; DuckDB yields DATE so
+    * the oracle casts back to TIMESTAMP.
+    */
+  private def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstWeek = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ev.distinct()
+      .join(firstWeek, "user_id")
+      .groupBy(col("cohort_wk"),
+        expr("datediff(wk, cohort_wk) div 7").cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+  private val retentionSql =
+    """SELECT cohort_wk, week_offset, count(DISTINCT user_id) AS n_users FROM (
+      |  SELECT a.user_id, f.cohort_wk,
+      |    CAST(date_diff('day', f.cohort_wk, a.wk) // 7 AS INT) AS week_offset
+      |  FROM (SELECT DISTINCT user_id,
+      |          CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events) a
+      |  JOIN (SELECT user_id, min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_wk
+      |        FROM events GROUP BY user_id) f USING (user_id)) t
+      |GROUP BY cohort_wk, week_offset ORDER BY cohort_wk, week_offset""".stripMargin
+
+  /** SCD Type-2 dimension build: collapse a per-user attribute stream
+    * (signup events, attr = ⌊value⌋) into change-point versions with
+    * [valid_from, valid_to) ranges and an is_current flag — the standard
+    * slowly-changing-dimension load. One shuffle on user_id; the
+    * change-detection lag and the validity lead/row_number share the same
+    * partitioning (the second window runs on the filtered co-located rows).
+    */
+  private def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value")).cast("long").as("attr"))
+      .withColumn("prev_attr", lag(col("attr"), 1).over(byUser))
+      .where(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
+      .select(col("user_id"),
+        row_number().over(byUser).as("version"),
+        col("attr"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(byUser).as("valid_to"),
+        lead(col("ts"), 1).over(byUser).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+  private val scd2Sql =
+    """SELECT user_id,
+      |  CAST(row_number() OVER w AS INT) AS version, attr,
+      |  ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  lead(ts) OVER w IS NULL AS is_current
+      |FROM (
+      |  SELECT user_id, ts, event_id, attr,
+      |    lag(attr) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+      |  FROM (SELECT user_id, ts, event_id,
+      |          CAST(floor(value) AS BIGINT) AS attr
+      |        FROM events WHERE event_type = 'signup') s) c
+      |WHERE prev_attr IS NULL OR attr <> prev_attr
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** Snapshot diff ([[TableDiff.diff]]): two deterministic key-sliced
+    * versions of `orders` (v1 drops keys ≡0 mod 7; v2 drops ≡0 mod 5 and
+    * doubles urgent-order prices in exact DECIMAL) reconciled into
+    * added/removed/changed statuses by one full-outer join on the key.
+    */
+  private def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val v1 = o.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"),
+        dec(col("o_totalprice")).cast("decimal(14,2)").as("price"),
+        col("o_orderpriority").as("prio"))
+    val v2 = o.where(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", dec(col("o_totalprice")) * 2)
+          .otherwise(dec(col("o_totalprice"))).cast("decimal(14,2)").as("price"),
+        col("o_orderpriority").as("prio"))
+    TableDiff.diff(v1, v2, Seq("o_orderkey"))
+      .where(col("status") =!= "unchanged")
+      .orderBy(col("o_orderkey"))
+  }
+  private val tableDiffSql =
+    """SELECT o_orderkey, status FROM (
+      |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |         WHEN b.o_orderkey IS NULL THEN 'removed'
+      |         WHEN a.price = b.price AND a.prio = b.prio THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+      |          o_orderpriority AS prio
+      |        FROM orders WHERE o_orderkey % 7 <> 0) a
+      |  FULL OUTER JOIN
+      |       (SELECT o_orderkey,
+      |          CASE WHEN o_orderpriority = '1-URGENT'
+      |               THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+      |               ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS price,
+      |          o_orderpriority AS prio
+      |        FROM orders WHERE o_orderkey % 5 <> 0) b
+      |  ON a.o_orderkey = b.o_orderkey) t
+      |WHERE status <> 'unchanged'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Fixed-point integer PageRank ([[Graph.pageRankFixedPoint]], 3
+    * iterations) over the co-purchase graph: users who purchased in the
+    * same 10-minute bucket are linked (both directions). Integer
+    * micro-rank arithmetic makes the result bit-identical across engines
+    * and partition counts; the oracle unrolls the three rounds as CTEs.
+    */
+  private def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir).events
+      .where(col("event_type") === "purchase")
+      .select(window(col("ts"), "10 minutes")("start").as("b"),
+        col("user_id").as("u"))
+      .distinct()
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.b") === col("b.b") && col("a.u") < col("b.u"))
+      .select(col("a.u").as("src"), col("b.u").as("dst"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRankFixedPoint(spark, edges, iters = 3)
+      .orderBy(col("node"))
+  }
+  private val pageRankSql =
+    """WITH p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
+      |             user_id AS u
+      |           FROM events WHERE event_type = 'purchase'),
+      |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
+      |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u),
+      |e AS (SELECT src, dst FROM pairs
+      |      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+      |m1 AS (SELECT e.dst, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS mass
+      |       FROM r0 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT n.node,
+      |         CAST(150000 + 850 * COALESCE(m.mass, 0) // 1000 AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN m1 m ON n.node = m.dst),
+      |m2 AS (SELECT e.dst, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS mass
+      |       FROM r1 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT n.node,
+      |         CAST(150000 + 850 * COALESCE(m.mass, 0) // 1000 AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN m2 m ON n.node = m.dst),
+      |m3 AS (SELECT e.dst, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS mass
+      |       FROM r2 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT n.node,
+      |         CAST(150000 + 850 * COALESCE(m.mass, 0) // 1000 AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
+      |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev16_funnel"          -> QueryDef(funnel, Some(funnelSql)),
+    "ev17_retention"       -> QueryDef(retention, Some(retentionSql)),
+    "ev18_scd2"            -> QueryDef(scd2, Some(scd2Sql)),
+    "ev19_table_diff"      -> QueryDef(tableDiff, Some(tableDiffSql)),
+    "gr01_pagerank"        -> QueryDef(pageRank, Some(pageRankSql), benchmark = true),
     "ev15_dynamic_partition_overwrite" ->
       QueryDef(dynPartitionOverwrite, Some(dynPartitionOverwriteSql)),
     "ev14_compaction"      -> QueryDef(compaction, Some(compactionSql)),

@@ -810,7 +810,74 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderpriority, rn""".stripMargin
 
+  /** One-pass data-quality audit ([[graft.operators.QualityAudit]]): per-
+    * column null count, exact cardinality, and DECIMAL-exact numeric range
+    * over lineitem, emitted long-format. Exact count-distincts expand the
+    * scan k ways (the documented trade; approx_count_distinct is the 100 TB
+    * swap-in). The oracle mirrors each report row as a UNION ALL leg.
+    */
+  private def q34(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityAudit.audit(
+        Tables(spark, dir).lineitem,
+        numericCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        stringCols = Seq("l_returnflag", "l_linestatus"))
+      .orderBy(col("column"))
+  private val q34Sql =
+    """SELECT * FROM (
+      |  SELECT 'l_quantity' AS "column",
+      |    CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+      |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+      |    CAST(CAST(min(l_quantity) AS DECIMAL(12,2)) AS DOUBLE) AS min_v,
+      |    CAST(CAST(max(l_quantity) AS DECIMAL(12,2)) AS DOUBLE) AS max_v
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice',
+      |    CAST(count(*) - count(l_extendedprice) AS BIGINT),
+      |    CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+      |    CAST(CAST(min(l_extendedprice) AS DECIMAL(12,2)) AS DOUBLE),
+      |    CAST(CAST(max(l_extendedprice) AS DECIMAL(12,2)) AS DOUBLE)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount',
+      |    CAST(count(*) - count(l_discount) AS BIGINT),
+      |    CAST(count(DISTINCT l_discount) AS BIGINT),
+      |    CAST(CAST(min(l_discount) AS DECIMAL(12,2)) AS DOUBLE),
+      |    CAST(CAST(max(l_discount) AS DECIMAL(12,2)) AS DOUBLE)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag',
+      |    CAST(count(*) - count(l_returnflag) AS BIGINT),
+      |    CAST(count(DISTINCT l_returnflag) AS BIGINT), NULL, NULL
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_linestatus',
+      |    CAST(count(*) - count(l_linestatus) AS BIGINT),
+      |    CAST(count(DISTINCT l_linestatus) AS BIGINT), NULL, NULL
+      |  FROM lineitem) t
+      |ORDER BY "column"""".stripMargin
+
+  /** Equi-width histogram of order totals: bucket = ⌊price/50000⌋ clamped
+    * to 12 bins. The bucket id is one IEEE double division + floor —
+    * bit-identical cross-engine on the same parquet doubles — and the
+    * aggregate is a 12-group map-side-combined shuffle (O(bins), not
+    * O(rows), on the wire at any scale).
+    */
+  private def q36(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(least(floor(col("o_totalprice") / 50000.0), lit(11.0))
+        .cast("long").as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("bucket"))
+  private val q36Sql =
+    """SELECT CAST(least(floor(o_totalprice / 50000.0), 11.0) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q34_quality_audit"    -> QueryDef(q34, Some(q34Sql)),
+    "q36_histogram"        -> QueryDef(q36, Some(q36Sql)),
     "q31_approx_distinct"  -> QueryDef(q31, Some(q31Sql)),
     "q32_approx_percentile" -> QueryDef(q32, Some(q32Sql)),
     "q33_correlated_subquery" -> QueryDef(q33, Some(q33Sql)),

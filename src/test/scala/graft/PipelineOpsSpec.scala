@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Funnel, Graph, QualityAudit, TableDiff}
+
+/** Unit semantics for the round-4 pipeline operators: ordered funnel,
+  * fixed-point PageRank, snapshot diff, quality audit. The judged oracle
+  * queries (ev16-ev19, gr01, q34, q36) gate these on real tables; the cases
+  * here pin hand-computable fixtures and the degenerate shapes the oracle
+  * can't reach.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: step k counts only strictly after step k-1") {
+    val ev = Seq(
+      // user 1: view -> click -> purchase in order: reached 3
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: purchase BEFORE the click -> stalls at 2
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:01:00")),
+      (2L, "click", ts("2024-01-01 10:02:00")),
+      // user 3: click at EXACTLY the view time (not strictly after) -> 1
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-01 10:00:00")),
+      // user 4: never views -> 0 even though it clicks
+      (4L, "click", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.stepTimes(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+    val reached = out.select("user_id", "reached").as[(Long, Int)].collect().toMap
+    assert(reached === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+  }
+
+  test("funnel: one exchange total — window passes and groupBy share it") {
+    val ev = Seq((1L, "view", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Funnel.stepTimes(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.size === 1, out.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
+  test("pagerank: two-node cycle stays symmetric, star center outranks leaves") {
+    // cycle: a<->b — equal ranks by symmetry
+    val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rCycle = Graph.pageRankFixedPoint(spark, cycle, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rCycle(1L) === rCycle(2L))
+    // undirected star 0-{1,2,3}: center accumulates leaf mass
+    val starHalf = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val star = starHalf.union(starHalf.select($"dst".as("src"), $"src".as("dst")))
+    val rStar = Graph.pageRankFixedPoint(spark, star, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rStar(0L) > rStar(1L))
+    assert(rStar(1L) === rStar(2L) && rStar(2L) === rStar(3L))
+  }
+
+  test("pagerank: rank mass is deterministic across partition counts") {
+    val e = (0L until 40L).map(i => (i, (i * 7 + 1) % 40)).toDF("src", "dst")
+    val r8 = Graph.pageRankFixedPoint(spark, e.repartition(8), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val r1 = Graph.pageRankFixedPoint(spark, e.coalesce(1), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r8 === r1)
+  }
+
+  test("table diff: all four statuses, null-safe payload compare") {
+    val v1 = Seq((1L, Option("a"), 10.0), (2L, Option("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Option("d"), 40.0))
+      .toDF("k", "s", "x")
+    val v2 = Seq((1L, Option("a"), 10.0), (2L, Option("B"), 20.0),
+      (3L, None: Option[String], 30.0), (5L, Option("e"), 50.0))
+      .toDF("k", "s", "x")
+    val out = TableDiff.diff(v1, v2, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // null == null payload is unchanged (null-safe)
+      4L -> "removed", 5L -> "added"))
+  }
+
+  test("quality audit: nulls, cardinality, range; strings have null range") {
+    val df = Seq(
+      (Option(1.0), Option("x")),
+      (Option(3.5), None: Option[String]),
+      (None: Option[Double], Option("x"))
+    ).toDF("num", "str")
+    val rows = QualityAudit.audit(df, Seq("num"), Seq("str"))
+      .orderBy("column").collect()
+    assert(rows.length === 2)
+    val Array(num, str) = rows
+    assert(num === Row("num", 1L, 2L, 1.0, 3.5))
+    assert(str === Row("str", 1L, 1L, null, null))
+  }
+}
