@@ -348,7 +348,70 @@ object StreamQueries {
       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY batch_id""".stripMargin
 
+  /** Watermark LATE-DATA DROP — the semantics st10 deliberately cannot
+    * reach (its time split means nothing is ever late): the oldest quarter
+    * of events is withheld and replayed LAST, after the watermark has moved
+    * weeks past their window ends, so Spark must drop every one of them
+    * before they touch state. The replay needs THREE microbatches, not two:
+    * since SPARK-40925 (watermark propagation across operators) a stateful
+    * operator filters late rows in batch N with the watermark of batch N−1
+    * and only EVICTS with the batch-N watermark — a late file in batch 1
+    * meets the still-epoch batch-0 watermark and leaks into state (measured
+    * here: numRowsDroppedByWatermark=0, the late quarter emitted). So:
+    * batch 0 = [q1, mid) seeds the watermark, batch 1 = [mid, hi] advances
+    * it, batch 2 = the withheld [lo, q1) rows, which now meet the batch-1
+    * watermark (≈ mid − 1 h, weeks ahead of their windows) and are all
+    * dropped (numRowsDroppedByWatermark > 0, late rows never touch state).
+    * The drop predicate is per-group (window end ≤ late-event watermark),
+    * so on-time rows sharing a boundary window survive — the oracle mirrors
+    * exactly that: aggregate rows with ts ≥ q1 only, emit windows the final
+    * watermark closed. If late rows leaked into state (no drop) or whole
+    * windows vanished (over-drop), counts hash-mismatch.
+    */
+  private def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables(spark, dir).events
+      .select(col("ts"), col("event_type"), col("value"))
+    val Array(loM, hiM) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val q1  = loM + (hiM - loM) / 4
+    val mid = loM + (hiM - loM) / 2
+    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
+      s"/roundtrip/stream_late_${System.nanoTime()}"
+    // Three time-ordered-then-late files; mtime fixes replay order (file
+    // source sorts by modification time), the sleeps guard ms-granularity.
+    ev.where(unix_micros(col("ts")) >= q1 && unix_micros(col("ts")) < mid)
+      .coalesce(1).write.parquet(s"$out/in")
+    Thread.sleep(100)
+    ev.where(unix_micros(col("ts")) >= mid)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    Thread.sleep(100)
+    ev.where(unix_micros(col("ts")) < q1)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    val src = spark.readStream.schema(twoBatchSchema(spark, dir))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val agg = StreamOps.tumblingCounts(src, "10 minutes", "1 hour")
+    StreamOps.runToMemory(spark, agg,
+        s"graft_stream_late_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy(col("w_start"), col("event_type"))
+  }
+  private val streamLateDataSql =
+    """WITH b AS (SELECT epoch_us(min(ts)) +
+      |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 4 AS q1,
+      |    max(ts) - INTERVAL '1 hour' AS wm FROM events)
+      |SELECT w_start, event_type, n, total_value FROM (
+      |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |  FROM events WHERE epoch_us(ts) >= (SELECT q1 FROM b)
+      |  GROUP BY 1, 2) t
+      |WHERE w_start + INTERVAL '10 minutes' <= (SELECT wm FROM b)
+      |ORDER BY w_start, event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st12_late_data_drop"    -> QueryDef(streamLateData, Some(streamLateDataSql)),
     "st11_foreach_batch"     -> QueryDef(streamForeachBatch, Some(streamForeachBatchSql)),
     "st10_stream_multibatch" -> QueryDef(streamMultibatch, Some(streamMultibatchSql)),
     "st09_stream_static_join" -> QueryDef(streamStaticJoin, Some(streamStaticJoinSql)),
