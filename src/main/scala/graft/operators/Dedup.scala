@@ -34,6 +34,48 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** SPAN-level dedup (the C4/CCNet move): documents are cut into fixed
+    * `segLen`-char non-overlapping spans, each span is deduplicated across
+    * the WHOLE corpus (first occurrence in (id, offset) order wins), and
+    * every document is rebuilt from its surviving spans — so a page whose
+    * boilerplate repeats on a million other pages keeps its unique body
+    * and loses the boilerplate, which whole-document dedup cannot do.
+    * Two shuffles, both narrow: (1) span winners via
+    * `groupBy(xxhash64(span)).agg(min_by(...))` — partial-aggregable, so
+    * map-side combine collapses repeats before the exchange and the wire
+    * carries one candidate per distinct span hash (16 B key + one span
+    * payload), not one row per occurrence; (2) rebuild via
+    * `groupBy(id).agg(collect_list)`. The 64-bit span key has the same
+    * collision posture as [[exactByHash]] (P ≈ n²/2⁶⁵). Docs whose every
+    * span was claimed elsewhere survive with empty text (left join), so
+    * downstream length filters see them.
+    */
+  def dedupSpans(
+      docs: DataFrame,
+      segLen: Int = 120,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val segs = Chunking.chunk(docs, segLen, segLen, idCol, textCol)
+    val winners = segs
+      .withColumn("h", xxhash64(col("chunk")))
+      .groupBy(col("h"))
+      .agg(min_by(struct(col(idCol), col("chunk_ix"), col("chunk")),
+        struct(col(idCol), col("chunk_ix"))).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("w.chunk_ix").as("chunk_ix"),
+        col("w.chunk").as("chunk"))
+    val rebuilt = winners
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("chunk_ix"), col("chunk")))),
+          s => s.getField("chunk"))).as("text_dedup"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Distinct whitespace tokens per doc, with a document-frequency cap.
     * The DF cap (`maxDf`) is prefix-filtering for the inverted-index join:
     * ubiquitous tokens (Zipf head — the same skew the reference's log-scale

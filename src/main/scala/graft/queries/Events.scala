@@ -614,7 +614,74 @@ object Events {
       |       FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
       |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
 
+  /** MERGE / upsert ([[Merge.upsert]]): a deterministic change feed —
+    * updates (key % 13), deletes (% 17), inserts (negated keys), plus two
+    * noise classes that exercise the ignore rules (an INSERT whose key
+    * already exists must keep the base row; an UPDATE whose key doesn't
+    * exist must do nothing) — applied to the orders snapshot in one
+    * full-outer join. The oracle replays the same feed with an explicit
+    * CASE; a dropped base row, leaked ghost update, or double-applied
+    * insert changes the row set and hash-mismatches.
+    */
+  private def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val k = col("o_orderkey")
+    val upd = o.where(k % 13 === 0)
+      .select(k.as("o_orderkey"), lit("U").as("op"), col("o_custkey"),
+        lit("U+").as("o_orderstatus"),
+        (col("o_totalprice") + lit(1.0)).as("o_totalprice"))
+    val del = o.where(k % 17 === 3 && k % 13 =!= 0)
+      .select(k.as("o_orderkey"), lit("D").as("op"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val ins = o.where(k % 19 === 5)
+      .select((k * -1).as("o_orderkey"), lit("I").as("op"), col("o_custkey"),
+        lit("NEW").as("o_orderstatus"), col("o_totalprice"))
+    val insMatched = o.where(k % 29 === 11 && k % 17 =!= 3 && k % 13 =!= 0)
+      .select(k.as("o_orderkey"), lit("I").as("op"), col("o_custkey"),
+        lit("XX").as("o_orderstatus"), lit(0.0).as("o_totalprice"))
+    val updUnmatched = o.where(k % 23 === 7)
+      .select((k * -1 - 1000000000L).as("o_orderkey"), lit("U").as("op"),
+        col("o_custkey"), lit("GHOST").as("o_orderstatus"),
+        col("o_totalprice"))
+    val changes = upd.unionAll(del).unionAll(ins)
+      .unionAll(insMatched).unionAll(updUnmatched)
+    graft.operators.Merge.upsert(o, changes, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val mergeUpsertSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey, 'U' AS op, o_custkey, 'U+' AS o_orderstatus,
+      |    o_totalprice + 1.0 AS o_totalprice FROM base WHERE o_orderkey % 13 = 0
+      |  UNION ALL SELECT o_orderkey, 'D', o_custkey, o_orderstatus, o_totalprice
+      |    FROM base WHERE o_orderkey % 17 = 3 AND o_orderkey % 13 <> 0
+      |  UNION ALL SELECT -o_orderkey, 'I', o_custkey, 'NEW', o_totalprice
+      |    FROM base WHERE o_orderkey % 19 = 5
+      |  UNION ALL SELECT o_orderkey, 'I', o_custkey, 'XX', 0.0
+      |    FROM base WHERE o_orderkey % 29 = 11 AND o_orderkey % 17 <> 3 AND o_orderkey % 13 <> 0
+      |  UNION ALL SELECT -o_orderkey - 1000000000, 'U', o_custkey, 'GHOST', o_totalprice
+      |    FROM base WHERE o_orderkey % 23 = 7),
+      |m AS (
+      |  SELECT b.o_orderkey AS bk, b.o_custkey AS bc, b.o_orderstatus AS bs,
+      |    b.o_totalprice AS bp, c.o_orderkey AS ck, c.op, c.o_custkey AS cc,
+      |    c.o_orderstatus AS cs, c.o_totalprice AS cp
+      |  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey)
+      |SELECT coalesce(bk, ck) AS o_orderkey,
+      |  CASE WHEN (op = 'U' AND bk IS NOT NULL) OR (op = 'I' AND bk IS NULL)
+      |    THEN cc ELSE bc END AS o_custkey,
+      |  CASE WHEN (op = 'U' AND bk IS NOT NULL) OR (op = 'I' AND bk IS NULL)
+      |    THEN cs ELSE bs END AS o_orderstatus,
+      |  CASE WHEN (op = 'U' AND bk IS NOT NULL) OR (op = 'I' AND bk IS NULL)
+      |    THEN cp ELSE bp END AS o_totalprice
+      |FROM m
+      |WHERE op IS NULL OR op = 'I' OR (op = 'U' AND bk IS NOT NULL)
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev20_merge_upsert"    -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
     "ev16_funnel"          -> QueryDef(funnel, Some(funnelSql)),
     "ev17_retention"       -> QueryDef(retention, Some(retentionSql)),
     "ev18_scd2"            -> QueryDef(scd2, Some(scd2Sql)),

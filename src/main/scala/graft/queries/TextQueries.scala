@@ -69,6 +69,101 @@ object TextQueries {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Gopher-style HARD rule filter (Rae et al. 2021 §A1.1 shape) — the
+    * step between raw crawl and training corpus that tx02's continuous
+    * score deliberately is not: each document passes or fails explicit
+    * structural rules (word count in [30, 10⁴]; mean word length in
+    * [4, 10]; ≥80 % of words alphabetic; ≥2 distinct stopwords), and the
+    * report aggregates per-source fail counts per rule plus survivors.
+    * Pure per-row column arithmetic + one hash agg — the 100 TB shape is
+    * a map stage. Thresholds are set where this corpus actually splits
+    * (word-count p10 ≈ 18, mean-word-length range 3.7–5.1, 64 % of docs
+    * have ≥2 stopwords), so every biting rule is oracle-verified against
+    * DuckDB's independent list-lambda evaluation.
+    */
+  private def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) > 0)
+    val d = Tables(spark, dir).documents.select(col("source"), toks.as("toks"))
+    val nw = size(col("toks"))
+    val charSum = aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+    val nwSafe = greatest(nw, lit(1)).cast("double")
+    val mwl = charSum.cast("double") / nwSafe
+    val alphaFrac = size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / nwSafe
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val nStop = size(array_intersect(col("toks"), array(stops.map(lit): _*)))
+    val rules = d.select(col("source"),
+      (nw >= 30 && nw <= 10000).as("r_wc"),
+      (mwl >= 4.0 && mwl <= 10.0).as("r_mwl"),
+      (alphaFrac >= 0.8).as("r_alpha"),
+      (nStop >= 2).as("r_stop"))
+    def fails(c: Column): Column = sum(when(!c, 1L).otherwise(0L))
+    rules.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        fails(col("r_wc")).as("fail_wc"),
+        fails(col("r_mwl")).as("fail_mwl"),
+        fails(col("r_alpha")).as("fail_alpha"),
+        fails(col("r_stop")).as("fail_stop"),
+        sum(when(col("r_wc") && col("r_mwl") && col("r_alpha") && col("r_stop"), 1L)
+          .otherwise(0L)).as("n_keep"))
+      .orderBy(col("source"))
+  }
+  private val gopherRulesSql = {
+    val toks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+    s"""WITH f AS (
+       |  SELECT source, toks, len(toks) AS nw,
+       |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
+       |      / greatest(len(toks), 1) AS mwl,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |      / greatest(len(toks), 1) AS alpha_frac,
+       |    len(list_intersect(list_distinct(toks),
+       |      ['the','a','an','and','or','of','to','in','is','it'])) AS n_stop
+       |  FROM (SELECT source, $toks AS toks FROM documents) t),
+       |r AS (
+       |  SELECT source,
+       |    (nw >= 30 AND nw <= 10000) AS r_wc,
+       |    (mwl >= 4.0 AND mwl <= 10.0) AS r_mwl,
+       |    (alpha_frac >= 0.8) AS r_alpha,
+       |    (n_stop >= 2) AS r_stop
+       |  FROM f)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+       |  CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+       |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+       |  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Span-level dedup ([[Dedup.dedupSpans]], the C4/CCNet move): 120-char
+    * spans deduplicated corpus-wide (first (id, offset) occurrence wins),
+    * documents rebuilt from surviving spans — repeated boilerplate is cut
+    * out of otherwise-unique pages. The oracle mirrors span extraction,
+    * first-occurrence choice, and ordered reassembly exactly; a wrong
+    * winner, lost span, or misordered rebuild changes `text_dedup` and
+    * hash-mismatches.
+    */
+  private def dedupSpansQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSpans(Tables(spark, dir).documents, segLen = 120)
+      .orderBy(col("doc_id"))
+  private val dedupSpansSql =
+    """WITH ix AS (
+      |  SELECT doc_id, text,
+      |    CAST(unnest(range(0, CAST(ceil(len(text)/120.0) AS BIGINT))) AS INT) AS chunk_ix
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, chunk_ix, substr(text, chunk_ix*120 + 1, 120) AS chunk FROM ix),
+      |firsts AS (
+      |  SELECT doc_id, chunk_ix, chunk,
+      |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_ix) AS rn
+      |  FROM segs),
+      |rec AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(chunk, '' ORDER BY chunk_ix) AS text_dedup
+      |  FROM firsts WHERE rn = 1 GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(r.text_dedup, '') AS text_dedup
+      |FROM documents d LEFT JOIN rec r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   /** Word-trigram (n-gram) Jaccard near-dup pairs — same inverted-index
     * engine as dd02 but shingled on 3-word n-grams, which are sensitive to
     * word ORDER (token-set Jaccard is not): reordered near-copies score
@@ -932,6 +1027,8 @@ object TextQueries {
     "dd03_minhash_pairs"     -> QueryDef(dedupMinhash, Some(dedupMinhashSql), benchmark = true),
     "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
+    "dd11_span_dedup"        -> QueryDef(dedupSpansQ, Some(dedupSpansSql)),
+    "tx16_gopher_rules"      -> QueryDef(gopherRules, Some(gopherRulesSql)),
     "tx01_text_stats"        -> QueryDef(textStats, Some(textStatsSql)),
     "tx02_quality_score"     -> QueryDef(textQuality, Some(textQualitySql)),
     "tx03_langid"            -> QueryDef(langid, Some(langidSql)),

@@ -188,4 +188,30 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) == sh(2L))
     assert(sh(1L) != sh(4L))
   }
+
+  test("span dedup removes repeated spans, keeps first occurrence, rebuilds in order") {
+    // segLen=4 → doc 1 spans: "aaaa","bbbb","cccc"; doc 2 repeats "bbbb"
+    // between unique spans; doc 3 is entirely doc-1 material; doc 4 empty.
+    val d = Seq(
+      (1L, "aaaabbbbcccc"),
+      (2L, "ddddbbbbeeee"),
+      (3L, "aaaacccc"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupSpans(d, segLen = 4)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 3L, "aaaabbbbcccc"),   // first occurrence of all its spans
+      (2L, 2L, "ddddeeee"),       // interior dup span cut, order kept
+      (3L, 0L, ""),               // every span already claimed by doc 1
+      (4L, 0L, "")))              // empty doc survives as empty, not lost
+  }
+
+  test("span dedup tail shorter than segLen is its own span") {
+    val d = Seq((1L, "aaaabb"), (2L, "bb")).toDF("doc_id", "text")
+    // doc 1 → "aaaa","bb"; doc 2's whole text "bb" duplicates doc 1's tail
+    val r = Dedup.dedupSpans(d, segLen = 4)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 2L, "aaaabb"), (2L, 0L, "")))
+  }
 }
