@@ -500,7 +500,7 @@ object Dedup {
     * 100 TB posture, where executor loss over a multi-round job is the
     * expected case, not the exception.
     */
-  private def ckpt(df: DataFrame): DataFrame = {
+  private[graft] def ckpt(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpoint.dir") match {
       case Some(dir) =>

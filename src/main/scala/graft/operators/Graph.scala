@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * (`//`) and Spark (`div`) agree exactly. Max |Σ| ≈ n·10⁶·850 keeps far
   * inside Long for any n < 10¹⁰ nodes.
   *
-  * Scale shape per iteration: one shuffle — ranks join edges on src
-  * (edges pre-partitioned by src are reused every round; the rank table is
-  * n rows, usually broadcastable), then groupBy(dst) with map-side partial
-  * sums. Driver holds no data. For iteration counts beyond ~10, truncate
-  * lineage with `localCheckpoint`/`checkpoint` exactly as
-  * [[Dedup.connectedComponents]] does (`spark.graft.checkpoint.dir`).
+  * Scale shape: the degree-weighted edge list (outdeg pre-joined, built
+  * once, lineage-cut via [[Dedup.ckpt]]) is the only big table; each
+  * iteration is ONE join against it (the rank table is n rows, usually
+  * broadcastable) plus a groupBy(dst) with map-side partial sums. Driver
+  * holds no data. The per-round lineage cut follows
+  * [[Dedup.connectedComponents]] (`spark.graft.checkpoint.dir` for the
+  * reliable 100 TB form).
   */
 object Graph {
 
@@ -34,17 +35,25 @@ object Graph {
       edges: DataFrame, // columns: src, dst (Long)
       iters: Int): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // Loop-invariant tables, built ONCE and lineage-cut (ckpt): the caller's
+    // edge derivation may be arbitrarily expensive (gr01's is a per-window
+    // co-purchase self-join), and it is referenced three times below plus
+    // once per iteration — without the cut every reference re-executes it.
+    // outdeg is pre-joined into the edge list so the loop body is ONE join
+    // per round (ranks ⋈ weighted edges on src), not two.
+    val e = Dedup.ckpt(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val ew = Dedup.ckpt(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .select(col("src"), col("dst"), col("outdeg")))
+    val nodes = Dedup.ckpt(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = ranks
-        .join(outdeg, ranks("node") === outdeg("src"), "inner")
-        .select(col("node").as("cnode"), expr("rank div outdeg").as("contrib"))
-        .join(e, col("cnode") === e("src"))
-        .select(col("dst"), col("contrib"))
+        .join(ew, ranks("node") === ew("src"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("mass"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left_outer")
