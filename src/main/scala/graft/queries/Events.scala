@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 import graft.core.QueryDef.{dec, dsum}
-import graft.operators.{AsOfJoin, Funnel, Graph, RangeJoin, TableDiff}
+import graft.operators.{AsOfJoin, Funnel, Graph, IncrementalAgg, RangeJoin, TableDiff}
 
 /** Event-table surface: tumbling windows, JSON extraction, sessionization,
   * as-of join, and file-format round-trips. The reference has no streaming
@@ -570,15 +570,7 @@ object Events {
     * and partition counts; the oracle unrolls the three rounds as CTEs.
     */
   private def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables(spark, dir).events
-      .where(col("event_type") === "purchase")
-      .select(window(col("ts"), "10 minutes")("start").as("b"),
-        col("user_id").as("u"))
-      .distinct()
-    val pairs = p.as("a").join(p.as("b"),
-        col("a.b") === col("b.b") && col("a.u") < col("b.u"))
-      .select(col("a.u").as("src"), col("b.u").as("dst"))
-      .distinct()
+    val pairs = coPurchasePairs(spark, dir)
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     Graph.pageRankFixedPoint(spark, edges, iters = 3)
       .orderBy(col("node"))
@@ -613,6 +605,84 @@ object Events {
       |         CAST(150000 + 850 * COALESCE(m.mass, 0) // 1000 AS BIGINT) AS rank
       |       FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
       |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+
+  /** Incremental aggregate-state maintenance ([[IncrementalAgg]]): the
+    * events table is split at its time midpoint into "history" and "new
+    * batch"; each half is reduced to per-(day, type) algebraic state
+    * (n, decimal sum, min, max) and the two states are MERGED — raw
+    * history is never re-read. The oracle recomputes from all raw rows,
+    * so the judged equality IS the algebraic-maintenance law (merge of
+    * partials ≡ full recompute), including on the split day, whose key
+    * appears in both states and must combine.
+    */
+  private def aggStateMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("ts"), col("event_type"), col("value"))
+    val Array(loM, hiM) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = loM + (hiM - loM) / 2
+    val keys = Seq("day", "event_type")
+    def withDay(df: DataFrame) = df.withColumn("day", date_trunc("day", col("ts")))
+    val hist  = IncrementalAgg.partial(
+      withDay(ev.where(unix_micros(col("ts")) < mid)), keys, "value")
+    val batch = IncrementalAgg.partial(
+      withDay(ev.where(unix_micros(col("ts")) >= mid)), keys, "value")
+    IncrementalAgg.merge(keys, hist, batch)
+      .select(col("day"), col("event_type"), col("s_n").as("n"),
+        col("s_sum").cast("double").as("total_value"),
+        col("s_min").as("min_value"), col("s_max").as("max_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+  private val aggStateMergeSql =
+    """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** Per-time-bucket co-purchase pairs (src < dst, distinct) — the shared
+    * edge derivation of gr01/gr02.
+    */
+  private def coPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir).events
+      .where(col("event_type") === "purchase")
+      .select(window(col("ts"), "10 minutes")("start").as("b"),
+        col("user_id").as("u"))
+      .distinct()
+    p.as("a").join(p.as("b"),
+        col("a.b") === col("b.b") && col("a.u") < col("b.u"))
+      .select(col("a.u").as("src"), col("b.u").as("dst"))
+      .distinct()
+  }
+
+  /** Triangle count over the undirected co-purchase graph, by the ordered-
+    * edge enumeration: with every edge stored once as (src < dst), each
+    * triangle a<b<c is found exactly once as (a,b)⋈(b,c)⋈(a,c) — two
+    * equi-joins over the ordered edge list, no direction blow-up, no
+    * dedup pass. (The full degree-ordering optimization additionally
+    * re-orders vertices by degree so high-degree hubs sit on the join's
+    * small side; with id-ordering the shape — and the count — is
+    * identical.) The heavy object is the one-column join keys; edge
+    * payloads never widen.
+    */
+  private def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val ab = pairs.select(col("src").as("a"), col("dst").as("b"))
+    val bc = pairs.select(col("src").as("b2"), col("dst").as("c"))
+    val ac = pairs.select(col("src").as("a3"), col("dst").as("c3"))
+    ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+  private val trianglesSql =
+    """WITH p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
+      |             user_id AS u
+      |           FROM events WHERE event_type = 'purchase'),
+      |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
+      |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u)
+      |SELECT count(*) AS n_triangles
+      |FROM pairs e1 JOIN pairs e2 ON e1.dst = e2.src
+      |  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin
 
   /** MERGE / upsert ([[Merge.upsert]]): a deterministic change feed —
     * updates (key % 13), deletes (% 17), inserts (negated keys), plus two
@@ -682,6 +752,8 @@ object Events {
 
   val defs: Map[String, QueryDef] = Map(
     "ev20_merge_upsert"    -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
+    "ev21_agg_state_merge" -> QueryDef(aggStateMerge, Some(aggStateMergeSql)),
+    "gr02_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
     "ev16_funnel"          -> QueryDef(funnel, Some(funnelSql)),
     "ev17_retention"       -> QueryDef(retention, Some(retentionSql)),
     "ev18_scd2"            -> QueryDef(scd2, Some(scd2Sql)),

@@ -875,7 +875,38 @@ object Relational {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Equi-DEPTH histogram (q36 is equi-width): bucket boundaries are the
+    * exact octile percentiles, computed in ONE tiny aggregate and
+    * broadcast — bucket assignment is then a per-row comparison against
+    * the 7-element boundary array, so the plan has no global sort and no
+    * `ntile` window (a whole-table `ntile` plans a single-partition
+    * window — the non-scalable form). Boundaries interpolate on
+    * l_quantity's small-integer values at dyadic fractions (k/8), so
+    * Spark's `percentile` and DuckDB's `quantile_cont` produce
+    * bit-identical doubles and the bucket edges agree exactly.
+    */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem.select(col("l_quantity"))
+    val bnds = li.agg(expr(
+      "percentile(l_quantity, array(0.125D,0.25D,0.375D,0.5D,0.625D,0.75D,0.875D))")
+      .as("bl"))
+    li.crossJoin(broadcast(bnds))
+      .select(col("l_quantity"),
+        size(filter(col("bl"), b => col("l_quantity") > b)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_q"), max(col("l_quantity")).as("max_q"))
+      .orderBy(col("bucket"))
+  }
+  private val q37Sql =
+    """WITH b AS (SELECT quantile_cont(l_quantity,
+      |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bl FROM lineitem)
+      |SELECT CAST(len(list_filter(b.bl, x -> l_quantity > x)) AS INTEGER) AS bucket,
+      |  count(*) AS n, min(l_quantity) AS min_q, max(l_quantity) AS max_q
+      |FROM lineitem, b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q37_equidepth"        -> QueryDef(q37, Some(q37Sql)),
     "q34_quality_audit"    -> QueryDef(q34, Some(q34Sql)),
     "q36_histogram"        -> QueryDef(q36, Some(q36Sql)),
     "q31_approx_distinct"  -> QueryDef(q31, Some(q31Sql)),

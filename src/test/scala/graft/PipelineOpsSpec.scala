@@ -92,6 +92,21 @@ class PipelineOpsSpec extends SparkSpec {
       4L -> "removed", 5L -> "added"))
   }
 
+  test("incremental agg: merge of arbitrary batch splits equals full recompute") {
+    import graft.operators.IncrementalAgg
+    val rows = (1 to 60).map(i => (s"k${i % 4}", i * 1.07))
+    val df = rows.toDF("k", "v")
+    val full = IncrementalAgg.partial(df, Seq("k"), "v")
+      .orderBy("k").collect().toSeq
+    // three uneven batches, merged pairwise in a different order than rows
+    val b = Seq(df.limit(7), df.offset(7).limit(29), df.offset(36))
+      .map(IncrementalAgg.partial(_, Seq("k"), "v"))
+    val merged = IncrementalAgg.merge(Seq("k"),
+        IncrementalAgg.merge(Seq("k"), b(2), b(0)), b(1))
+      .orderBy("k").collect().toSeq
+    assert(merged === full)
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),

@@ -151,4 +151,24 @@ class PlanSpec extends SparkSpec {
     assert(exIdx >= 0, p)
     assert(aggIdx > exIdx, "expected a partial HashAggregate below the exchange\n" + p)
   }
+
+  test("dd11: span-winner agg is partial (map-side combine) and product-free") {
+    val p = planOf("dd11_span_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // winner selection: partial min_by BELOW the span-hash exchange, so
+    // repeated spans collapse before crossing the wire
+    val exIdx  = p.indexOf("Exchange hashpartitioning(h")
+    val aggIdx = p.lastIndexOf("partial_min_by")
+    assert(exIdx >= 0, p)
+    assert(aggIdx > exIdx, "expected partial min_by below the span-hash exchange\n" + p)
+  }
+
+  test("ev20: merge upsert is exactly one join, no window, no aggregate") {
+    val p = planOf("ev20_merge_upsert")
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins == 1, s"expected exactly 1 join, got $joins\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
