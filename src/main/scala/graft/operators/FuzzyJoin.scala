@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance ≤ 1) self-join by deletion-neighborhood blocking
+  * (FastSS, Bocek et al. 2007): each string emits itself plus every
+  * single-character deletion; two strings within edit distance 1 MUST
+  * share a variant (substitution ⟹ same-index deletions collide;
+  * insertion/deletion ⟹ one string equals the other's deletion; equality
+  * ⟹ self), so an equi-join on the variant finds every true pair and a
+  * cheap exact `levenshtein` verify discards the false candidates the
+  * blocking admits (e.g. "ab"/"ba" share variants at distance 2).
+  *
+  * Scale posture: candidate generation is a per-row flatMap with fan-out
+  * ≤ len+1 — no n² compare anywhere; the join is a plain equi-join on the
+  * variant key (hash the variant at 100 TB so the exchange carries 8-byte
+  * keys), and each true pair is found at most len+1 times, so the
+  * verify+distinct stage is linear in candidates. This is the entity-
+  * resolution primitive: near-identical names/URLs/titles pair up without
+  * a cartesian product.
+  */
+object FuzzyJoin {
+
+  /** All single-character deletions of `s`, plus `s` itself (distinct). */
+  private[graft] def deletionVariants(s: Column): Column = {
+    val dels = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    // guard: sequence(1, 0) would be the DESCENDING sequence [1, 0], not
+    // empty — an empty string contributes only itself
+    array_distinct(when(length(s) === 0, array(s))
+      .otherwise(concat(array(s), dels)))
+  }
+
+  /** Pairs (id_a < id_b) whose strings are within edit distance 1, with
+    * the exact distance.
+    */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val variants = df
+      .select(col(idCol).as("id"), col(strCol).as("s"),
+        explode(deletionVariants(col(strCol))).as("v"))
+    variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("name_a"), col("b.s").as("name_b"))
+      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("d"))
+      .distinct()
+  }
+}

@@ -69,6 +69,25 @@ object TextQueries {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Fuzzy entity resolution ([[FuzzyJoin.editDistance1Pairs]]): customer
+    * names within edit distance 1 pair up via deletion-neighborhood
+    * blocking + exact levenshtein verify. The oracle is the brute-force
+    * quadratic join — the judged equality proves the blocking admits
+    * every true pair (completeness) and the verify kills every false
+    * candidate (precision).
+    */
+  private def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistance1Pairs(
+        Tables(spark, dir).customer, "c_custkey", "c_name")
+      .orderBy(col("id_a"), col("id_b"))
+  private val fuzzyNameJoinSql =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  a.c_name AS name_a, b.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS d
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Gopher-style HARD rule filter (Rae et al. 2021 §A1.1 shape) — the
     * step between raw crawl and training corpus that tx02's continuous
     * score deliberately is not: each document passes or fails explicit
@@ -1029,6 +1048,7 @@ object TextQueries {
     "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
     "dd11_span_dedup"        -> QueryDef(dedupSpansQ, Some(dedupSpansSql)),
     "tx16_gopher_rules"      -> QueryDef(gopherRules, Some(gopherRulesSql)),
+    "dd12_fuzzy_name_join"   -> QueryDef(fuzzyNameJoin, Some(fuzzyNameJoinSql)),
     "tx01_text_stats"        -> QueryDef(textStats, Some(textStatsSql)),
     "tx02_quality_score"     -> QueryDef(textQuality, Some(textQualitySql)),
     "tx03_langid"            -> QueryDef(langid, Some(langidSql)),

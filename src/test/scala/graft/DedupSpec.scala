@@ -207,6 +207,29 @@ class DedupSpec extends SparkSpec {
       (4L, 0L, "")))              // empty doc survives as empty, not lost
   }
 
+  test("fuzzy join finds substitution/insertion/deletion pairs, rejects distance-2") {
+    import graft.operators.FuzzyJoin
+    val d = Seq(
+      (1L, "abcd"),
+      (2L, "abxd"),  // substitution → d=1
+      (3L, "abcde"), // insertion    → d=1 vs 1
+      (4L, "bcd"),   // deletion     → d=1 vs 1
+      (5L, "abcd"),  // exact        → d=0 vs 1
+      (6L, "ba"),    // shares deletion variants with 7 but distance 2
+      (7L, "ab"),
+      (8L, "")       // empty string must not explode the variant generator
+    ).toDF("k", "name")
+    val pairs = FuzzyJoin.editDistance1Pairs(d, "k", "name")
+      .select($"id_a", $"id_b", $"d").as[(Long, Long, Int)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1)
+    assert(pairs((1L, 3L)) == 1)
+    assert(pairs((1L, 4L)) == 1)
+    assert(pairs((1L, 5L)) == 0)
+    assert(!pairs.contains((6L, 7L)), "distance-2 false candidate must be verified away")
+    assert(!pairs.keys.exists(p => p._1 == 8L || p._2 == 8L))
+  }
+
   test("span dedup tail shorter than segLen is its own span") {
     val d = Seq((1L, "aaaabb"), (2L, "bb")).toDF("doc_id", "text")
     // doc 1 → "aaaa","bb"; doc 2's whole text "bb" duplicates doc 1's tail
