@@ -66,4 +66,17 @@ class EdgeCasesSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect()
     assert(pairs.forall(p => p._1 < p._2))
   }
+
+  test("round-4 operators survive empty inputs") {
+    import graft.operators.{FuzzyJoin, IncrementalAgg, Merge}
+    assert(Dedup.dedupSpans(emptyDocs).count() == 0)
+    assert(FuzzyJoin.editDistance1Pairs(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyState = IncrementalAgg.partial(emptyDocs, Seq("doc_id"), "doc_id")
+    assert(IncrementalAgg.merge(Seq("doc_id"), emptyState, emptyState).count() == 0)
+    // empty base + inserts = the inserts; empty feed handled in MergeSpec
+    val ins = Seq((1L, "I", "x")).toDF("doc_id", "op", "text")
+    val r = Merge.upsert(emptyDocs, ins, Seq("doc_id"))
+      .as[(Long, String)].collect().toSeq
+    assert(r == Seq((1L, "x")))
+  }
 }
