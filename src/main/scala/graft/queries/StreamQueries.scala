@@ -348,6 +348,61 @@ object StreamQueries {
       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY batch_id""".stripMargin
 
+  /** UPDATE output mode — the third output-mode semantics (st01/st10
+    * judge Complete and Append): each microbatch emits exactly the
+    * groups it CHANGED, carrying their new cumulative aggregates. With
+    * the two-batch time-split replay, batch 0 must emit the first
+    * half's groups, and batch 1 must emit only groups touched by
+    * second-half rows — but with counts accumulated ACROSS both batches
+    * (the straddling boundary window proves cross-batch state, emitted
+    * twice with growing n). The oracle derives both batch outputs
+    * relationally; a re-emitted unchanged group, a missing changed one,
+    * or a non-cumulative count all hash-mismatch. foreachBatch stamps
+    * batch_id exactly as st11 does.
+    */
+  private def streamUpdateMode(spark: SparkSession, dir: String): DataFrame = {
+    val in  = twoBatchEventsDir(spark, dir)
+    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
+      s"/roundtrip/stream_update_${System.nanoTime()}"
+    val src = spark.readStream.schema(twoBatchSchema(spark, dir))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val agg = StreamOps.tumblingCounts(src, "10 minutes", "1 hour")
+    val writeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(s"$out/data")
+    val q = agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", s"$out/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/data")
+      .select(col("batch_id"), col("w_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("batch_id"), col("w_start"), col("event_type"))
+  }
+  private val streamUpdateModeSql =
+    """WITH b AS (SELECT epoch_us(min(ts)) +
+      |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS mid FROM events),
+      |h1 AS (SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      |         count(*) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |       FROM events WHERE epoch_us(ts) < (SELECT mid FROM b) GROUP BY 1, 2),
+      |t2 AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type
+      |       FROM events WHERE epoch_us(ts) >= (SELECT mid FROM b)),
+      |c2 AS (SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      |         count(*) AS n,
+      |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |       FROM events GROUP BY 1, 2)
+      |SELECT CAST(0 AS BIGINT) AS batch_id, h1.* FROM h1
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT) AS batch_id, c2.*
+      |FROM c2 JOIN t2 USING (w_start, event_type)
+      |ORDER BY batch_id, w_start, event_type""".stripMargin
+
   /** Watermark LATE-DATA DROP — the semantics st10 deliberately cannot
     * reach (its time split means nothing is ever late): the oldest quarter
     * of events is withheld and replayed LAST, after the watermark has moved
@@ -412,6 +467,7 @@ object StreamQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "st12_late_data_drop"    -> QueryDef(streamLateData, Some(streamLateDataSql)),
+    "st13_update_mode"       -> QueryDef(streamUpdateMode, Some(streamUpdateModeSql)),
     "st11_foreach_batch"     -> QueryDef(streamForeachBatch, Some(streamForeachBatchSql)),
     "st10_stream_multibatch" -> QueryDef(streamMultibatch, Some(streamMultibatchSql)),
     "st09_stream_static_join" -> QueryDef(streamStaticJoin, Some(streamStaticJoinSql)),
