@@ -100,21 +100,26 @@ object TextQueries {
     * have ≥2 stopwords), so every biting rule is oracle-verified against
     * DuckDB's independent list-lambda evaluation.
     */
+  /** Shared Gopher rule machinery (tx16 report + tx17 pipeline filter). */
+  private val gopherStops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  private val gopherStopsSql = gopherStops.map(w => s"'$w'").mkString("[", ",", "]")
+  private def gopherRuleCols(toks: Column): (Column, Column, Column, Column) = {
+    val nw = size(toks)
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nwSafe = greatest(nw, lit(1)).cast("double")
+    val mwl = charSum.cast("double") / nwSafe
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nwSafe
+    val nStop = size(array_intersect(toks, array(gopherStops.map(lit): _*)))
+    (nw >= 30 && nw <= 10000, mwl >= 4.0 && mwl <= 10.0,
+      alphaFrac >= 0.8, nStop >= 2)
+  }
+
   private def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) > 0)
     val d = Tables(spark, dir).documents.select(col("source"), toks.as("toks"))
-    val nw = size(col("toks"))
-    val charSum = aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
-    val nwSafe = greatest(nw, lit(1)).cast("double")
-    val mwl = charSum.cast("double") / nwSafe
-    val alphaFrac = size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / nwSafe
-    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-    val nStop = size(array_intersect(col("toks"), array(stops.map(lit): _*)))
+    val (rWc, rMwl, rAlpha, rStop) = gopherRuleCols(col("toks"))
     val rules = d.select(col("source"),
-      (nw >= 30 && nw <= 10000).as("r_wc"),
-      (mwl >= 4.0 && mwl <= 10.0).as("r_mwl"),
-      (alphaFrac >= 0.8).as("r_alpha"),
-      (nStop >= 2).as("r_stop"))
+      rWc.as("r_wc"), rMwl.as("r_mwl"), rAlpha.as("r_alpha"), rStop.as("r_stop"))
     def fails(c: Column): Column = sum(when(!c, 1L).otherwise(0L))
     rules.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -134,8 +139,7 @@ object TextQueries {
        |      / greatest(len(toks), 1) AS mwl,
        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
        |      / greatest(len(toks), 1) AS alpha_frac,
-       |    len(list_intersect(list_distinct(toks),
-       |      ['the','a','an','and','or','of','to','in','is','it'])) AS n_stop
+       |    len(list_intersect(list_distinct(toks), $gopherStopsSql)) AS n_stop
        |  FROM (SELECT source, $toks AS toks FROM documents) t),
        |r AS (
        |  SELECT source,
@@ -151,6 +155,71 @@ object TextQueries {
        |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
        |  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
        |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** END-TO-END curation pipeline — the stages a training-data user runs
+    * DAILY, composed as one judged query so stage INTERACTIONS are gated,
+    * not just stages in isolation: language filter → Gopher hard rules
+    * (shared exprs with tx16) → corpus-wide span dedup over the SURVIVORS
+    * (winners differ from dd11's full-corpus run — the oracle must mirror
+    * the composition, not reuse dd11's) → drop fully-claimed docs →
+    * per-source yield report (docs, tokens, chars). Plan shape: two
+    * narrow dedup shuffles + one id join + one report agg on top of pure
+    * map stages; nothing widens with corpus size except the span table.
+    */
+  private def fullPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) > 0)
+    val (rWc, rMwl, rAlpha, rStop) = gopherRuleCols(toks)
+    val kept = docs.where(col("lang") === "en")
+      .where(rWc && rMwl && rAlpha && rStop)
+      .select(col("doc_id"), col("source"), col("text"))
+    val dd = Dedup.dedupSpans(kept.select(col("doc_id"), col("text")), segLen = 120)
+      .where(col("n_kept") > 0)
+    val outToks = filter(split(trim(col("text_dedup")), "\\s+"), t => length(t) > 0)
+    dd.join(kept.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), size(outToks).as("n_toks"),
+        length(col("text_dedup")).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+  private val fullPipelineSql = {
+    val toks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+    s"""WITH en AS (
+       |  SELECT doc_id, source, text, $toks AS toks FROM documents WHERE lang = 'en'),
+       |g AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text, len(toks) AS nw,
+       |      CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
+       |        / greatest(len(toks), 1) AS mwl,
+       |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |        / greatest(len(toks), 1) AS af,
+       |      len(list_intersect(list_distinct(toks), $gopherStopsSql)) AS ns
+       |    FROM en) t
+       |  WHERE nw >= 30 AND nw <= 10000 AND mwl >= 4.0 AND mwl <= 10.0
+       |    AND af >= 0.8 AND ns >= 2),
+       |ix AS (
+       |  SELECT doc_id, text,
+       |    CAST(unnest(range(0, CAST(ceil(len(text)/120.0) AS BIGINT))) AS INT) AS ci
+       |  FROM g),
+       |segs AS (SELECT doc_id, ci, substr(text, ci*120 + 1, 120) AS chunk FROM ix),
+       |firsts AS (
+       |  SELECT doc_id, ci, chunk,
+       |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+       |  FROM segs),
+       |rec AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(chunk, '' ORDER BY ci) AS td
+       |  FROM firsts WHERE rn = 1 GROUP BY doc_id),
+       |fin AS (
+       |  SELECT g.source, rec.td FROM rec JOIN g USING (doc_id) WHERE rec.n_kept > 0)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len(list_filter(string_split_regex(trim(td), '\\s+'), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+       |  CAST(sum(len(td)) AS BIGINT) AS total_chars
+       |FROM fin GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Span-level dedup ([[Dedup.dedupSpans]], the C4/CCNet move): 120-char
@@ -1049,6 +1118,7 @@ object TextQueries {
     "dd11_span_dedup"        -> QueryDef(dedupSpansQ, Some(dedupSpansSql)),
     "tx16_gopher_rules"      -> QueryDef(gopherRules, Some(gopherRulesSql)),
     "dd12_fuzzy_name_join"   -> QueryDef(fuzzyNameJoin, Some(fuzzyNameJoinSql)),
+    "tx17_full_pipeline"     -> QueryDef(fullPipeline, Some(fullPipelineSql)),
     "tx01_text_stats"        -> QueryDef(textStats, Some(textStatsSql)),
     "tx02_quality_score"     -> QueryDef(textQuality, Some(textQualitySql)),
     "tx03_langid"            -> QueryDef(langid, Some(langidSql)),
