@@ -33,12 +33,17 @@ object FuzzyJoin {
   }
 
   /** Pairs (id_a < id_b) whose strings are within edit distance 1, with
-    * the exact distance.
+    * the exact distance. The join key is `xxhash64(variant)`, not the
+    * variant string: the exchange carries 8-byte keys regardless of
+    * string length, and a 64-bit collision can only ADD a candidate,
+    * never lose one — the exact levenshtein verify below removes it, so
+    * hashing costs nothing in correctness.
     */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val variants = df
       .select(col(idCol).as("id"), col(strCol).as("s"),
-        explode(deletionVariants(col(strCol))).as("v"))
+        explode(deletionVariants(col(strCol))).as("v0"))
+      .select(col("id"), col("s"), xxhash64(col("v0")).as("v"))
     variants.as("a").join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -171,9 +171,12 @@ object TextQueries {
     val docs = Tables(spark, dir).documents
     val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) > 0)
     val (rWc, rMwl, rAlpha, rStop) = gopherRuleCols(toks)
-    val kept = docs.where(col("lang") === "en")
+    // materialized once (ckpt): the HOF-heavy rule filter feeds BOTH the
+    // span-dedup input and the source join-back — without the cut the
+    // filter subtree executes twice
+    val kept = Dedup.ckpt(docs.where(col("lang") === "en")
       .where(rWc && rMwl && rAlpha && rStop)
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("text")))
     val dd = Dedup.dedupSpans(kept.select(col("doc_id"), col("text")), segLen = 120)
       .where(col("n_kept") > 0)
     val outToks = filter(split(trim(col("text_dedup")), "\\s+"), t => length(t) > 0)
