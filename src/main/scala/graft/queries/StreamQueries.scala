@@ -145,6 +145,55 @@ object StreamQueries {
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
 
+  /** LEFT OUTER stream-stream join — the semantics st06's inner form
+    * cannot reach: an unmatched purchase must surface with NULL click
+    * columns, but only once the CLICK-side watermark proves no matching
+    * click can still arrive (cts ≤ pts constraint ⟹ provably unmatched
+    * when click-watermark > pts; Spark emits these on state expiry in the
+    * trailing no-data microbatch). Purchases too close to stream end stay
+    * in state, never emitted — the oracle mirrors that cutoff with the
+    * final global watermark (min of both sides' max ts − 1 h) and the
+    * expiry inequality is pinned by the hash compare.
+    */
+  private def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    def src() = StreamOps.nanosToTs(
+      StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val joined = StreamOps.windowedStreamJoin(
+      purchases, clicks, "p_user", "c_user", "pts", "cts", "10 MINUTES",
+      joinType = "left_outer")
+    StreamOps.runToMemory(spark,
+        joined.select(col("purchase_id"), col("click_id")),
+        s"graft_stream_ojoin_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .groupBy(col("purchase_id"))
+      .agg(count(col("click_id")).as("n_clicks"),
+        min(col("click_id")).as("first_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+  private val streamOuterJoinSql =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      |      WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+      |         - INTERVAL '1 hour' AS w),
+      |j AS (SELECT p.purchase_id, c.click_id, p.ts AS pts
+      |      FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |        AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts)
+      |SELECT purchase_id, count(click_id) AS n_clicks,
+      |  min(click_id) AS first_click_id
+      |FROM j
+      |WHERE click_id IS NOT NULL OR pts < (SELECT w FROM wm)
+      |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin
+
   /** Streaming FILE sink: a stateless streaming transform written to
     * parquet with a checkpoint (the exactly-once file sink — commit log +
     * checkpoint make replays idempotent at 100 TB/day), then read back and
@@ -468,6 +517,7 @@ object StreamQueries {
   val defs: Map[String, QueryDef] = Map(
     "st12_late_data_drop"    -> QueryDef(streamLateData, Some(streamLateDataSql)),
     "st13_update_mode"       -> QueryDef(streamUpdateMode, Some(streamUpdateModeSql)),
+    "st14_outer_stream_join" -> QueryDef(streamOuterJoin, Some(streamOuterJoinSql)),
     "st11_foreach_batch"     -> QueryDef(streamForeachBatch, Some(streamForeachBatchSql)),
     "st10_stream_multibatch" -> QueryDef(streamMultibatch, Some(streamMultibatchSql)),
     "st09_stream_static_join" -> QueryDef(streamStaticJoin, Some(streamStaticJoinSql)),

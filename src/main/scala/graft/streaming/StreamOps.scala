@@ -66,11 +66,13 @@ object StreamOps {
       left: DataFrame, right: DataFrame,
       keyL: String, keyR: String,
       tsL: String, tsR: String,
-      lookback: String): DataFrame =
+      lookback: String,
+      joinType: String = "inner"): DataFrame =
     left.join(right,
       col(keyL) === col(keyR) &&
         col(tsR) >= col(tsL) - expr(s"INTERVAL $lookback") &&
-        col(tsR) <= col(tsL))
+        col(tsR) <= col(tsL),
+      joinType)
 
   /** Custom keyed state: running per-user event count + max value, via
     * flatMapGroupsWithState (the `KeyValueGroupedDataset` state API).
