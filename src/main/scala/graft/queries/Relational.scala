@@ -905,7 +905,47 @@ object Relational {
       |  count(*) AS n, min(l_quantity) AS min_q, max(l_quantity) AS max_q
       |FROM lineitem, b GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Array-function family over per-order quantity lists: collect →
+    * sort_array → slice → array_distinct → higher-order aggregate/exists.
+    * One hash-agg shuffle builds the per-key arrays (map-side partial
+    * collect_list); every list op after that is a per-row projection —
+    * no further exchange, so the plan is O(orders) wide regardless of
+    * corpus size. The HOFs (`aggregate`/`exists`) are CodegenFallback;
+    * acceptable here because arrays are per-order (≤7 elements), not a
+    * corpus-wide hot loop — the [[graft.functions.HashExprs]] pattern is
+    * the escape hatch if a list op ever lands on the per-token path.
+    * All integral outputs are cast to long: the oracle compare is typed
+    * (int32 ≠ int64) and DuckDB `len`/`list_sum` produce BIGINT.
+    */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("q"))).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        size(col("qtys")).cast("long").as("n_items"),
+        col("qtys"),
+        slice(sort_array(col("qtys"), asc = false), 1, 3).as("top3"),
+        size(array_distinct(col("qtys"))).cast("long").as("n_distinct"),
+        aggregate(col("qtys"), lit(0L), (acc, x) => acc + x * x).as("sum_sq"),
+        exists(col("qtys"), _ >= 45).as("has_big"))
+      .orderBy(col("l_orderkey"))
+  }
+  private val q38Sql =
+    """SELECT l_orderkey,
+      |  len(qtys) AS n_items, qtys,
+      |  list_slice(list_reverse_sort(qtys), 1, 3) AS top3,
+      |  CAST(len(list_distinct(qtys)) AS BIGINT) AS n_distinct,
+      |  CAST(list_sum(list_transform(qtys, x -> x*x)) AS BIGINT) AS sum_sq,
+      |  len(list_filter(qtys, x -> x >= 45)) > 0 AS has_big
+      |FROM (SELECT l_orderkey,
+      |        list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+      |      FROM lineitem GROUP BY 1)
+      |ORDER BY l_orderkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q38_array_ops"        -> QueryDef(q38, Some(q38Sql)),
     "q37_equidepth"        -> QueryDef(q37, Some(q37Sql)),
     "q34_quality_audit"    -> QueryDef(q34, Some(q34Sql)),
     "q36_histogram"        -> QueryDef(q36, Some(q36Sql)),
