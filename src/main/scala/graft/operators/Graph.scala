@@ -62,4 +62,43 @@ object Graph {
     }
     ranks
   }
+
+  /** Minimum hop distance from a seed set over a directed edge list,
+    * bounded by `maxHops`: returns `(node, dist)` for every node reachable
+    * in ≤ maxHops hops (seeds at dist 0). Frontier-expansion BFS — each
+    * round joins ONLY the newly-reached frontier (which shrinks as the
+    * reachable set saturates) against the lineage-cut edge list, then
+    * anti-joins the visited set, so per-round shuffle volume is
+    * O(frontier ⋈ edges), never O(n·rounds); nothing returns to the
+    * driver but the per-round empty-frontier probe (a limit-1 existence
+    * job, same convergence shape as [[Dedup.connectedComponents]]).
+    */
+  def hopDistances(
+      spark: SparkSession,
+      edges: DataFrame, // columns: src, dst (Long)
+      seeds: DataFrame, // column: node (Long)
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val e = Dedup.ckpt(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    var visited = Dedup.ckpt(
+      seeds.select(col("node").cast("long")).distinct()
+        .withColumn("dist", lit(0L)))
+    var frontier = visited.select(col("node"))
+    var hop = 1
+    while (hop <= maxHops) {
+      val next = Dedup.ckpt(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(e("dst").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("dist", lit(hop.toLong)))
+      if (next.isEmpty) hop = maxHops + 1
+      else {
+        visited = Dedup.ckpt(visited.union(next))
+        frontier = next.select(col("node"))
+        hop += 1
+      }
+    }
+    visited
+  }
 }

@@ -606,6 +606,40 @@ object Events {
       |       FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
       |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
 
+  /** Bounded-hop shortest paths ([[Graph.hopDistances]], 4 hops) from the
+    * seed users (user_id ≡ 0 mod 13) over the symmetrized co-purchase
+    * graph. Hop distances are integers, so results are exactly comparable
+    * across engines; the oracle is a recursive CTE whose UNION-dedup +
+    * `d < 4` guard bounds the walk to the same ≤4-hop reachable set, with
+    * `min(d)` recovering the BFS distance.
+    */
+  private def shortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = edges.select(col("src").as("node"))
+      .where(col("node") % 13 === 0).distinct()
+    Graph.hopDistances(spark, edges, seeds, maxHops = 4)
+      .orderBy(col("node"))
+  }
+  private val shortestPathSql =
+    """WITH RECURSIVE
+      |p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
+      |        user_id AS u
+      |      FROM events WHERE event_type = 'purchase'),
+      |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
+      |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u),
+      |e AS (SELECT src, dst FROM pairs
+      |      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+      |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 13 = 0),
+      |walk AS (
+      |  SELECT node, 0 AS d FROM seeds
+      |  UNION
+      |  SELECT e.dst AS node, w.d + 1 AS d
+      |  FROM walk w JOIN e ON w.node = e.src WHERE w.d < 4)
+      |SELECT node, CAST(min(d) AS BIGINT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   /** Incremental aggregate-state maintenance ([[IncrementalAgg]]): the
     * events table is split at its time midpoint into "history" and "new
     * batch"; each half is reduced to per-(day, type) algebraic state
@@ -754,6 +788,7 @@ object Events {
     "ev20_merge_upsert"    -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
     "ev21_agg_state_merge" -> QueryDef(aggStateMerge, Some(aggStateMergeSql)),
     "gr02_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
+    "gr03_shortest_path"   -> QueryDef(shortestPath, Some(shortestPathSql)),
     "ev16_funnel"          -> QueryDef(funnel, Some(funnelSql)),
     "ev17_retention"       -> QueryDef(retention, Some(retentionSql)),
     "ev18_scd2"            -> QueryDef(scd2, Some(scd2Sql)),
