@@ -108,6 +108,41 @@ object StreamQueries {
     """SELECT user_id, count(*) AS n, max(value) AS max_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Spark-4 `transformWithState` arbitrary state ([[StreamOps
+    * .perTypeCounts]]): per-user event counts by type in a MapState +
+    * a ValueState total, through the real readStream path on the RocksDB
+    * state store (required by the API; the provider is set for this query
+    * and restored after). One file → one microbatch → the emitted rows are
+    * the final per-(user, type) counts, so the batch GROUP BY oracle with
+    * a per-user window total applies. Counts are integers — engine-exact.
+    */
+  private def streamTws(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = StreamOps.nanosToTs(
+        StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+      StreamOps.runToMemory(spark, StreamOps.perTypeCounts(src),
+          s"graft_stream_tws_${System.nanoTime()}",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append)
+        .select(col("user_id"), col("event_type"), col("n"), col("user_total"))
+        .orderBy(col("user_id"), col("event_type"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+  private val streamTwsSql =
+    """SELECT user_id, event_type, count(*) AS n,
+      |  CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Stream-STREAM windowed join ([[StreamOps.windowedStreamJoin]]): the
     * purchase stream inner-joined to the click stream on user within a
     * 10-minute lookback, then a batch rollup of the joined pairs. Two
@@ -518,6 +553,7 @@ object StreamQueries {
     "st12_late_data_drop"    -> QueryDef(streamLateData, Some(streamLateDataSql)),
     "st13_update_mode"       -> QueryDef(streamUpdateMode, Some(streamUpdateModeSql)),
     "st14_outer_stream_join" -> QueryDef(streamOuterJoin, Some(streamOuterJoinSql)),
+    "st15_transform_with_state" -> QueryDef(streamTws, Some(streamTwsSql)),
     "st11_foreach_batch"     -> QueryDef(streamForeachBatch, Some(streamForeachBatchSql)),
     "st10_stream_multibatch" -> QueryDef(streamMultibatch, Some(streamMultibatchSql)),
     "st09_stream_static_join" -> QueryDef(streamStaticJoin, Some(streamStaticJoinSql)),

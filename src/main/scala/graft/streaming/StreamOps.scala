@@ -98,6 +98,55 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Arbitrary keyed state via the Spark-4 `transformWithState` API
+    * ([[StatefulProcessor]] + typed state variables): per-user counts by
+    * event type. Exercises the capabilities the older
+    * flatMapGroupsWithState path ([[runningUserStats]]) lacks — multiple
+    * named state variables per key, and a composite MapState whose
+    * entries are individually readable/updatable (state-store point
+    * lookups, not a whole-blob rewrite per key — the property that keeps
+    * per-key state O(touched entries) at 100 TB/day). Requires the
+    * RocksDB state-store provider (virtual column families back the
+    * named variables).
+    */
+  final case class TypedEvent(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long, user_total: Long)
+
+  final class PerTypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, TypeCount] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "counts", E.STRING, E.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total", E.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      var t = if (total.exists()) total.get() else 0L
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+        t += 1L
+      }
+      total.update(t)
+      counts.iterator().map { case (tpe, n) => TypeCount(key, tpe, n, t) }
+    }
+  }
+
+  def perTypeCounts(events: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.select(col("user_id"), col("event_type")).as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new PerTypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Drive a streaming DataFrame from a bounded source to completion into
     * an in-memory table and return the final result (used by the judged
     * `stream_*` queries so the true streaming path is oracle-gated).
