@@ -792,6 +792,50 @@ object TextQueries {
        |WHERE ((fp % 10) + 10) % 10 = 0
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Class-balanced deterministic downsampling: every language is cut to
+    * the size of the smallest class, keeping the docs with the lowest
+    * (fnv64(text), doc_id) rank — a content-hash ranking, so the selected
+    * set is reproducible across runs, engines, and partitionings (no RNG,
+    * no seed). The doc_id tiebreak makes the rank total even for duplicate
+    * texts. Shape: one O(classes) aggregate for the cap (broadcast back —
+    * no driver round-trip), one per-class window exchange for the ranks;
+    * if one class dominates at corpus scale, the window partitioning is
+    * the [[graft.operators.Skew]] salting target. The output pins the
+    * exact selected set (id-sum + char-sum), not just the counts.
+    */
+  private def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("len"),
+        TextFunctions.fingerprint64(col("text")).as("fp"))
+    val cap = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("kmin"))
+    docs.withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("fp"), col("doc_id"))))
+      .crossJoin(broadcast(cap))
+      .where(col("rn") <= col("kmin"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("len")).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+  private val balancedSampleSql =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, len, $fnvSignSql AS fp
+       |  FROM (SELECT doc_id, lang, length(text) AS len,
+       |          ${fnvFoldSql("text")} AS h FROM documents) i),
+       |k AS (SELECT min(cnt) AS kmin
+       |      FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang) c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |        ORDER BY fp, doc_id) AS rn FROM f)
+       |SELECT lang, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       |  CAST(sum(len) AS BIGINT) AS kept_chars
+       |FROM r, k WHERE rn <= kmin
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Sequence packing ([[Chunking.packBatches]]): documents assigned to
     * 1000-token batches per source (exclusive running token total div
     * budget), summarized per batch. One window shuffle.
@@ -1134,6 +1178,7 @@ object TextQueries {
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),
     "tx07_chunking"          -> QueryDef(chunking, Some(chunkingSql), benchmark = true),
     "tx08_det_sample"        -> QueryDef(detSample, Some(detSampleSql)),
+    "tx18_balanced_sample"   -> QueryDef(balancedSample, Some(balancedSampleSql)),
     "tx09_seq_pack"          -> QueryDef(seqPack, Some(seqPackSql)),
     "dd07_dup_clusters"      -> QueryDef(dupClusters, Some(dupClustersSql), benchmark = true),
     "dd09_incremental"       -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
