@@ -944,7 +944,44 @@ object Relational {
       |      FROM lineitem GROUP BY 1)
       |ORDER BY l_orderkey""".stripMargin
 
+  /** Z-order (Morton) clustering key ([[graft.functions.LayoutExprs
+    * .zorder16]]): lineitem keyed by the bit-interleave of
+    * (l_partkey, l_suppkey) and summarized per Morton range. The per-range
+    * min/max of BOTH key columns is the judged signal — contiguous Morton
+    * ranges bound both dimensions, which is what makes a z-sorted file
+    * layout prunable on either predicate column from parquet footers at
+    * 100 TB (a single-column sort bounds only itself; see LayoutSpec for
+    * the range-partitioned form). Integer-only — engine-exact. The oracle
+    * mirrors the interleave as a 16-term bit fold.
+    */
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.select(col("l_partkey"), col("l_suppkey"),
+        graft.functions.LayoutExprs.zorder16(
+          pmod(col("l_partkey"), lit(65536L)),
+          pmod(col("l_suppkey"), lit(65536L))).as("zkey"))
+      .withColumn("zbucket", expr("zkey div 4096"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+      .orderBy(col("zbucket"))
+  }
+  private val q39Sql =
+    """WITH z AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(list_sum(list_transform(range(0, 16), i ->
+      |      (((l_partkey % 65536) >> i) & 1) * (1::BIGINT << (2*i)) +
+      |      (((l_suppkey % 65536) >> i) & 1) * (1::BIGINT << (2*i + 1))))
+      |      AS BIGINT) AS zkey
+      |  FROM lineitem)
+      |SELECT zkey // 4096 AS zbucket, count(*) AS n,
+      |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+      |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+      |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q39_zorder_layout"    -> QueryDef(q39, Some(q39Sql)),
     "q38_array_ops"        -> QueryDef(q38, Some(q38Sql)),
     "q37_equidepth"        -> QueryDef(q37, Some(q37Sql)),
     "q34_quality_audit"    -> QueryDef(q34, Some(q34Sql)),
