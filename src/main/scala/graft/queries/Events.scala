@@ -606,6 +606,34 @@ object Events {
       |       FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
       |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
 
+  /** OHLC time-bar downsampling: per (hour, event_type), the first/last/
+    * max/min of `value` — the classic market-data resample, and the shape
+    * every metrics pipeline uses to roll raw events into bars. `min_by`/
+    * `max_by` are partial-aggregable (each partition keeps one candidate
+    * per group, merged by ts order), so the exchange carries O(groups)
+    * rows — no window, no sort. All outputs are comparisons of existing
+    * doubles (no summation), so values are engine-exact. Determinism rides
+    * on ts-uniqueness within each bar (true of the fixture at every SF);
+    * with tie-prone data the ordering key becomes a composite scalar
+    * (epoch_micros·2²⁰ + event_id) on both sides.
+    */
+  private def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "1 hour")("start").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), col("ts")).as("open_v"),
+        max_by(col("value"), col("ts")).as("close_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"))
+      .orderBy(col("hour"), col("event_type"))
+  private val ohlcBarsSql =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+      |  count(*) AS n,
+      |  arg_min(value, ts) AS open_v, arg_max(value, ts) AS close_v,
+      |  max(value) AS high_v, min(value) AS low_v
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
   /** Bounded-hop shortest paths ([[Graph.hopDistances]], 4 hops) from the
     * seed users (user_id ≡ 0 mod 13) over the symmetrized co-purchase
     * graph. Hop distances are integers, so results are exactly comparable
@@ -789,6 +817,7 @@ object Events {
     "ev21_agg_state_merge" -> QueryDef(aggStateMerge, Some(aggStateMergeSql)),
     "gr02_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
     "gr03_shortest_path"   -> QueryDef(shortestPath, Some(shortestPathSql)),
+    "ev23_ohlc_bars"       -> QueryDef(ohlcBars, Some(ohlcBarsSql)),
     "ev16_funnel"          -> QueryDef(funnel, Some(funnelSql)),
     "ev17_retention"       -> QueryDef(retention, Some(retentionSql)),
     "ev18_scd2"            -> QueryDef(scd2, Some(scd2Sql)),

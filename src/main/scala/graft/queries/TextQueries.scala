@@ -836,6 +836,82 @@ object TextQueries {
        |FROM r, k WHERE rn <= kmin
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** BM25 retrieval scoring (rational-idf form) for a fixed 3-term query:
+    * score(D) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * k1=1.2, b=0.75 and idf(t) = (N−df+0.5)/(df+0.5) — the BM25 idf
+    * WITHOUT the ln wrapper, so every operation is correctly-rounded IEEE
+    * (+,−,×,÷ on integers-as-doubles) and the emitted scores are
+    * bit-identical across engines (`ln` is only libm-accurate, which
+    * could flip a near-tie ordering; the ln is monotone per term, so the
+    * variant ranks single-term queries identically and is the documented
+    * scoring contract here). The per-doc sum is an EXPLICIT fixed-order
+    * 3-term add (one conditional sum per query term — each has at most
+    * one row), not a float aggregate, for the same reason. Shape: doc
+    * stats one hash agg; query-term postings filtered at the scan (3
+    * terms ≪ vocabulary); df/globals broadcast; top-k via
+    * TakeOrderedAndProject — no global sort.
+    */
+  private def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("query", "stream", "vector")
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(TextFunctions.tokenize(col("text"))).as("raw"))
+      .select(col("doc_id"), TextFunctions.normalizeToken(col("raw")).as("tok"))
+      .where(TextFunctions.isNonEmptyToken(col("tok")))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val globals = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val dfs = toks.where(col("tok").isin(terms: _*))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val tfs = toks.where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val s = tfs.join(broadcast(dfs), "tok")
+      .join(dl, "doc_id").crossJoin(broadcast(globals))
+      .withColumn("s",
+        ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2) / (col("tf") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))))
+    s.groupBy(col("doc_id"))
+      .agg(sum(when(col("tok") === "query", col("s"))).as("s1"),
+        sum(when(col("tok") === "stream", col("s"))).as("s2"),
+        sum(when(col("tok") === "vector", col("s"))).as("s3"))
+      .select(col("doc_id"),
+        (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
+          coalesce(col("s3"), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+  private val bm25Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |      lower(regexp_replace(unnest(string_split_regex(trim(text), '\s+')), '\W', '', 'g')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |        CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |      FROM dl),
+      |dfs AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |        FROM toks WHERE tok IN ('query', 'stream', 'vector')
+      |        GROUP BY tok),
+      |tfs AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      |        FROM toks WHERE tok IN ('query', 'stream', 'vector')
+      |        GROUP BY doc_id, tok),
+      |s AS (SELECT t.doc_id, t.tok,
+      |        ((g.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |        (t.tf * 2.2 / (t.tf +
+      |          1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / g.avgdl))) AS s
+      |      FROM tfs t JOIN dfs d USING (tok) JOIN dl l USING (doc_id), g),
+      |p AS (SELECT doc_id,
+      |        sum(CASE WHEN tok = 'query'  THEN s END) AS s1,
+      |        sum(CASE WHEN tok = 'stream' THEN s END) AS s2,
+      |        sum(CASE WHEN tok = 'vector' THEN s END) AS s3
+      |      FROM s GROUP BY doc_id)
+      |SELECT doc_id,
+      |  COALESCE(s1, 0.0) + COALESCE(s2, 0.0) + COALESCE(s3, 0.0) AS score
+      |FROM p ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** Sequence packing ([[Chunking.packBatches]]): documents assigned to
     * 1000-token batches per source (exclusive running token total div
     * budget), summarized per batch. One window shuffle.
@@ -1179,6 +1255,7 @@ object TextQueries {
     "tx07_chunking"          -> QueryDef(chunking, Some(chunkingSql), benchmark = true),
     "tx08_det_sample"        -> QueryDef(detSample, Some(detSampleSql)),
     "tx18_balanced_sample"   -> QueryDef(balancedSample, Some(balancedSampleSql)),
+    "tx19_bm25"              -> QueryDef(bm25, Some(bm25Sql)),
     "tx09_seq_pack"          -> QueryDef(seqPack, Some(seqPackSql)),
     "dd07_dup_clusters"      -> QueryDef(dupClusters, Some(dupClustersSql), benchmark = true),
     "dd09_incremental"       -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
