@@ -634,6 +634,31 @@ object Events {
       |  max(value) AS high_v, min(value) AS low_v
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** CDC latest-wins compaction: collapse an event log to one row per key
+    * carrying the most recent payload — the materialize step of every
+    * change-data-capture pipeline (upsert log → current table). One
+    * `max_by` hash aggregate: each partition keeps a single candidate row
+    * per key (map-side combine), the exchange carries O(keys) rows, and
+    * no window/sort is involved — at 100 TB this is the difference
+    * between compaction costing one shuffle of the key set vs a full
+    * per-key sort of the log. Determinism: ts is unique per user in the
+    * fixture (every SF); tie-prone logs order by a composite scalar
+    * (epoch_micros·2²⁰ + seq) instead.
+    */
+  private def cdcLatest(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_changes"),
+        max(col("ts")).as("last_ts"),
+        max_by(col("event_type"), col("ts")).as("last_type"),
+        max_by(col("value"), col("ts")).as("last_value"))
+      .orderBy(col("user_id"))
+  private val cdcLatestSql =
+    """SELECT user_id, count(*) AS n_changes, max(ts) AS last_ts,
+      |  arg_max(event_type, ts) AS last_type,
+      |  arg_max(value, ts) AS last_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Bounded-hop shortest paths ([[Graph.hopDistances]], 4 hops) from the
     * seed users (user_id ≡ 0 mod 13) over the symmetrized co-purchase
     * graph. Hop distances are integers, so results are exactly comparable
@@ -818,6 +843,7 @@ object Events {
     "gr02_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
     "gr03_shortest_path"   -> QueryDef(shortestPath, Some(shortestPathSql)),
     "ev23_ohlc_bars"       -> QueryDef(ohlcBars, Some(ohlcBarsSql)),
+    "ev24_cdc_latest"      -> QueryDef(cdcLatest, Some(cdcLatestSql)),
     "ev16_funnel"          -> QueryDef(funnel, Some(funnelSql)),
     "ev17_retention"       -> QueryDef(retention, Some(retentionSql)),
     "ev18_scd2"            -> QueryDef(scd2, Some(scd2Sql)),
