@@ -171,4 +171,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ev23/ev24: min_by/max_by bars and CDC compaction combine map-side") {
+    for (name <- Seq("ev23_ohlc_bars", "ev24_cdc_latest")) {
+      val p = planOf(name)
+      assert(!p.contains("Window"), s"$name should not plan a window\n" + p)
+      val exIdx  = p.indexOf("Exchange hashpartitioning")
+      val aggIdx = p.lastIndexOf("partial_m") // partial_min_by / partial_max_by
+      assert(exIdx >= 0, p)
+      assert(aggIdx > exIdx,
+        s"$name: expected partial min_by/max_by below the exchange\n" + p)
+    }
+  }
+
+  test("tx19: BM25 broadcasts df/globals; only the 1-row globals nest loops") {
+    val p = planOf("tx19_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the single-row globals table may legitimately broadcast-nest; the
+    // postings join itself must be a hash join
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q38: array family runs on ONE aggregation exchange") {
+    val p = planOf("q38_array_ops")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tx18: balanced sample broadcasts the class cap, no product join") {
+    val p = planOf("tx18_balanced_sample")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // exactly one window pass computes the per-class ranks
+    assert("Window".r.findAllIn(p).size >= 1, p)
+  }
 }
