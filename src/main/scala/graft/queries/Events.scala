@@ -634,6 +634,83 @@ object Events {
       |  max(value) AS high_v, min(value) AS low_v
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Semi-structured props through the Spark-4 VARIANT type: parse_json →
+    * binary variant column → typed `variant_get` path access (plus the
+    * `try_variant_get` missing-path form). Unlike ev02's per-query string
+    * extraction, the variant is the STORE-ONCE form — parse once at
+    * ingest, then every downstream path access is a cheap binary-offset
+    * read instead of a JSON re-parse, which is the 100 TB posture for
+    * schema-on-read columns. Values and nulls are integers/counts —
+    * engine-exact against DuckDB's JSON extraction.
+    */
+  private def variantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("m"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count(col("m")).as("n_missing"))
+      .orderBy(col("event_type"))
+  private val variantPropsSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+      |  count(m) AS n_missing
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |        CAST(json_extract_string(props, '$.missing') AS BIGINT) AS m
+      |      FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The gr03 BFS expressed as a SQL-surface RECURSIVE CTE — Spark 4's
+    * native `WITH RECURSIVE` (UNION ALL form; the fixpoint loop runs
+    * inside the engine, no driver iteration at all). The `d < 4` guard
+    * bounds the walk, `min(d)` collapses the path multiset to BFS
+    * distances, and the oracle runs the SAME recursion (modulo the
+    * 10-minute-bucket dialect spelling), so both engines' recursive
+    * execution is compared end-to-end.
+    */
+  private def recursiveSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).events.createOrReplaceTempView("events_gr04")
+    spark.sql(
+      """WITH RECURSIVE
+        |p AS (SELECT DISTINCT
+        |        timestamp_micros((unix_micros(ts) div 600000000) * 600000000) AS b,
+        |        user_id AS u
+        |      FROM events_gr04 WHERE event_type = 'purchase'),
+        |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
+        |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u),
+        |e AS (SELECT src, dst FROM pairs
+        |      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 13 = 0),
+        |walk AS (
+        |  SELECT node, 0 AS d FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst AS node, w.d + 1 AS d
+        |  FROM walk w JOIN e ON w.node = e.src WHERE w.d < 4)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin)
+  }
+  private val recursiveSqlOracle =
+    """WITH RECURSIVE
+      |p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
+      |        user_id AS u
+      |      FROM events WHERE event_type = 'purchase'),
+      |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
+      |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u),
+      |e AS (SELECT src, dst FROM pairs
+      |      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+      |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 13 = 0),
+      |walk AS (
+      |  SELECT node, 0 AS d FROM seeds
+      |  UNION ALL
+      |  SELECT e.dst AS node, w.d + 1 AS d
+      |  FROM walk w JOIN e ON w.node = e.src WHERE w.d < 4)
+      |SELECT node, CAST(min(d) AS BIGINT) AS dist
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   /** CDC latest-wins compaction: collapse an event log to one row per key
     * carrying the most recent payload — the materialize step of every
     * change-data-capture pipeline (upsert log → current table). One
@@ -844,6 +921,8 @@ object Events {
     "gr03_shortest_path"   -> QueryDef(shortestPath, Some(shortestPathSql)),
     "ev23_ohlc_bars"       -> QueryDef(ohlcBars, Some(ohlcBarsSql)),
     "ev24_cdc_latest"      -> QueryDef(cdcLatest, Some(cdcLatestSql)),
+    "ev25_variant_props"   -> QueryDef(variantProps, Some(variantPropsSql)),
+    "gr04_recursive_cte"   -> QueryDef(recursiveSql, Some(recursiveSqlOracle)),
     "ev16_funnel"          -> QueryDef(funnel, Some(funnelSql)),
     "ev17_retention"       -> QueryDef(retention, Some(retentionSql)),
     "ev18_scd2"            -> QueryDef(scd2, Some(scd2Sql)),

@@ -980,7 +980,70 @@ object Relational {
       |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
       |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
 
+  /** Declarative SQL UDF (Spark 4 `CREATE FUNCTION … RETURN expr`): the
+    * discounted-price formula defined ONCE as a SQL function and reused.
+    * Unlike a Scala/Python UDF, the body is inlined into the plan by
+    * Catalyst — it constant-folds, pushes down, and stays inside
+    * whole-stage codegen, so the abstraction is free at 100 TB where a
+    * closure UDF would break codegen row-by-row. The oracle inlines the
+    * same expression (DuckDB macros would too — inlining is the point).
+    */
+  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem.createOrReplaceTempView("lineitem_q40")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        |RETURNS DOUBLE
+        |RETURN CAST(CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(12,2))) AS DOUBLE)
+        |""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(disc_price(l_extendedprice, l_discount) AS DECIMAL(14,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem_q40 WHERE l_quantity >= 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+  private val q40Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS DECIMAL(14,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem WHERE l_quantity >= 25
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** LATERAL join with per-row LIMIT: for each qualifying order, its two
+    * most expensive line items — the correlated top-N that LATERAL
+    * expresses directly. Catalyst decorrelates the limit into a
+    * rank-filtered join (DecorrelateInnerQuery), so execution is one
+    * shuffle + per-key window, not an O(orders) loop of subqueries —
+    * the decorrelation IS the scale story. Tie-broken by l_linenumber;
+    * integers/exact doubles only.
+    */
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("orders_q41")
+    t.lineitem.createOrReplaceTempView("lineitem_q41")
+    spark.sql(
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM orders_q41 o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice
+        |         FROM lineitem_q41
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        |WHERE o.o_totalprice > 400000
+        |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin)
+  }
+  private val q41Sql =
+    """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+      |FROM orders o,
+      |LATERAL (SELECT l_linenumber, l_extendedprice
+      |         FROM lineitem
+      |         WHERE l_orderkey = o.o_orderkey
+      |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+      |WHERE o.o_totalprice > 400000
+      |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q40_sql_udf"          -> QueryDef(q40, Some(q40Sql)),
+    "q41_lateral_topk"     -> QueryDef(q41, Some(q41Sql)),
     "q39_zorder_layout"    -> QueryDef(q39, Some(q39Sql)),
     "q38_array_ops"        -> QueryDef(q38, Some(q38Sql)),
     "q37_equidepth"        -> QueryDef(q37, Some(q37Sql)),
