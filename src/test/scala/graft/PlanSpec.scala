@@ -200,6 +200,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q41: lateral top-N decorrelates to WindowGroupLimit, partial before exchange") {
+    val p = planOf("q41_lateral_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // rank-limit pushdown: a Partial WindowGroupLimit keeps ≤N rows per
+    // key BEFORE the shuffle — the decorrelated form the docstring claims
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
+  test("gr04: recursive CTE plans the native UnionLoop fixpoint operator") {
+    val p = planOf("gr04_recursive_cte")
+    assert(p.contains("UnionLoop"), p)
+    // BFS collapse aggregates partially below the exchange
+    assert(p.contains("partial_min"), p)
+  }
+
   test("tx18: balanced sample broadcasts the class cap, no product join") {
     val p = planOf("tx18_balanced_sample")
     assert(!p.contains("CartesianProduct"), p)
