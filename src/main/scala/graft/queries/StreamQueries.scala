@@ -108,6 +108,37 @@ object StreamQueries {
     """SELECT user_id, count(*) AS n, max(value) AS max_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming OHLC bars — ev23's `min_by`/`max_by` time-bar compaction
+    * as a watermarked streaming aggregation: the first/last/extreme
+    * values accumulate IN STATE per (window, type) as batches arrive (the
+    * state is one candidate row per bar, not the bar's events — bounded
+    * regardless of event rate), proving the bar operator is
+    * batch/stream-parity. One file → one batch → final bars equal the
+    * batch oracle; comparison-only doubles, engine-exact.
+    */
+  private def streamOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.nanosToTs(
+      StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+    val bars = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), col("ts")).as("open_v"),
+        max_by(col("value"), col("ts")).as("close_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("open_v"), col("close_v"), col("high_v"), col("low_v"))
+    StreamOps.runToMemory(spark, bars,
+        s"graft_stream_ohlc_${System.nanoTime()}")
+      .orderBy(col("hour"), col("event_type"))
+  }
+  private val streamOhlcSql =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+      |  count(*) AS n,
+      |  arg_min(value, ts) AS open_v, arg_max(value, ts) AS close_v,
+      |  max(value) AS high_v, min(value) AS low_v
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
   /** Spark-4 `transformWithState` arbitrary state ([[StreamOps
     * .perTypeCounts]]): per-user event counts by type in a MapState +
     * a ValueState total, through the real readStream path on the RocksDB
@@ -554,6 +585,7 @@ object StreamQueries {
     "st13_update_mode"       -> QueryDef(streamUpdateMode, Some(streamUpdateModeSql)),
     "st14_outer_stream_join" -> QueryDef(streamOuterJoin, Some(streamOuterJoinSql)),
     "st15_transform_with_state" -> QueryDef(streamTws, Some(streamTwsSql)),
+    "st16_stream_ohlc"       -> QueryDef(streamOhlc, Some(streamOhlcSql)),
     "st11_foreach_batch"     -> QueryDef(streamForeachBatch, Some(streamForeachBatchSql)),
     "st10_stream_multibatch" -> QueryDef(streamMultibatch, Some(streamMultibatchSql)),
     "st09_stream_static_join" -> QueryDef(streamStaticJoin, Some(streamStaticJoinSql)),

@@ -980,6 +980,45 @@ object TextQueries {
       |SELECT id AS doc_id, min(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Byte-exact media dedup over the BINARY payload column: identical
+    * payloads collapse to the min media_id, reporting copies and bytes
+    * reclaimed. Grouping is on the raw binary (Spark hash-aggregates
+    * BinaryType directly) — correct and judged here; at real media sizes
+    * the production form is hash-first (dd06: 16-byte digest shuffle,
+    * then byte-verify only within digest buckets) so payloads cross the
+    * wire once per COLLIDING group, not per row. The oracle mirrors via
+    * the text the payload encodes (payload = UTF-8(text), so byte
+    * equality ≡ string equality and strlen = octet count).
+    */
+  private def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the fixture has no byte-identical docs, so derive the duplicate
+    // scenario every media pipeline faces — a re-uploaded batch (every
+    // 10th doc re-ingested under a new id), same construction style as
+    // ev18/ev20's derived change streams
+    val docs = Tables(spark, dir).documents
+    val reupload = docs.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    Multimodal.asMediaTable(docs.unionByName(reupload))
+      .groupBy(col("payload"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        max(col("meta.n_bytes")).as("n_bytes"))
+      .where(col("n_copies") >= 2)
+      .select(col("keep_id"), col("n_copies"),
+        (col("n_bytes") * (col("n_copies") - 1)).as("bytes_saved"))
+      .orderBy(col("keep_id"))
+  }
+  private val mediaDedupSql =
+    """WITH d AS (SELECT doc_id, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 1000000, text FROM documents
+      |           WHERE doc_id % 10 = 0)
+      |SELECT keep_id, n_copies,
+      |  CAST(n_bytes * (n_copies - 1) AS BIGINT) AS bytes_saved
+      |FROM (SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      |        CAST(max(strlen(text)) AS BIGINT) AS n_bytes
+      |      FROM d GROUP BY text) t
+      |WHERE n_copies >= 2 ORDER BY keep_id""".stripMargin
+
   /** Frame sampling ([[Multimodal.sampleFrames]], 64-byte frames, keep
     * every 2nd): frame counts + the kept-frame index list (joined to a
     * string — the driver gate compares scalars, not arrays).
@@ -1251,6 +1290,7 @@ object TextQueries {
     "mm02_payload_bytes"     -> QueryDef(mediaBytes, Some(mediaBytesSql)),
     "mm03_resize"            -> QueryDef(mediaResize, Some(mediaResizeSql)),
     "mm04_sample_frames"     -> QueryDef(sampleFramesQ, Some(sampleFramesSql)),
+    "mm05_payload_dedup"     -> QueryDef(mediaDedup, Some(mediaDedupSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),
     "tx07_chunking"          -> QueryDef(chunking, Some(chunkingSql), benchmark = true),
     "tx08_det_sample"        -> QueryDef(detSample, Some(detSampleSql)),
