@@ -33,6 +33,36 @@ object VectorQueries {
       |  WHERE q.vec_id < 10) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** FILTERED vector search — the production RAG shape: top-k among only
+    * the corpus vectors passing a metadata predicate (label ≤ 4 here;
+    * tenant/language/recency in practice). PRE-filtering is the correct
+    * form: the predicate pushes to the corpus scan, the search runs over
+    * survivors, and recall is exact over the filtered set — where a
+    * post-filtered ANN index drops below k results whenever the predicate
+    * is selective inside the returned candidates. At IVF scale the same
+    * predicate applies before cell assignment, shrinking every posting
+    * list it touches.
+    */
+  private def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("label") <= 4), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val annFilteredSql =
+    """SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id <> c.vec_id AND c.label <= 4
+      |  WHERE q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** LSH-bucketed approximate top-3 — the scale path (one bucket-key
     * shuffle instead of a corpus × queries product). The SRP hyperplanes
     * are deterministic (hash-derived), so the oracle interpolates the SAME
@@ -270,6 +300,7 @@ object VectorQueries {
   val defs: Map[String, QueryDef] = Map(
     "ann06_ivfpq_topk"      -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "ann01_bruteforce_topk" -> QueryDef(annBrute, Some(annBruteSql), benchmark = true),
+    "ann07_filtered_topk"   -> QueryDef(annFiltered, Some(annFilteredSql)),
     "ann02_lsh_topk"        -> QueryDef(annLsh, Some(annLshSql), benchmark = true),
     "ann05_ivf_topk"        -> QueryDef(annIvf, Some(annIvfSql)),
     "ann03_embedding_dups"  -> QueryDef(embDup, Some(embDupSql)),
