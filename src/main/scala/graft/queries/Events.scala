@@ -634,6 +634,44 @@ object Events {
       |  max(value) AS high_v, min(value) AS low_v
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Peak-concurrency sweep line: per-(user, day) activity intervals
+    * become ±1 boundary deltas; a running sum ordered by (t, start-first)
+    * gives instantaneous concurrency, maxed per day. The classic
+    * interval-overlap aggregation without an interval self-join — O(n)
+    * deltas and ONE window pass, vs the O(n²) overlap join a naive
+    * formulation pays. The sweep partitions by day (intervals are
+    * day-contained by construction), so no global-order single-partition
+    * window exists at scale; start-before-end at equal t (d DESC) pins
+    * inclusive-boundary semantics, and the per-day max is invariant to
+    * any remaining intra-tie order.
+    */
+  private def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables(spark, dir).events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val deltas = iv.select(col("day"), col("s").as("t"), lit(1L).as("d"))
+      .unionByName(iv.select(col("day"), col("e").as("t"), lit(-1L).as("d")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("running", sum(col("d")).over(w))
+      .groupBy(col("day"))
+      .agg(sum(when(col("d") === 1L, 1L)).as("n_sessions"),
+        max(col("running")).as("peak"))
+      .orderBy(col("day"))
+  }
+  private val concurrencySql =
+    """WITH iv AS (SELECT user_id, date_trunc('day', ts) AS day,
+      |              min(ts) AS s, max(ts) AS e
+      |            FROM events GROUP BY 1, 2),
+      |deltas AS (SELECT day, s AS t, 1 AS d FROM iv
+      |           UNION ALL SELECT day, e AS t, -1 AS d FROM iv),
+      |r AS (SELECT day, d, sum(d) OVER (PARTITION BY day ORDER BY t, d DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |      FROM deltas)
+      |SELECT day, CAST(sum(CASE WHEN d = 1 THEN 1 END) AS BIGINT) AS n_sessions,
+      |  CAST(max(running) AS BIGINT) AS peak
+      |FROM r GROUP BY day ORDER BY day""".stripMargin
+
   /** Semi-structured props through the Spark-4 VARIANT type: parse_json →
     * binary variant column → typed `variant_get` path access (plus the
     * `try_variant_get` missing-path form). Unlike ev02's per-query string
@@ -923,6 +961,7 @@ object Events {
     "ev24_cdc_latest"      -> QueryDef(cdcLatest, Some(cdcLatestSql)),
     "ev25_variant_props"   -> QueryDef(variantProps, Some(variantPropsSql)),
     "gr04_recursive_cte"   -> QueryDef(recursiveSql, Some(recursiveSqlOracle)),
+    "ev26_concurrency"     -> QueryDef(concurrency, Some(concurrencySql)),
     "ev16_funnel"          -> QueryDef(funnel, Some(funnelSql)),
     "ev17_retention"       -> QueryDef(retention, Some(retentionSql)),
     "ev18_scd2"            -> QueryDef(scd2, Some(scd2Sql)),

@@ -980,6 +980,44 @@ object TextQueries {
       |SELECT id AS doc_id, min(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Corpus bigram statistics (LM co-occurrence counts): consecutive
+    * normalized-token pairs, global top-30. The pairing is PER-ROW array
+    * zipping (slice + arrays_zip + explode) — no per-document window, no
+    * position shuffle; the only exchange is the final count aggregation
+    * (map-side combined), so the plan is the same two-stage shape as word
+    * count no matter how long documents get. The HOF normalize runs once
+    * per token (CodegenFallback acceptable off the per-pair hot path; the
+    * [[graft.functions.HashImpl]] native loop is the escape hatch).
+    */
+  private def bigrams(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = filter(
+      transform(TextFunctions.tokenize(col("text")),
+        t => TextFunctions.normalizeToken(t)),
+      t => TextFunctions.isNonEmptyToken(t))
+    Tables(spark, dir).documents
+      .select(cleaned.as("l"))
+      .where(size(col("l")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("l"), lit(1), size(col("l")) - 1).as("w1"),
+        slice(col("l"), lit(2), size(col("l")) - 1).as("w2"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+  private val bigramsSql =
+    """WITH cl AS (
+      |  SELECT list_filter(list_transform(string_split_regex(trim(text), '\s+'),
+      |           t -> lower(regexp_replace(t, '\W', '', 'g'))),
+      |         t -> length(t) > 0) AS l
+      |  FROM documents),
+      |bg AS (
+      |  SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+      |  FROM cl WHERE len(l) >= 2)
+      |SELECT w1, w2, count(*) AS cnt
+      |FROM bg GROUP BY w1, w2
+      |ORDER BY cnt DESC, w1, w2 LIMIT 30""".stripMargin
+
   /** Byte-exact media dedup over the BINARY payload column: identical
     * payloads collapse to the min media_id, reporting copies and bytes
     * reclaimed. Grouping is on the raw binary (Spark hash-aggregates
@@ -1291,6 +1329,7 @@ object TextQueries {
     "mm03_resize"            -> QueryDef(mediaResize, Some(mediaResizeSql)),
     "mm04_sample_frames"     -> QueryDef(sampleFramesQ, Some(sampleFramesSql)),
     "mm05_payload_dedup"     -> QueryDef(mediaDedup, Some(mediaDedupSql)),
+    "tx20_bigrams"           -> QueryDef(bigrams, Some(bigramsSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),
     "tx07_chunking"          -> QueryDef(chunking, Some(chunkingSql), benchmark = true),
     "tx08_det_sample"        -> QueryDef(detSample, Some(detSampleSql)),
