@@ -1041,7 +1041,72 @@ object Relational {
       |WHERE o.o_totalprice > 400000
       |ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber""".stripMargin
 
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL preserve
+    * duplicate cardinality (q11's DISTINCT forms collapse it): for the
+    * quantity multisets of returned vs accepted line items, each value's
+    * intersection count is min(n_a, n_b) and except count is
+    * max(n_a − n_b, 0). Spark plans both as a single aggregate computing
+    * per-side counts then a generator replicating min/max-difference
+    * copies — one shuffle each, no join of the raw multisets.
+    */
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val r = li.where(col("l_returnflag") === "R")
+      .select(col("l_quantity").cast("long").as("q"))
+    val a = li.where(col("l_returnflag") === "A")
+      .select(col("l_quantity").cast("long").as("q"))
+    val inter = r.intersectAll(a).groupBy(col("q"))
+      .agg(count(lit(1)).as("n_inter"))
+    val exc = r.exceptAll(a).groupBy(col("q"))
+      .agg(count(lit(1)).as("n_except"))
+    inter.join(exc, Seq("q"), "full_outer")
+      .select(col("q"), coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+      .orderBy(col("q"))
+  }
+  private val q42Sql =
+    """WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+      |           WHERE l_returnflag = 'R'),
+      |a AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+      |      WHERE l_returnflag = 'A'),
+      |i AS (SELECT q, count(*) AS n_inter
+      |      FROM (SELECT q FROM r INTERSECT ALL SELECT q FROM a) t GROUP BY q),
+      |e AS (SELECT q, count(*) AS n_except
+      |      FROM (SELECT q FROM r EXCEPT ALL SELECT q FROM a) t GROUP BY q)
+      |SELECT COALESCE(i.q, e.q) AS q,
+      |  COALESCE(n_inter, 0) AS n_inter, COALESCE(n_except, 0) AS n_except
+      |FROM i FULL OUTER JOIN e ON i.q = e.q
+      |ORDER BY q""".stripMargin
+
+  /** NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other — the semantics dimension-key joins need when "unknown"
+    * is a real category. Spark accepts null-safe equality as a HASH join
+    * key (the null group hashes like any value), so the plan stays an
+    * equi-join — no fallback to a nested-loop theta join. Every 7th order
+    * key is nulled to make the NULL group load-bearing.
+    */
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    def keyed(tag: String) = o.select(
+      when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("o_orderkey") % 100).as(s"k_$tag"))
+    keyed("a").join(keyed("b"), col("k_a") <=> col("k_b"))
+      .groupBy(col("k_a").as("k"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+  private val q43Sql =
+    """WITH ka AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |             ELSE o_orderkey % 100 END AS k_a FROM orders),
+      |kb AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderkey % 100 END AS k_b FROM orders)
+      |SELECT k_a AS k, count(*) AS n_pairs
+      |FROM ka JOIN kb ON k_a IS NOT DISTINCT FROM k_b
+      |GROUP BY k_a ORDER BY k NULLS FIRST""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q42_set_ops_all"      -> QueryDef(q42, Some(q42Sql)),
+    "q43_nullsafe_join"    -> QueryDef(q43, Some(q43Sql)),
     "q40_sql_udf"          -> QueryDef(q40, Some(q40Sql)),
     "q41_lateral_topk"     -> QueryDef(q41, Some(q41Sql)),
     "q39_zorder_layout"    -> QueryDef(q39, Some(q39Sql)),
