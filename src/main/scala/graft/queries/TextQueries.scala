@@ -980,6 +980,55 @@ object TextQueries {
       |SELECT id AS doc_id, min(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Token-budget curation: per source, keep the highest-quality docs
+    * until a token budget fills (exclusive running sum < budget, so the
+    * crossing doc is kept) — how a training mix is actually assembled
+    * when each source gets a token allowance. Ranking is
+    * (quality DESC, doc_id): the score is [[TextFunctions.qualityScore]]
+    * (engine-exact doubles, proven by tx02) and the id tiebreak totalizes
+    * the order. One per-source window exchange; the selected set is
+    * pinned by id- and token-sums. At corpus scale the running sum stays
+    * a single window pass per source shard — no driver iteration.
+    */
+  private def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .where(col("cum") < 1500L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_kept"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+  }
+  private val budgetSelectSql = {
+    val punct = "CAST(length(regexp_replace(text, '[^.,;:!?''\"-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val toks  = "string_split_regex(trim(lower(text)), '\\s+')"
+    val stopr = s"CAST(len(list_filter($toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
+    s"""WITH s AS (SELECT doc_id, source,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
+       |    + greatest(0.0, 1.0 - ($punct) * 5.0) * 0.3
+       |    + (CASE WHEN ($stopr) > 0.02 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS q
+       |  FROM documents),
+       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+       |        ORDER BY q DESC, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum
+       |      FROM s)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM c WHERE cum < 1500 GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Corpus bigram statistics (LM co-occurrence counts): consecutive
     * normalized-token pairs, global top-30. The pairing is PER-ROW array
     * zipping (slice + arrays_zip + explode) — no per-document window, no
@@ -1330,6 +1379,7 @@ object TextQueries {
     "mm04_sample_frames"     -> QueryDef(sampleFramesQ, Some(sampleFramesSql)),
     "mm05_payload_dedup"     -> QueryDef(mediaDedup, Some(mediaDedupSql)),
     "tx20_bigrams"           -> QueryDef(bigrams, Some(bigramsSql)),
+    "tx21_budget_select"     -> QueryDef(budgetSelect, Some(budgetSelectSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),
     "tx07_chunking"          -> QueryDef(chunking, Some(chunkingSql), benchmark = true),
     "tx08_det_sample"        -> QueryDef(detSample, Some(detSampleSql)),
