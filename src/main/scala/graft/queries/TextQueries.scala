@@ -987,8 +987,12 @@ object TextQueries {
     * (quality DESC, doc_id): the score is [[TextFunctions.qualityScore]]
     * (engine-exact doubles, proven by tx02) and the id tiebreak totalizes
     * the order. One per-source window exchange; the selected set is
-    * pinned by id- and token-sums. At corpus scale the running sum stays
-    * a single window pass per source shard — no driver iteration.
+    * pinned by id- and token-sums. Scale note: a per-source ordered
+    * window is a per-source sort — fine while sources are many and
+    * balanced; when one source dominates, the constant-pass form is a
+    * quality THRESHOLD from a token-weighted approx-percentile (q32
+    * machinery), then a plain filter — same selection to within the
+    * boundary doc, no total order required.
     */
   private def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
