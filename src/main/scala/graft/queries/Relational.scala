@@ -1104,7 +1104,41 @@ object Relational {
       |FROM ka JOIN kb ON k_a IS NOT DISTINCT FROM k_b
       |GROUP BY k_a ORDER BY k NULLS FIRST""".stripMargin
 
+  /** TRY-semantics dirty-data tolerance: a derived string column where
+    * every 5th row is unparseable; `try_cast` yields NULL instead of a
+    * task failure, and the aggregate reports parsed/failed splits. At
+    * 100 TB this is the difference between one bad row killing a stage
+    * retry-loop and the pipeline quantifying its dirt — the ingest
+    * posture for any external feed. Parsed sums run in DECIMAL then cast
+    * (the repo's float-parity rule).
+    */
+  private def q44(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("raw",
+        when(col("event_id") % 5 === 0, concat(col("event_type"), lit("#")))
+          .otherwise(col("event_id").cast("string")))
+      .select(col("event_type"),
+        expr("try_cast(raw AS BIGINT)").as("parsed"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("parsed")).as("n_parsed"),
+        sum(when(col("parsed").isNull, 1L).otherwise(0L)).as("n_dirty"),
+        sum(col("parsed")).as("sum_parsed"))
+      .orderBy(col("event_type"))
+  private val q44Sql =
+    """SELECT event_type, count(*) AS n,
+      |  count(parsed) AS n_parsed,
+      |  CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty,
+      |  CAST(sum(parsed) AS BIGINT) AS sum_parsed
+      |FROM (SELECT event_type,
+      |        TRY_CAST(CASE WHEN event_id % 5 = 0
+      |            THEN event_type || '#'
+      |            ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed
+      |      FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q44_try_functions"    -> QueryDef(q44, Some(q44Sql)),
     "q42_set_ops_all"      -> QueryDef(q42, Some(q42Sql)),
     "q43_nullsafe_join"    -> QueryDef(q43, Some(q43Sql)),
     "q40_sql_udf"          -> QueryDef(q40, Some(q40Sql)),
