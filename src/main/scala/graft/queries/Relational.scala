@@ -1137,7 +1137,129 @@ object Relational {
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** UNPIVOT (wide→long melt): a per-flag aggregate fanned out to one
+    * (flag, metric, value) row per measure. Spark plans `unpivot` as an
+    * Expand over the already-aggregated rows — the melt itself is a pure
+    * map-side generator (3 rows out per row in), so at 100 TB the only
+    * shuffle is the upstream aggregate's; metric names never become a
+    * join. All measures share one DOUBLE value column (exact-decimal sums
+    * surfaced as doubles per the repo's float-parity rule).
+    */
+  private def q45(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_items"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_items")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+  private val q45Sql =
+    """WITH w AS (SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  CAST(count(*) AS DOUBLE) AS n_items
+      |FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, metric, value
+      |FROM w UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_items))
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** Statistical moments (stddev / covariance / correlation) computed
+    * from EXACT decimal power sums, not the engines' native one-pass
+    * moment aggregates: Σx, Σx², Σxy over DECIMAL are associative and
+    * engine/partition-order independent, and the closed-form combination
+    * ((nΣxy − ΣxΣy) / …) is a fixed IEEE expression tree evaluated on
+    * identical doubles — so stddev/corr are bit-identical cross-engine,
+    * which native stddev_samp/corr (double accumulation, order-dependent)
+    * cannot guarantee. Same scale shape as any hash aggregate: partial
+    * sums map-side, one exchange of 6 numbers per group.
+    */
+  private def q46(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sx"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("syy"),
+        sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast("double").as("sxy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1.0)))).as("std_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * (col("n") - lit(1.0)))).as("covar_qp"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q46Sql =
+    """WITH s AS (SELECT l_returnflag,
+      |  CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  sqrt((n*sxx - sx*sx) / (n*(n - 1.0))) AS std_qty,
+      |  (n*sxy - sx*sy) / (n*(n - 1.0)) AS covar_qp,
+      |  (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qp
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** Ordered string aggregation (LISTAGG/string_agg): nation names per
+    * region, concatenated in sorted order. Spark collects per-group then
+    * sorts INSIDE the row (`array_sort` before `array_join`) — the
+    * deterministic form; `collect_list` order alone is partition-order-
+    * dependent and would never hash-match. Grouped concat is inherently
+    * bounded by group size — fine for dimension-sized groups, a smell on
+    * fact-sized ones (that's what tx-series chunking is for).
+    */
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.nation.join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("r_name"))
+  }
+  private val q47Sql =
+    """SELECT r_name, count(*) AS n_nations,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor): integer-exact,
+    * fully associative+commutative, so they combine map-side like any
+    * algebraic aggregate — one exchange of 3 longs per group. bit_xor is
+    * the load-bearing one in practice: it is its own inverse, which makes
+    * it the standard order-independent set-checksum (the same trick
+    * dd07's convergence probe uses with xxhash64).
+    */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_linenumber"))
+      .agg(bit_and(col("l_orderkey")).as("band"),
+        bit_or(col("l_orderkey")).as("bor"),
+        bit_xor(col("l_orderkey")).as("bxor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_linenumber"))
+  }
+  private val q48Sql =
+    """SELECT l_linenumber, bit_and(l_orderkey) AS band,
+      |  bit_or(l_orderkey) AS bor, bit_xor(l_orderkey) AS bxor,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY l_linenumber""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q45_unpivot"          -> QueryDef(q45, Some(q45Sql)),
+    "q46_stats_moments"    -> QueryDef(q46, Some(q46Sql)),
+    "q47_string_agg"       -> QueryDef(q47, Some(q47Sql)),
+    "q48_bit_aggs"         -> QueryDef(q48, Some(q48Sql)),
     "q44_try_functions"    -> QueryDef(q44, Some(q44Sql)),
     "q42_set_ops_all"      -> QueryDef(q42, Some(q42Sql)),
     "q43_nullsafe_join"    -> QueryDef(q43, Some(q43Sql)),
