@@ -398,6 +398,75 @@ object StreamQueries {
     s"$out/in"
   }
 
+  /** CHAINED stateful aggregations — two windowed aggs in ONE streaming
+    * query (multiple-stateful-operator support, SPARK-42376): hourly
+    * tumbling counts per event_type, re-aggregated while still streaming
+    * into per-day max/total/coverage of the hourly series. `window_time`
+    * turns the first agg's window struct back into an event-time column
+    * the second agg can window over — the rollup cascade (minute→hour→day)
+    * every metrics pipeline wants without landing intermediate tables.
+    *
+    * Chained aggs force Append mode, and Append only emits a window once
+    * the watermark passes its end — on a bounded replay the tail windows
+    * would stay trapped in state. The replay therefore appends TWO
+    * far-future SENTINEL files. Two, not one: batch N runs with the
+    * watermark derived from batch N−1's data, so sentinel #1's batch
+    * flushes stage 1's tail hours INTO stage 2, and sentinel #2's batch
+    * is what lets stage 2 emit them — a chain of K stateful operators
+    * needs K post-data watermark advances, without betting on
+    * trigger-dependent no-data flush batches. The sentinels flow through
+    * BOTH aggregates unfiltered and are dropped from the memory-sink
+    * result batch-side: an in-stream `event_type != sentinel` filter gets
+    * pushed below the EventTimeWatermark operator by the optimizer
+    * (it's a deterministic predicate on a non-event-time column), and a
+    * watermark that never sees the sentinel rows never advances —
+    * measured here as the final day staying trapped in stage-2 state.
+    * State stays O(open windows) per stage at 100 TB/day.
+    */
+  private def streamChained(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables(spark, dir).events
+      .select(col("ts"), col("event_type"), col("value"))
+    val hiM = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
+      s"/roundtrip/stream_chained_${System.nanoTime()}"
+    ev.coalesce(1).write.parquet(s"$out/in")
+    Thread.sleep(100) // mtime orders replay (file source sorts by mtime)
+    Seq(30L, 60L).foreach { days =>
+      ev.sparkSession.range(1).select(
+          timestamp_micros(lit(hiM + days * 86400L * 1000000L)).as("ts"),
+          lit("zz_sentinel").as("event_type"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(s"$out/in")
+      Thread.sleep(100)
+    }
+    val src = spark.readStream.schema(twoBatchSchema(spark, dir))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+    val hourly = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_hour"))
+    val daily = hourly
+      .groupBy(window(window_time(col("w")), "1 day").as("d"), col("event_type"))
+      .agg(max(col("n_hour")).as("max_hourly"),
+        sum(col("n_hour")).as("n_day"),
+        count(lit(1)).as("n_hours"))
+      .select(col("d.start").as("d_start"), col("event_type"),
+        col("max_hourly"), col("n_day"), col("n_hours"))
+    StreamOps.runToMemory(spark, daily,
+        s"graft_stream_chained_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .where(col("event_type") =!= "zz_sentinel") // batch-side: see Scaladoc
+      .orderBy(col("d_start"), col("event_type"))
+  }
+  private val streamChainedSql =
+    """WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h_start,
+      |    event_type, count(*) AS n_hour
+      |  FROM events GROUP BY 1, 2)
+      |SELECT time_bucket(INTERVAL '1 day', h_start) AS d_start, event_type,
+      |  max(n_hour) AS max_hourly, CAST(sum(n_hour) AS BIGINT) AS n_day,
+      |  count(*) AS n_hours
+      |FROM h GROUP BY 1, 2 ORDER BY d_start, event_type""".stripMargin
+
   private def twoBatchSchema(spark: SparkSession, dir: String) =
     graft.core.Tables(spark, dir).events
       .select(col("ts"), col("event_type"), col("value")).schema
@@ -586,6 +655,7 @@ object StreamQueries {
     "st14_outer_stream_join" -> QueryDef(streamOuterJoin, Some(streamOuterJoinSql)),
     "st15_transform_with_state" -> QueryDef(streamTws, Some(streamTwsSql)),
     "st16_stream_ohlc"       -> QueryDef(streamOhlc, Some(streamOhlcSql)),
+    "st17_chained_agg"       -> QueryDef(streamChained, Some(streamChainedSql)),
     "st11_foreach_batch"     -> QueryDef(streamForeachBatch, Some(streamForeachBatchSql)),
     "st10_stream_multibatch" -> QueryDef(streamMultibatch, Some(streamMultibatchSql)),
     "st09_stream_static_join" -> QueryDef(streamStaticJoin, Some(streamStaticJoinSql)),
