@@ -216,6 +216,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), p)
   }
 
+  test("q45: unpivot melts via Expand above one agg exchange — no extra shuffle") {
+    val p = planOf("q45_unpivot")
+    assert(p.contains("Expand"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash exchange (the agg's), got $shuffles\n" + p)
+  }
+
+  test("q46: moment power sums aggregate partially below the exchange") {
+    val p = planOf("q46_stats_moments")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the closed-form combination is a pure projection above the final agg
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val exIdx  = p.lastIndexOf("Exchange")
+    assert(aggIdx > exIdx, "expected a partial HashAggregate below the exchange\n" + p)
+  }
+
+  test("q48: bitwise aggregates are two-phase (map-side combine)") {
+    val p = planOf("q48_bit_aggs")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_bit_and") || p.contains("partial_bit"), p)
+  }
+
   test("tx18: balanced sample broadcasts the class cap, no product join") {
     val p = planOf("tx18_balanced_sample")
     assert(!p.contains("CartesianProduct"), p)
