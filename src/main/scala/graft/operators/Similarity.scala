@@ -351,6 +351,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings into `nCells` Voronoi cells, then flag as
+    * duplicates rows that have a LOWER-id neighbor in the SAME cell with
+    * cosine ≥ `threshold` — the greedy keep-first rule, cell-blocked so
+    * the quadratic runs per cell, never across the corpus.
+    *
+    * Output: one row per input vector — (vec_id, cell, kept).
+    *
+    * Plan shape: centroids are literalized ([[nearestCell]]) so cell
+    * assignment is map-side; the within-cell pair join is an equi-join on
+    * cell id (one exchange of (id, cell, vector); no cartesian); the flag
+    * aggregate is keyed on vec_id (partial map-side). At 100 TB grow
+    * nCells with the corpus (cells of ~10³–10⁴ rows keep the per-cell
+    * quadratic bounded — that sizing is the whole SemDeDup trade) and
+    * train centroids offline ([[kmeansCentroids]] on a sample); 16 seed
+    * cells here match the fixture and the oracle's CTE mirror.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      nCells: Int = 16,
+      threshold: Double = 0.3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = collectCentroids(seedCentroids(corpus, nCells, idCol, vecCol))
+    val assigned = c.select(col("vec_id"), col("v"), nearestCell(col("v"), cents).as("cell"))
+    val lowerDups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .where(cosine(col("a.v"), col("b.v")) >= threshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_lower"))
+    assigned.join(lowerDups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("n_lower").isNull.as("kept"))
+  }
+
   /** Approximate top-k via LSH candidates, exact-rescored with cosine.
     * Recall depends on (nPlanes, nTables); exactness of emitted scores does
     * not (candidates are rescored exactly).

@@ -297,7 +297,37 @@ object VectorQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
+    * cell-blocked greedy keep-first over cosine ≥ 0.30. The oracle
+    * mirrors the seed-centroid assignment (same argmax/tie-break as
+    * ann05/ann06) and the lower-id flag rule over exact within-cell
+    * cosines, so blocking AND dedup policy are both hash-gated.
+    */
+  private def semDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables(spark, dir).embeddings,
+        nCells = 16, threshold = 0.30)
+      .orderBy(col("vec_id"))
+  private val semDedupSql =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS mv
+      |          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16) s),
+      |assigned AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.mv) DESC, c.cell) AS rn
+      |    FROM emb e CROSS JOIN cent0 c) t WHERE rn = 1),
+      |lower_dups AS (
+      |  SELECT a.vec_id, count(*) AS n_lower
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id > b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.30
+      |  GROUP BY a.vec_id)
+      |SELECT vec_id, cell, (n_lower IS NULL) AS kept
+      |FROM assigned LEFT JOIN lower_dups USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ann08_semantic_dedup"  -> QueryDef(semDedup, Some(semDedupSql)),
     "ann06_ivfpq_topk"      -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "ann01_bruteforce_topk" -> QueryDef(annBrute, Some(annBruteSql), benchmark = true),
     "ann07_filtered_topk"   -> QueryDef(annFiltered, Some(annFilteredSql)),

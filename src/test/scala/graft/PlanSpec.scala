@@ -238,6 +238,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_bit_and") || p.contains("partial_bit"), p)
   }
 
+  test("ann08: semantic dedup is cell-blocked — equi-join on cell, no cartesian") {
+    val p = planOf("ann08_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the flag aggregate combines map-side before its exchange
+    assert(p.contains("partial_count"), p)
+  }
+
   test("tx18: balanced sample broadcasts the class cap, no product join") {
     val p = planOf("tx18_balanced_sample")
     assert(!p.contains("CartesianProduct"), p)
