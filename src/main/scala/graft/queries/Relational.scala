@@ -1255,7 +1255,49 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY 1 ORDER BY l_linenumber""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS / scalar-subquery-in-SELECT on the
+    * SQL surface (q05/q06 are the DataFrame semi/anti forms): urgent-order
+    * customers with zero returned line items, plus their order count.
+    * Catalyst decorrelates all three — EXISTS → left-semi hash join,
+    * NOT EXISTS (with its inner orders⋈lineitem join) → left-anti,
+    * the scalar count → per-key aggregate + left-outer — so execution is
+    * three hash joins against pre-aggregated/filtered sides, never a
+    * per-customer subquery loop. That rewrite is the only reason the
+    * shape survives 100 TB: the subqueries run once, not |customer| times.
+    */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("customer_q49")
+    t.orders.createOrReplaceTempView("orders_q49")
+    t.lineitem.createOrReplaceTempView("lineitem_q49")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_name,
+        |  (SELECT count(*) FROM orders_q49 o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_q49 c
+        |WHERE EXISTS (SELECT 1 FROM orders_q49 o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_q49 o JOIN lineitem_q49 l
+        |        ON l.l_orderkey = o.o_orderkey
+        |        WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+  private val q49Sql =
+    """SELECT c.c_custkey, c.c_name,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey
+      |          AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o JOIN lineitem l
+      |        ON l.l_orderkey = o.o_orderkey
+      |        WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+      |ORDER BY c.c_custkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q49_exists_subqueries" -> QueryDef(q49, Some(q49Sql)),
     "q45_unpivot"          -> QueryDef(q45, Some(q45Sql)),
     "q46_stats_moments"    -> QueryDef(q46, Some(q46Sql)),
     "q47_string_agg"       -> QueryDef(q47, Some(q47Sql)),
