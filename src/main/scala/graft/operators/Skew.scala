@@ -54,4 +54,35 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("_partial_sum")).as("total"), sum(col("_partial_n")).as("n"))
   }
+
+  /** Salted equi-join for single-hot-key JOIN skew — the case AQE's
+    * skew-split cannot always fix (AQE splits a skewed partition only when
+    * the other side's matching partition can be replicated; with a giant
+    * build side it gives up). The big side gains a deterministic salt in
+    * [0, nSalts) hashed from `saltSource` (a column that VARIES within the
+    * hot key — never the join key itself, which would put the whole hot key
+    * back in one bucket); the small side is replicated nSalts× via an
+    * exploded literal sequence. The join key becomes (key, salt), so the
+    * hot key's probe rows spread over nSalts reducers.
+    *
+    * Cost model, stated plainly: big side shuffles once (unchanged volume);
+    * small side shuffles nSalts×. Use only when the small side is too big
+    * to broadcast (broadcast beats salting outright) and a measured hot key
+    * dominates; result is identical to the unsalted inner join because
+    * every (key, salt) pair on the big side meets exactly one replicated
+    * small row.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      nSalts: Int,
+      saltSource: Column): DataFrame = {
+    val b = big.withColumn("_salt", pmod(xxhash64(saltSource), lit(nSalts.toLong)))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
+    b.join(s, b(bigKey) === s(smallKey) && b("_salt") === s("_salt"))
+      .drop("_salt")
+  }
 }

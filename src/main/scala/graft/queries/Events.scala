@@ -182,6 +182,103 @@ object Events {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** XML source/sink coverage (Spark 4 native `xml` format — the
+    * row-per-element semi-structured sibling of the CSV/JSON round-trips):
+    * part → XML → read back under an EXPLICIT schema (inference would add
+    * a nondeterministic sampling pass and is the wrong default for a
+    * pipeline) → aggregate per brand. Doubles survive the text round-trip
+    * exactly because Spark prints shortest-round-trip representations.
+    * Scale note: XML is a line-unsplittable verbose interchange format —
+    * fine as an ingest boundary, never as the working set; the query lands
+    * the data back in columnar form immediately, which is the posture at
+    * 100 TB.
+    */
+  private def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t   = Tables(spark, dir)
+    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/roundtrip"
+    t.part.select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .write.mode("overwrite")
+      .option("rootTag", "parts").option("rowTag", "part")
+      .format("xml").save(s"$tmp/part_xml")
+    spark.read.format("xml").option("rowTag", "part")
+      .schema("p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE")
+      .load(s"$tmp/part_xml")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("total_price"))
+      .orderBy(col("p_brand"))
+  }
+  private val xmlRoundtripSql =
+    """SELECT p_brand, count(*) AS n_parts,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Dynamic partition pruning: events written date-partitioned, then
+    * joined to a dim of high-revenue days (an aggregate the optimizer
+    * cannot see statically). Catalyst plants a
+    * `dynamicpruningexpression(event_date IN dynamicpruning#N)` partition
+    * filter on the fact scan — the dim result is computed first and only
+    * the matching date directories are READ, which at 100 TB is the
+    * difference between scanning 5 days and scanning 10 years. PlanSpec
+    * asserts the dynamic filter is on the scan; this query gates values.
+    * The 18000 threshold selects 5 of 30 fixture days (selective enough
+    * for the broadcast-reuse heuristic to prune).
+    */
+  private def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev  = Tables(spark, dir).events
+    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/roundtrip"
+    ev.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date")
+      .parquet(s"$tmp/events_by_date")
+    val fact = spark.read.parquet(s"$tmp/events_by_date")
+    val dim = ev.groupBy(to_date(col("ts")).as("d"))
+      .agg(dsum(col("value")).as("day_value"))
+      .where(col("day_value") > 18000.0)
+    fact.join(dim, col("event_date") === col("d"))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_total"))
+      .orderBy(col("event_date"))
+  }
+  private val dppJoinSql =
+    """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_total
+      |FROM events
+      |WHERE CAST(ts AS DATE) IN (
+      |  SELECT d FROM (
+      |    SELECT CAST(ts AS DATE) AS d,
+      |      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+      |    FROM events GROUP BY 1) WHERE day_value > 18000)
+      |GROUP BY 1 ORDER BY event_date""".stripMargin
+
+  /** Nested-struct schema pruning: events re-shaped into a 2-level struct
+    * payload (the shape of real event/multimodal metadata), written to
+    * parquet, then queried touching only TWO leaf fields. Catalyst's
+    * nested-schema pruning pushes the subfield projection into the scan —
+    * `ReadSchema` lists `payload.user_id` and `payload.metrics.value` only,
+    * so the untouched leaves (`event_type`, `ts`) are never decoded or
+    * read. At 100 TB with wide metadata structs this is the same win
+    * column pruning gives flat tables; PlanSpec asserts the pruned
+    * ReadSchema. Oracle: the flat-column equivalent.
+    */
+  private def nestedPruning(spark: SparkSession, dir: String): DataFrame = {
+    val ev  = Tables(spark, dir).events
+    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/roundtrip"
+    ev.select(col("event_id"),
+        struct(col("user_id"), col("event_type"),
+          struct(col("value"), col("ts")).as("metrics")).as("payload"))
+      .write.mode("overwrite").parquet(s"$tmp/events_nested")
+    spark.read.parquet(s"$tmp/events_nested")
+      .where(col("payload.user_id") < 50)
+      .groupBy(col("payload.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("payload.metrics.value")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+  private val nestedPruningSql =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE user_id < 50
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Hive-style partitioned parquet sink + partition-pruned read: events
     * written `partitionBy(event_type)`, read back with a partition filter —
     * the layout that turns a predicate on the partition column into
@@ -983,5 +1080,8 @@ object Events {
     "ev04_asof_join"       -> QueryDef(asof, Some(asofSql), benchmark = true),
     "ev05_csv_json_roundtrip" -> QueryDef(roundtrip, Some(roundtripSql)),
     "ev07_orc_roundtrip"   -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
+    "ev27_xml_roundtrip"   -> QueryDef(xmlRoundtrip, Some(xmlRoundtripSql)),
+    "ev28_dpp_join"        -> QueryDef(dppJoin, Some(dppJoinSql)),
+    "ev29_nested_pruning"  -> QueryDef(nestedPruning, Some(nestedPruningSql)),
   )
 }

@@ -533,6 +533,159 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Salted equi-JOIN ([[graft.operators.Skew.saltedJoin]]): lineitem ⋈
+    * orders on the order key with the probe side salted 4 ways on
+    * `l_linenumber` (a column that varies WITHIN an order key — salting on
+    * the join key itself would be a no-op). The `shuffle_hash` hint keeps
+    * the planner off broadcast at fixture scale, because the pattern being
+    * judged is the shuffled-join form — when the dim side fits in memory,
+    * broadcast beats salting and the operator is the wrong tool (that
+    * trade is the operator's Scaladoc contract). Results are
+    * salt-invariant, so the oracle is the plain inner join.
+    */
+  private def sk02(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    graft.operators.Skew.saltedJoin(
+        t.lineitem, t.orders.hint("shuffle_hash"),
+        bigKey = "l_orderkey", smallKey = "o_orderkey",
+        nSalts = 4, saltSource = col("l_linenumber"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val sk02Sql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Spark-4 SQL pipe syntax (`|>`): the linear FROM→WHERE→EXTEND→
+    * AGGREGATE→WHERE→ORDER BY form of a filtered group-having query.
+    * Pipe stages are pure parser surface — Catalyst receives the same
+    * logical plan as the nested-SQL equivalent (filter pushed to the scan,
+    * partial aggregation below the exchange), so the feature costs nothing
+    * at scale; the oracle is the plain-SQL spelling. Margin char is `#`
+    * because `|` IS the pipe operator here.
+    */
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem.createOrReplaceTempView("lineitem_q50")
+    spark.sql(
+      """FROM lineitem_q50
+        #|> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        #|> EXTEND CAST(l_quantity AS DECIMAL(12,2)) AS qd
+        #|> AGGREGATE CAST(sum(qd) AS DOUBLE) AS total_qty, count(*) AS n
+        #   GROUP BY l_returnflag
+        #|> WHERE n > 1000
+        #|> ORDER BY l_returnflag""".stripMargin('#'))
+  }
+  private val q50Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      |  count(*) AS n
+      |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag HAVING count(*) > 1000
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Spark-4 collation surface: case-insensitive grouping via a
+    * `UTF8_LCASE`-collated key, over a deliberately mixed-case segment
+    * column (half the rows lower-cased). Collated equality groups the case
+    * variants together WITHOUT materializing a normalized copy of the key —
+    * at scale that means the comparator, not an extra projection, carries
+    * the semantics. The emitted key is `lower(...)` so the output is
+    * deterministic (which case variant "wins" inside a collated group is
+    * not), cast back to a plain string so the sink schema is
+    * collation-free; the oracle mirrors with `GROUP BY lower(...)`.
+    */
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = when(col("c_custkey") % 2 === 0, col("c_mktsegment"))
+      .otherwise(lower(col("c_mktsegment")))
+    Tables(spark, dir).customer
+      .select(collate(mixed, "UTF8_LCASE").as("seg"), col("c_acctbal"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+      .select(lower(col("seg")).cast("string").as("segment"),
+        col("n_customers"), col("total_bal"))
+      .orderBy(col("segment"))
+  }
+  private val q51Sql =
+    """SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+      |                  ELSE lower(c_mktsegment) END) AS segment,
+      |  count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** Exact ordered-set aggregates on the ANSI surface: `median`,
+    * `percentile_cont` (interpolating) and `percentile_disc` (an actual
+    * element) WITHIN GROUP — the exact siblings of q32's approximate
+    * sketch. Parity note: the fixture quantities are integer-valued, so
+    * cont interpolation lands on quarter fractions that are IEEE-exact
+    * under any evaluation order — both engines produce bit-identical
+    * doubles. Scale note: exact percentiles buffer each group's values
+    * (O(group) memory on the reducer); at 100 TB the q32
+    * `approx_percentile` sketch (bounded state, mergeable) is the tool,
+    * and this form is for post-aggregation-sized groups.
+    */
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem.createOrReplaceTempView("lineitem_q52")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_qty,
+        |  count(*) AS n
+        |FROM lineitem_q52 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+  private val q52Sql =
+    """SELECT l_returnflag,
+      |  median(l_quantity) AS med_qty,
+      |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+      |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** IGNORE NULLS window navigation: per order, the running "last seen
+    * big-ticket price" (`last_value ... IGNORE NULLS` over a sparse CASE
+    * column — forward fill) and the first big-ticket price seen so far
+    * (`first_value ... IGNORE NULLS`) — the gap-carrying form used for
+    * forward-filling sparse measurements (ev10's gap-fill is the
+    * time-series cousin). One window pass, one exchange on the partition
+    * key; NULL skipping happens inside the frame evaluator, not via an
+    * extra self-join. `lag IGNORE NULLS` is deliberately NOT judged here:
+    * Spark and DuckDB pin different edge semantics for offset functions
+    * under null-skipping (verified divergent on the fixture), and frame-
+    * anchored first/last cover the forward-fill use case unambiguously.
+    */
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem.createOrReplaceTempView("lineitem_q53")
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  last_value(CASE WHEN l_quantity > 40 THEN l_extendedprice END)
+        |    IGNORE NULLS OVER w AS last_big_price,
+        |  first_value(CASE WHEN l_quantity > 40 THEN l_extendedprice END)
+        |    IGNORE NULLS OVER w AS first_big_price
+        |FROM lineitem_q53
+        |WHERE l_orderkey % 7 = 0
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_extendedprice
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin)
+  }
+  // NB: the IGNORE NULLS spelling differs — Spark takes it postfix
+  // (`f(x) IGNORE NULLS OVER`), DuckDB inside the call (`f(x IGNORE NULLS)`).
+  private val q53Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  last_value(CASE WHEN l_quantity > 40 THEN l_extendedprice END IGNORE NULLS)
+      |    OVER w AS last_big_price,
+      |  first_value(CASE WHEN l_quantity > 40 THEN l_extendedprice END IGNORE NULLS)
+      |    OVER w AS first_big_price
+      |FROM lineitem
+      |WHERE l_orderkey % 7 = 0
+      |WINDOW w AS (PARTITION BY l_orderkey
+      |             ORDER BY l_linenumber, l_extendedprice
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin
+
   /** Bucketed co-located join ([[graft.operators.Bucketing]]): customer and
     * orders both bucketed (and sorted) on the customer key, then joined
     * with NO exchange on either side — the pre-shuffle pattern that
@@ -1340,6 +1493,11 @@ object Relational {
     "q22_sql_api"          -> QueryDef(q22, Some(q22Sql)),
     "q23_custom_udaf"      -> QueryDef(q23, Some(q23Sql)),
     "sk01_salted_agg"      -> QueryDef(sk01, Some(sk01Sql)),
+    "sk02_salted_join"     -> QueryDef(sk02, Some(sk02Sql)),
+    "q50_pipe_syntax"      -> QueryDef(q50, Some(q50Sql)),
+    "q51_collation"        -> QueryDef(q51, Some(q51Sql)),
+    "q52_percentile_family" -> QueryDef(q52, Some(q52Sql)),
+    "q53_ignore_nulls"     -> QueryDef(q53, Some(q53Sql)),
     "q25_bucketed_join"    -> QueryDef(q25, Some(q25Sql)),
     "q26_outer_join"       -> QueryDef(q26, Some(q26Sql)),
     "q27_pivot"            -> QueryDef(q27, Some(q27Sql)),

@@ -144,6 +144,35 @@ class PlanSpec extends SparkSpec {
       p.contains("event_type#"), p) // the pruning predicate reached the scan
   }
 
+  test("ev28: dynamic partition pruning filter lands on the fact scan") {
+    val p = planOf("ev28_dpp_join")
+    // the dim-side aggregate's result prunes fact DIRECTORIES at runtime —
+    // shape holds regardless of how many days the threshold selects
+    assert(p.contains("dynamicpruning"), p)
+  }
+
+  test("sk02: salted join is a shuffled hash join keyed on (key, salt)") {
+    val p = planOf("sk02_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("_salt"), p) // the salt is part of the join key
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ev29: nested schema pruning — scan decodes only the touched leaves") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("ev29_nested_pruning")(spark, sf0001)
+    // requiredSchema straight off the scan node (plan strings truncate
+    // metadata, so a substring check there could pass vacuously)
+    val schemas = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.requiredSchema.catalogString
+    }
+    assert(schemas.nonEmpty)
+    assert(schemas.exists(s => s.contains("user_id") && s.contains("value")),
+      schemas.mkString("; "))
+    assert(schemas.forall(!_.contains("event_type")), // untouched leaf pruned
+      schemas.mkString("; "))
+  }
+
   test("wordcount: map-side partial aggregation before the exchange") {
     val p = planOf("wc_reference_wordcount")
     val exIdx  = p.indexOf("Exchange hashpartitioning(word")
