@@ -649,7 +649,44 @@ object StreamQueries {
       |WHERE w_start + INTERVAL '10 minutes' <= (SELECT wm FROM b)
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** State-store batch reader (Spark 4 `statestore` source): run a
+    * streaming per-user aggregation to completion against an explicit
+    * checkpoint, then read the operator's persisted state back AS A BATCH
+    * TABLE — the operational tool for inspecting, auditing, or migrating
+    * streaming state without replaying the stream. The state rows surface
+    * the aggregation buffer (`key.user_id`, `value.count`, `value.sum` as
+    * an exact decimal), so after one microbatch the state IS the batch
+    * answer and the DuckDB oracle gates it like any other query. At scale
+    * the reader shards by `partition_id` — state inspection is a parallel
+    * scan, not a driver dump. Checkpoint is nanoTime-unique per run so a
+    * stale run's state can never be read.
+    */
+  private def stateReader(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val src = StreamOps.nanosToTs(
+      StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+    val agg = src.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("total_dec"))
+    val ck = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
+      s"/ckpt/st18_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(OutputMode.Update).format("noop")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.format("statestore").load(ck)
+      .select(col("key.user_id").as("user_id"),
+        col("value.count").as("n_events"),
+        col("value.sum").cast("double").as("total_value"))
+      .orderBy(col("user_id"))
+  }
+  private val stateReaderSql =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st18_state_reader"      -> QueryDef(stateReader, Some(stateReaderSql)),
     "st12_late_data_drop"    -> QueryDef(streamLateData, Some(streamLateDataSql)),
     "st13_update_mode"       -> QueryDef(streamUpdateMode, Some(streamUpdateModeSql)),
     "st14_outer_stream_join" -> QueryDef(streamOuterJoin, Some(streamOuterJoinSql)),
