@@ -1368,10 +1368,10 @@ object TextQueries {
     "dd03_minhash_pairs"     -> QueryDef(dedupMinhash, Some(dedupMinhashSql), benchmark = true),
     "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
-    "dd11_span_dedup"        -> QueryDef(dedupSpansQ, Some(dedupSpansSql)),
+    "dd11_span_dedup"        -> QueryDef(dedupSpansQ, Some(dedupSpansSql), benchmark = true),
     "tx16_gopher_rules"      -> QueryDef(gopherRules, Some(gopherRulesSql)),
-    "dd12_fuzzy_name_join"   -> QueryDef(fuzzyNameJoin, Some(fuzzyNameJoinSql)),
-    "tx17_full_pipeline"     -> QueryDef(fullPipeline, Some(fullPipelineSql)),
+    "dd12_fuzzy_name_join"   -> QueryDef(fuzzyNameJoin, Some(fuzzyNameJoinSql), benchmark = true),
+    "tx17_full_pipeline"     -> QueryDef(fullPipeline, Some(fullPipelineSql), benchmark = true),
     "tx01_text_stats"        -> QueryDef(textStats, Some(textStatsSql)),
     "tx02_quality_score"     -> QueryDef(textQuality, Some(textQualitySql)),
     "tx03_langid"            -> QueryDef(langid, Some(langidSql)),

@@ -327,7 +327,7 @@ object VectorQueries {
       |ORDER BY vec_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
-    "ann08_semantic_dedup"  -> QueryDef(semDedup, Some(semDedupSql)),
+    "ann08_semantic_dedup"  -> QueryDef(semDedup, Some(semDedupSql), benchmark = true),
     "ann06_ivfpq_topk"      -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "ann01_bruteforce_topk" -> QueryDef(annBrute, Some(annBruteSql), benchmark = true),
     "ann07_filtered_topk"   -> QueryDef(annFiltered, Some(annFilteredSql)),
