@@ -492,6 +492,61 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Bloom-pre-filtered contamination — the 100 TB form of
+    * [[crossContamination]]. The benchmark gram set is sketched into ONE
+    * Bloom filter (`bloom_filter_agg` over the 64-bit gram hash), shipped
+    * to every task as a broadcast single-row build side, and
+    * `might_contain` prunes the corpus gram stream BEFORE the exact
+    * semi-join. Blooms have no false negatives, so the result is
+    * IDENTICAL to the exact join (false positives are discarded by the
+    * verify join that follows) — the sketch is pure shuffle savings: at
+    * corpus scale the overwhelming majority of grams are clean and die
+    * map-side for the cost of k bit-probes, instead of crossing the
+    * exchange to probe the benchmark hash table. `numBits` sizes the
+    * false-positive rate (n·10 bits ≈ 1 %); the filter itself is O(bits),
+    * independent of corpus size.
+    */
+  def bloomContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int,
+      expectedGrams: Long,
+      numBits: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextFunctions.wordNgrams(lower(col(textCol)), n))).as("g"))
+      .where(length(col("g")) > 0)
+    val benchGrams = grams(benchmark).select(col("g")).distinct()
+    // BloomFilterAggregate / BloomFilterMightContain are not in the SQL
+    // function registry (Spark keeps them internal for runtime join
+    // pruning), so they are planted via the expression bridge — same
+    // codegen'd operators the optimizer's own injected filters use.
+    import org.apache.spark.sql.graft.ColumnShim
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val bloom = benchGrams
+      .agg(ColumnShim.column(new BloomFilterAggregate(
+          ColumnShim.expression(xxhash64(col("g"))),
+          ColumnShim.expression(lit(expectedGrams)),
+          ColumnShim.expression(lit(numBits))).toAggregateExpression())
+        .as("bf"))
+    // might_contain requires its sketch side to be a constant or scalar
+    // subquery (never a per-row column), so the 1-row aggregate is planted
+    // as a ScalarSubquery — executed once, its result shipped to every
+    // task, exactly the plan InjectRuntimeFilter builds for join pruning.
+    val mightContain = ColumnShim.column(BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        bloom.queryExecution.analyzed),
+      ColumnShim.expression(xxhash64(col("g")))))
+    val pruned = grams(corpus).where(mightContain)
+    pruned.join(benchGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Lineage truncation for iterative loops. By default `localCheckpoint`
     * (executor-local blocks — fast, but NOT resilient: losing one executor
     * mid-loop fails the job unrecoverably, acceptable only in local mode).

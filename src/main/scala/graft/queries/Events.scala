@@ -279,6 +279,42 @@ object Events {
       |FROM events WHERE user_id < 50
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Schema-drift union (`unionByName(allowMissingColumns = true)`): two
+    * feeds of the same logical table whose schemas diverged — one renamed/
+    * reordered its columns, one dropped a column — merged BY NAME with the
+    * missing column null-filled. The positional `union` would silently
+    * misalign columns here (the classic pipeline-corruption bug);
+    * unionByName is the drift-tolerant spelling, and the ev13 mergeSchema
+    * read is its storage-side sibling. Null-extension is explicit in the
+    * oracle.
+    */
+  private def unionByNameDrift(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // feed A: full schema, original column order
+    val a = t.orders.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    // feed B: reordered + missing o_totalprice (dropped upstream)
+    val b = t.orders.where(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderpriority"), col("o_orderkey"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_totalprice")).as("n_with_price"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val unionByNameDriftSql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  count(o_totalprice) AS n_with_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, NULL AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 1) u
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Hive-style partitioned parquet sink + partition-pruned read: events
     * written `partitionBy(event_type)`, read back with a partition filter —
     * the layout that turns a predicate on the partition column into
@@ -1083,5 +1119,6 @@ object Events {
     "ev27_xml_roundtrip"   -> QueryDef(xmlRoundtrip, Some(xmlRoundtripSql)),
     "ev28_dpp_join"        -> QueryDef(dppJoin, Some(dppJoinSql)),
     "ev29_nested_pruning"  -> QueryDef(nestedPruning, Some(nestedPruningSql)),
+    "ev30_union_by_name"   -> QueryDef(unionByNameDrift, Some(unionByNameDriftSql)),
   )
 }

@@ -686,6 +686,42 @@ object Relational {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin
 
+  /** Parameterized SQL: the same query run twice — once through named
+    * parameter binding (`spark.sql(text, args)`, values bound by the
+    * PARSER, never interpolated into the string — the injection-safe API
+    * for templated pipeline queries) and once through Spark-4
+    * `EXECUTE IMMEDIATE ... USING` (the SQL-surface spelling of the same
+    * binding) — then joined to prove both bindings produce identical
+    * groups. Parameter marks bind as literals, so Catalyst constant-folds
+    * and pushes them exactly like hand-written predicates.
+    */
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("orders_q54")
+    val api = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_api,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_api
+        |FROM orders_q54 WHERE o_totalprice > :minPrice
+        |GROUP BY o_orderpriority""".stripMargin,
+      Map("minPrice" -> 150000))
+    val imm = spark.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT o_orderpriority, count(*) AS n_imm,
+        |     CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_imm
+        |   FROM orders_q54 WHERE o_totalprice > ? GROUP BY o_orderpriority'
+        |  USING 150000""".stripMargin)
+    api.join(imm, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_api"), col("total_api"),
+        col("n_imm"), col("total_imm"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val q54Sql =
+    """SELECT o_orderpriority, count(*) AS n_api,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_api,
+      |  count(*) AS n_imm,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_imm
+      |FROM orders WHERE o_totalprice > 150000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Bucketed co-located join ([[graft.operators.Bucketing]]): customer and
     * orders both bucketed (and sorted) on the customer key, then joined
     * with NO exchange on either side — the pre-shuffle pattern that
@@ -1498,6 +1534,7 @@ object Relational {
     "q51_collation"        -> QueryDef(q51, Some(q51Sql)),
     "q52_percentile_family" -> QueryDef(q52, Some(q52Sql)),
     "q53_ignore_nulls"     -> QueryDef(q53, Some(q53Sql)),
+    "q54_parameterized_sql" -> QueryDef(q54, Some(q54Sql)),
     "q25_bucketed_join"    -> QueryDef(q25, Some(q25Sql)),
     "q26_outer_join"       -> QueryDef(q26, Some(q26Sql)),
     "q27_pivot"            -> QueryDef(q27, Some(q27Sql)),

@@ -173,6 +173,17 @@ class PlanSpec extends SparkSpec {
       schemas.mkString("; "))
   }
 
+  test("dd13: bloom sketch prunes corpus grams BEFORE the exact join") {
+    val p = planOf("dd13_bloom_contamination")
+    assert(p.contains("might_contain"), p) // sketch probe present
+    // the probe must be below the gram equi-join: the filter's position in
+    // the bottom-up plan string precedes the join operator's
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx  = p.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "expected the bloom probe on the scan side, under the join\n" + p)
+  }
+
   test("wordcount: map-side partial aggregation before the exchange") {
     val p = planOf("wc_reference_wordcount")
     val exIdx  = p.indexOf("Exchange hashpartitioning(word")
