@@ -504,7 +504,11 @@ object Dedup {
     * map-side for the cost of k bit-probes, instead of crossing the
     * exchange to probe the benchmark hash table. `numBits` sizes the
     * false-positive rate (n·10 bits ≈ 1 %); the filter itself is O(bits),
-    * independent of corpus size.
+    * independent of corpus size. The benchmark side is gram-tokenized
+    * twice (once for the sketch subquery, once as the verify join's build
+    * side — Spark does not dedup across subquery/join plan trees): an
+    * accepted cost because benchmark/eval sets are bounded, while the
+    * savings scale with the corpus.
     */
   def bloomContamination(
       corpus: DataFrame,

@@ -79,6 +79,24 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(10L -> 1L, 12L -> 1L)) // "alpha beta gamma" shared; 11 clean
   }
 
+  test("bloom-prefiltered contamination equals the exact form; empty benchmark → empty") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "zeta eta theta iota"),
+      (12L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val exact = Dedup.crossContamination(corpus, bench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.bloomContamination(corpus, bench, n = 3,
+      expectedGrams = 100L, numBits = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact) // no false negatives; FPs die in the verify join
+    val none = Dedup.bloomContamination(corpus, bench.limit(0), n = 3,
+      expectedGrams = 100L, numBits = 1000L).count()
+    assert(none == 0L) // empty benchmark: NULL sketch filters everything
+  }
+
   test("embedding LSH-blocked dup pairs equal the exact all-pairs form") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val exact = Dedup.embeddingDupPairsExact(emb, threshold = 0.35)
