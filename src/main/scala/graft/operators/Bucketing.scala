@@ -16,6 +16,17 @@ object Bucketing {
     * `path`), replacing any previous registration. Bucketed writes must go
     * through the session catalog (`saveAsTable`) — path-only writes cannot
     * carry a bucket spec.
+    *
+    * The write repartitions on the bucket key first: without it every
+    * input task writes its own file into EVERY bucket (tasks × buckets
+    * files — the classic bucketed-write small-file blowup); with it each
+    * bucket is exactly one file. At 100 TB that is the difference between
+    * a listable table and a metadata storm, and one-file-per-bucket is
+    * also the precondition for Spark to trust the per-bucket sort order
+    * (the read-side ordering claim itself stays off by default —
+    * `spark.sql.legacy.bucketedTableScanOutputOrdering` — so plans keep a
+    * cheap linear re-sort of already-sorted runs; the exchange
+    * elimination is the win that matters).
     */
   def writeBucketed(
       df: DataFrame,
@@ -25,7 +36,8 @@ object Bucketing {
       key: String): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.format("parquet").mode("overwrite")
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
+      .write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, key).sortBy(key)
       .option("path", path)
       .saveAsTable(table)

@@ -43,6 +43,25 @@ class SkewStreamSpec extends SparkSpec {
     assert(salted == Set(("hot", 1000.0, 1000L)))
   }
 
+  test("salted join equals plain join on hot-key data; salt spreads the hot key") {
+    val big = ((1 to 2000).map(i => (1L, i)) ++        // hot key, distinct payloads
+      (1 to 50).map(i => (i.toLong + 1L, i))).toDF("k", "payload")
+    val small = (1 to 60).map(i => (i.toLong, s"dim$i")).toDF("sk", "attr")
+    val plain = big.join(small, $"k" === $"sk")
+      .select($"k", $"payload", $"attr")
+      .as[(Long, Int, String)].collect().toSet
+    val salted = Skew.saltedJoin(big, small, "k", "sk",
+        nSalts = 8, saltSource = $"payload")
+      .select($"k", $"payload", $"attr")
+      .as[(Long, Int, String)].collect().toSet
+    assert(salted == plain) // inner-join parity: each (key, salt) meets one replica
+    // hot key's probe rows actually spread across the salt space
+    val spread = big.where($"k" === 1L)
+      .select(Skew.defaultSalt(8, Seq($"payload")).as("s"))
+      .select(countDistinct($"s")).as[Long].head()
+    assert(spread == 8L, s"hot key used $spread of 8 salts")
+  }
+
   test("salted plan spreads the hot key over nSalts first-stage groups") {
     val df = (1 to 100).map(i => ("hot", i.toDouble)).toDF("key", "value")
     val plan = Skew.saltedSum(df, "key", "value", nSalts = 8)
