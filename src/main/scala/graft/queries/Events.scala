@@ -315,6 +315,40 @@ object Events {
       |  FROM orders WHERE o_orderkey % 3 = 1) u
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Persisted re-aggregable distinct sketches (Datasketches HLL): each
+    * day's user set is reduced to ONE KB-sized `hll_sketch_agg` sketch and
+    * written as a sketch table; the read side answers "distinct users over
+    * any day range" by `hll_union_agg`-merging stored sketches — never
+    * re-touching the raw events. This is the pattern that replaces
+    * count(DISTINCT) recomputation over 100 TB of history: daily jobs pay
+    * the scan once, every later rollup is O(days × KB). ev21 is the same
+    * idea for algebraic aggregates; sketches extend it to the
+    * non-algebraic distinct. Determinism: HLL with fixed lgConfigK is a
+    * pure function of the input SET and union is order-independent, and
+    * the q31 bounds-gate makes drift fail loudly — the query emits the
+    * EXACT distinct count only where the merged estimate lands within 5 %,
+    * so the oracle (plain exact SQL) hash-gates the sketch path.
+    */
+  private def sketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev  = Tables(spark, dir).events
+    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/roundtrip"
+    ev.groupBy(to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(s"$tmp/user_sketches")
+    val merged = spark.read.parquet(s"$tmp/user_sketches")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_users"))
+    merged.join(exact) // 1×1
+      .where(abs(col("est_users") - col("n_users")).cast("double") /
+        col("n_users").cast("double") <= 0.05)
+      .select(col("n_days"), col("n_users"))
+  }
+  private val sketchMergeSql =
+    """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events""".stripMargin
+
   /** Hive-style partitioned parquet sink + partition-pruned read: events
     * written `partitionBy(event_type)`, read back with a partition filter —
     * the layout that turns a predicate on the partition column into
@@ -1120,5 +1154,6 @@ object Events {
     "ev28_dpp_join"        -> QueryDef(dppJoin, Some(dppJoinSql)),
     "ev29_nested_pruning"  -> QueryDef(nestedPruning, Some(nestedPruningSql)),
     "ev30_union_by_name"   -> QueryDef(unionByNameDrift, Some(unionByNameDriftSql)),
+    "ev31_sketch_merge"    -> QueryDef(sketchMerge, Some(sketchMergeSql)),
   )
 }

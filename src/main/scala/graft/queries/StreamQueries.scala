@@ -668,8 +668,14 @@ object StreamQueries {
     val agg = src.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(12,2)")).as("total_dec"))
-    val ck = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
-      s"/ckpt/st18_${System.nanoTime()}"
+    val ckRoot = new java.io.File(
+      s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/ckpt")
+    // nanoTime-unique dirs isolate runs; prune prior runs' state here so
+    // repeated Verify/bench invocations don't accumulate checkpoints
+    Option(ckRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("st18_"))
+      .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
+    val ck = s"$ckRoot/st18_${System.nanoTime()}"
     val q = agg.writeStream.outputMode(OutputMode.Update).format("noop")
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
