@@ -563,10 +563,11 @@ object Relational {
   /** Spark-4 SQL pipe syntax (`|>`): the linear FROM→WHERE→EXTEND→
     * AGGREGATE→WHERE→ORDER BY form of a filtered group-having query.
     * Pipe stages are pure parser surface — Catalyst receives the same
-    * logical plan as the nested-SQL equivalent (filter pushed to the scan,
-    * partial aggregation below the exchange), so the feature costs nothing
-    * at scale; the oracle is the plain-SQL spelling. Margin char is `#`
-    * because `|` IS the pipe operator here.
+    * logical plan as the nested-SQL equivalent (PlanSpec asserts
+    * sameResult on the 1:1 spelling; EXTEND here additionally plants its
+    * cast in a pre-aggregate projection — same semantics and cost), so the
+    * feature costs nothing at scale; the oracle is the plain-SQL spelling.
+    * Margin char is `#` because `|` IS the pipe operator here.
     */
   private def q50(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).lineitem.createOrReplaceTempView("lineitem_q50")
