@@ -474,19 +474,25 @@ object Dedup {
     * another directly. Emits only contaminated docs (n_shared_grams ≥ 1);
     * at 100 TB hash the grams (xxhash64) instead of shipping gram strings.
     */
+  /** Per-doc distinct word n-grams — the SHARED tokenization for the exact
+    * and bloom-prefiltered contamination forms (dd13's exactness contract
+    * is that both run the identical gram derivation).
+    */
+  private def docGrams(df: DataFrame, n: Int,
+      idCol: String, textCol: String): DataFrame = df
+    .select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        TextFunctions.wordNgrams(lower(col(textCol)), n))).as("g"))
+    .where(length(col("g")) > 0)
+
   def crossContamination(
       corpus: DataFrame,
       benchmark: DataFrame,
       n: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(
-          TextFunctions.wordNgrams(lower(col(textCol)), n))).as("g"))
-      .where(length(col("g")) > 0)
-    val benchGrams = grams(benchmark).select(col("g")).distinct()
-    grams(corpus).join(benchGrams, "g")
+    val benchGrams = docGrams(benchmark, n, idCol, textCol).select(col("g")).distinct()
+    docGrams(corpus, n, idCol, textCol).join(benchGrams, "g")
       .groupBy(col("doc_id"))
       // grams are per-doc distinct already, so plain count == distinct count
       .agg(count(lit(1)).as("n_shared_grams"))
@@ -518,12 +524,7 @@ object Dedup {
       numBits: Long,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(
-          TextFunctions.wordNgrams(lower(col(textCol)), n))).as("g"))
-      .where(length(col("g")) > 0)
-    val benchGrams = grams(benchmark).select(col("g")).distinct()
+    val benchGrams = docGrams(benchmark, n, idCol, textCol).select(col("g")).distinct()
     // BloomFilterAggregate / BloomFilterMightContain are not in the SQL
     // function registry (Spark keeps them internal for runtime join
     // pruning), so they are planted via the expression bridge — same
@@ -545,7 +546,7 @@ object Dedup {
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         bloom.queryExecution.analyzed),
       ColumnShim.expression(xxhash64(col("g")))))
-    val pruned = grams(corpus).where(mightContain)
+    val pruned = docGrams(corpus, n, idCol, textCol).where(mightContain)
     pruned.join(benchGrams, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))

@@ -46,7 +46,7 @@ object Skew {
       valueCol: String,
       nSalts: Int = 16,
       saltSource: Option[Column] = None): DataFrame = {
-    val salt = saltSource.map(c => pmod(xxhash64(c), lit(nSalts)))
+    val salt = saltSource.map(c => defaultSalt(nSalts, Seq(c)))
       .getOrElse(defaultSalt(nSalts, df.columns.toSeq.map(col)))
     df.select(col(keyCol), col(valueCol), salt.as("_salt"))
       .groupBy(col(keyCol), col("_salt"))
@@ -79,7 +79,9 @@ object Skew {
       smallKey: String,
       nSalts: Int,
       saltSource: Column): DataFrame = {
-    val b = big.withColumn("_salt", pmod(xxhash64(saltSource), lit(nSalts.toLong)))
+    // nSalts=0 would NULL every salt (non-ANSI pmod) → silent empty join
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val b = big.withColumn("_salt", defaultSalt(nSalts, Seq(saltSource)).cast("long"))
     val s = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
     b.join(s, b(bigKey) === s(smallKey) && b("_salt") === s("_salt"))
