@@ -723,6 +723,36 @@ object Relational {
       |FROM orders WHERE o_totalprice > 150000
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Spark-4 SQL scripting (`BEGIN … END` + session variables): a
+    * data-derived threshold is computed into a DECLAREd variable by one
+    * statement and used by the next — the multi-statement parameter-driven
+    * pipeline pattern WITHOUT a driver round-trip between statements (no
+    * collect-then-interpolate). The variable binds as a literal in the
+    * consuming statement, so the filter constant-folds and pushes to the
+    * scan like any hand-written predicate. The p90 cut is exact
+    * (`percentile`), mirrored as a CTE in the oracle.
+    */
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem.createOrReplaceTempView("lineitem_q55")
+    spark.sql(
+      """BEGIN
+        |  DECLARE qty_cut DOUBLE;
+        |  SET qty_cut = (SELECT percentile(l_quantity, 0.9) FROM lineitem_q55);
+        |  SELECT l_returnflag, count(*) AS n_above,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |    qty_cut
+        |  FROM lineitem_q55 WHERE l_quantity > qty_cut
+        |  GROUP BY l_returnflag, qty_cut ORDER BY l_returnflag;
+        |END""".stripMargin)
+  }
+  private val q55Sql =
+    """WITH c AS (SELECT quantile_cont(l_quantity, 0.9) AS qty_cut FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n_above,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      |  (SELECT qty_cut FROM c) AS qty_cut
+      |FROM lineitem WHERE l_quantity > (SELECT qty_cut FROM c)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Bucketed co-located join ([[graft.operators.Bucketing]]): customer and
     * orders both bucketed (and sorted) on the customer key, then joined
     * with NO exchange on either side — the pre-shuffle pattern that
@@ -1536,6 +1566,7 @@ object Relational {
     "q52_percentile_family" -> QueryDef(q52, Some(q52Sql)),
     "q53_ignore_nulls"     -> QueryDef(q53, Some(q53Sql)),
     "q54_parameterized_sql" -> QueryDef(q54, Some(q54Sql)),
+    "q55_sql_scripting"    -> QueryDef(q55, Some(q55Sql)),
     "q25_bucketed_join"    -> QueryDef(q25, Some(q25Sql)),
     "q26_outer_join"       -> QueryDef(q26, Some(q26Sql)),
     "q27_pivot"            -> QueryDef(q27, Some(q27Sql)),
