@@ -248,6 +248,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists(p => p._1 == 8L || p._2 == 8L))
   }
 
+  test("span dedup output is invariant under input order and partitioning") {
+    // the judged claim is bit-identical results across partitionings: the
+    // winner agg is min_by over a total (id, offset) order, so neither row
+    // order nor partition layout may change which span survives
+    val rows = Seq(
+      (1L, "aaaabbbbcccc"), (2L, "bbbbccccdddd"), (3L, "aaaabbbbdddd"),
+      (4L, "ccccddddaaaa"), (5L, "aaaabbbbcccc"))
+    val base = Dedup.dedupSpans(rows.toDF("doc_id", "text"), segLen = 4)
+      .orderBy("doc_id").collect().toSeq
+    val shuffled = Dedup.dedupSpans(
+        new scala.util.Random(42).shuffle(rows).toDF("doc_id", "text").repartition(7),
+        segLen = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(shuffled == base)
+  }
+
   test("span dedup tail shorter than segLen is its own span") {
     val d = Seq((1L, "aaaabb"), (2L, "bb")).toDF("doc_id", "text")
     // doc 1 → "aaaa","bb"; doc 2's whole text "bb" duplicates doc 1's tail
