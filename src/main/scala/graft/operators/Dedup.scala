@@ -485,6 +485,15 @@ object Dedup {
         TextFunctions.wordNgrams(lower(col(textCol)), n))).as("g"))
     .where(length(col("g")) > 0)
 
+  /** Shared verify tail for both contamination forms: exact gram join +
+    * per-doc shared-gram count (grams are per-doc distinct, so plain count
+    * == distinct count).
+    */
+  private def countSharedGrams(corpusGrams: DataFrame, benchGrams: DataFrame): DataFrame =
+    corpusGrams.join(benchGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+
   def crossContamination(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -492,10 +501,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val benchGrams = docGrams(benchmark, n, idCol, textCol).select(col("g")).distinct()
-    docGrams(corpus, n, idCol, textCol).join(benchGrams, "g")
-      .groupBy(col("doc_id"))
-      // grams are per-doc distinct already, so plain count == distinct count
-      .agg(count(lit(1)).as("n_shared_grams"))
+    countSharedGrams(docGrams(corpus, n, idCol, textCol), benchGrams)
   }
 
   /** Bloom-pre-filtered contamination — the 100 TB form of
@@ -546,10 +552,8 @@ object Dedup {
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         bloom.queryExecution.analyzed),
       ColumnShim.expression(xxhash64(col("g")))))
-    val pruned = docGrams(corpus, n, idCol, textCol).where(mightContain)
-    pruned.join(benchGrams, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_grams"))
+    countSharedGrams(
+      docGrams(corpus, n, idCol, textCol).where(mightContain), benchGrams)
   }
 
   /** Lineage truncation for iterative loops. By default `localCheckpoint`

@@ -81,6 +81,9 @@ object Skew {
       saltSource: Column): DataFrame = {
     // nSalts=0 would NULL every salt (non-ANSI pmod) → silent empty join
     require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    // a pre-existing _salt would be silently overwritten then dropped
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin reserves the column name _salt; rename it on the inputs")
     val b = big.withColumn("_salt", defaultSalt(nSalts, Seq(saltSource)).cast("long"))
     val s = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))

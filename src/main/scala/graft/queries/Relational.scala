@@ -737,7 +737,7 @@ object Relational {
     spark.sql(
       """BEGIN
         |  DECLARE qty_cut DOUBLE;
-        |  SET qty_cut = (SELECT percentile(l_quantity, 0.9) FROM lineitem_q55);
+        |  SET qty_cut = (SELECT percentile(l_quantity, 0.75) FROM lineitem_q55);
         |  SELECT l_returnflag, count(*) AS n_above,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
         |    qty_cut
@@ -746,7 +746,7 @@ object Relational {
         |END""".stripMargin)
   }
   private val q55Sql =
-    """WITH c AS (SELECT quantile_cont(l_quantity, 0.9) AS qty_cut FROM lineitem)
+    """WITH c AS (SELECT quantile_cont(l_quantity, 0.75) AS qty_cut FROM lineitem)
       |SELECT l_returnflag, count(*) AS n_above,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
       |  (SELECT qty_cut FROM c) AS qty_cut
@@ -763,7 +763,7 @@ object Relational {
     */
   private def q25(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/warehouse"
+    val tmp = graft.core.Scratch.dir("warehouse")
     graft.operators.Bucketing.writeBucketed(
       t.customer, "graft_customer_b", s"$tmp/customer_b", 8, "c_custkey")
     graft.operators.Bucketing.writeBucketed(

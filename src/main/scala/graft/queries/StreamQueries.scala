@@ -268,8 +268,7 @@ object StreamQueries {
     */
   private def streamParquetSink(spark: SparkSession, dir: String): DataFrame = {
     val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
-    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
-      s"/roundtrip/stream_sink_${System.nanoTime()}"
+    val out = graft.core.Scratch.dir(s"roundtrip/stream_sink_${System.nanoTime()}")
     val q = src.select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
       .writeStream.format("parquet")
@@ -389,8 +388,7 @@ object StreamQueries {
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = loM + (hiM - loM) / 2
-    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
-      s"/roundtrip/stream_twobatch_${System.nanoTime()}"
+    val out = graft.core.Scratch.dir(s"roundtrip/stream_twobatch_${System.nanoTime()}")
     ev.where(unix_micros(col("ts")) < mid)
       .coalesce(1).write.parquet(s"$out/in")
     ev.where(unix_micros(col("ts")) >= mid)
@@ -427,8 +425,7 @@ object StreamQueries {
     val ev = graft.core.Tables(spark, dir).events
       .select(col("ts"), col("event_type"), col("value"))
     val hiM = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
-      s"/roundtrip/stream_chained_${System.nanoTime()}"
+    val out = graft.core.Scratch.dir(s"roundtrip/stream_chained_${System.nanoTime()}")
     ev.coalesce(1).write.parquet(s"$out/in")
     Thread.sleep(100) // mtime orders replay (file source sorts by mtime)
     Seq(30L, 60L).foreach { days =>
@@ -502,8 +499,7 @@ object StreamQueries {
     */
   private def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
     val in  = twoBatchEventsDir(spark, dir)
-    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
-      s"/roundtrip/stream_foreach_${System.nanoTime()}"
+    val out = graft.core.Scratch.dir(s"roundtrip/stream_foreach_${System.nanoTime()}")
     val src = spark.readStream.schema(twoBatchSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(in)
@@ -546,8 +542,7 @@ object StreamQueries {
     */
   private def streamUpdateMode(spark: SparkSession, dir: String): DataFrame = {
     val in  = twoBatchEventsDir(spark, dir)
-    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
-      s"/roundtrip/stream_update_${System.nanoTime()}"
+    val out = graft.core.Scratch.dir(s"roundtrip/stream_update_${System.nanoTime()}")
     val src = spark.readStream.schema(twoBatchSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(in)
@@ -615,8 +610,7 @@ object StreamQueries {
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val q1  = loM + (hiM - loM) / 4
     val mid = loM + (hiM - loM) / 2
-    val out = s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}" +
-      s"/roundtrip/stream_late_${System.nanoTime()}"
+    val out = graft.core.Scratch.dir(s"roundtrip/stream_late_${System.nanoTime()}")
     // Three time-ordered-then-late files; mtime fixes replay order (file
     // source sorts by modification time), the sleeps guard ms-granularity.
     ev.where(unix_micros(col("ts")) >= q1 && unix_micros(col("ts")) < mid)
@@ -669,11 +663,15 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(12,2)")).as("total_dec"))
     val ckRoot = new java.io.File(
-      s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/ckpt")
+      graft.core.Scratch.dir("ckpt"))
     // nanoTime-unique dirs isolate runs; prune prior runs' state here so
-    // repeated Verify/bench invocations don't accumulate checkpoints
+    // repeated Verify/bench invocations don't accumulate checkpoints.
+    // Age-gated (1 h): a concurrent harness process's LIVE checkpoint must
+    // never be deleted mid-stream — only abandoned ones. (java.io.File is
+    // the right API here: Scratch is local-filesystem by contract.)
+    val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
     Option(ckRoot.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("st18_"))
+      .filter(f => f.getName.startsWith("st18_") && f.lastModified() < staleMs)
       .foreach(org.apache.hadoop.fs.FileUtil.fullyDelete)
     val ck = s"$ckRoot/st18_${System.nanoTime()}"
     val q = agg.writeStream.outputMode(OutputMode.Update).format("noop")

@@ -378,7 +378,7 @@ object TextQueries {
   private def dd09Tables(dir: String): (String, String) = {
     val sfx = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     (s"graft_dd09_index_$sfx",
-      s"${sys.props.getOrElse("graft.tmp", "/root/repo/target")}/warehouse/dd09_index_$sfx")
+      graft.core.Scratch.dir(s"warehouse/dd09_index_$sfx"))
   }
 
   /** Ensure the dd09 persisted index exists for `dir` (docs < 400 = the
