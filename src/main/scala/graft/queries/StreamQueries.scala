@@ -497,6 +497,58 @@ object StreamQueries {
     * split — if batch boundaries, the id stamp, or exactly-once append
     * drifted, the compare fails.
     */
+  /** Exactly-once across a query RESTART: the same checkpoint + parquet
+    * sink are driven by TWO SEPARATE query incarnations. The first
+    * (AvailableNow) drains the data that exists and stops — a planned
+    * shutdown; more data arrives; a brand-new query object on the SAME
+    * checkpoint resumes from the committed offset log, so batch 1 is NOT
+    * reprocessed and batch 2 lands exactly once. The sink rollup then
+    * equals the plain batch aggregate over all events — if recovery
+    * double-processed (or dropped) either batch, every count and sum in
+    * the compare would drift. This is the restartability invariant that
+    * makes long-running ingestion jobs operable at 100 TB: state lives in
+    * the checkpoint, not the process. The stream is a stateless
+    * projection, isolating the offset-log semantics from agg-state
+    * recovery (st10/st13 judge stateful cross-batch accumulation).
+    */
+  private def streamRestart(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.core.Tables(spark, dir).events
+      .select(col("ts"), col("event_type"), col("value"))
+    val Array(loM, hiM) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = loM + (hiM - loM) / 2
+    val out = graft.core.Scratch.dir(s"roundtrip/stream_restart_${System.nanoTime()}")
+    ev.where(unix_micros(col("ts")) < mid)
+      .coalesce(1).write.parquet(s"$out/in")
+    def incarnation(): Unit = {
+      val src = spark.readStream.schema(twoBatchSchema(spark, dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$out/in")
+      val q = src.writeStream.format("parquet")
+        .option("path", s"$out/sink")
+        .option("checkpointLocation", s"$out/ck")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    incarnation() // first run: consumes batch 1, then stops cleanly
+    Thread.sleep(100) // mtime orders replay (file source sorts by mtime)
+    ev.where(unix_micros(col("ts")) >= mid)
+      .coalesce(1).write.mode("append").parquet(s"$out/in")
+    incarnation() // RESTART: new query, same checkpoint — batch 2 only
+    spark.read.parquet(s"$out/sink")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+  private val streamRestartSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
     val in  = twoBatchEventsDir(spark, dir)
     val out = graft.core.Scratch.dir(s"roundtrip/stream_foreach_${System.nanoTime()}")
@@ -691,6 +743,7 @@ object StreamQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "st18_state_reader"      -> QueryDef(stateReader, Some(stateReaderSql)),
+    "st19_restart_exactly_once" -> QueryDef(streamRestart, Some(streamRestartSql)),
     "st12_late_data_drop"    -> QueryDef(streamLateData, Some(streamLateDataSql)),
     "st13_update_mode"       -> QueryDef(streamUpdateMode, Some(streamUpdateModeSql)),
     "st14_outer_stream_join" -> QueryDef(streamOuterJoin, Some(streamOuterJoinSql)),
