@@ -220,8 +220,11 @@ object Events {
     * the matching date directories are READ, which at 100 TB is the
     * difference between scanning 5 days and scanning 10 years. PlanSpec
     * asserts the dynamic filter is on the scan; this query gates values.
-    * The 18000 threshold selects 5 of 30 fixture days (selective enough
-    * for the broadcast-reuse heuristic to prune).
+    * The cut is RELATIVE — days above 90 % of the best day's revenue — so
+    * selectivity survives any scale factor (a fixed absolute threshold
+    * would select everything at 10× the data). Parity: the cut is one
+    * IEEE multiply of an exact-decimal-derived max, identical in both
+    * engines.
     */
   private def dppJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev  = Tables(spark, dir).events
@@ -230,23 +233,31 @@ object Events {
       .write.mode("overwrite").partitionBy("event_date")
       .parquet(s"$tmp/events_by_date")
     val fact = spark.read.parquet(s"$tmp/events_by_date")
-    val dim = ev.groupBy(to_date(col("ts")).as("d"))
+    val days = ev.groupBy(to_date(col("ts")).as("d"))
       .agg(dsum(col("value")).as("day_value"))
-      .where(col("day_value") > 18000.0)
+    // ONE scalar to the driver (bounded model parameter, same posture as
+    // the IVF centroid collect): inlining the cut as a literal keeps the
+    // dim side a plain selective filter, which is the shape the dynamic-
+    // pruning planner recognizes — a join-derived cut defeats it.
+    val cutVal = days.agg((max(col("day_value")) * lit(0.9)).as("c"))
+      .head().getDouble(0)
+    val dim = days.where(col("day_value") > cutVal).select(col("d"))
     fact.join(dim, col("event_date") === col("d"))
       .groupBy(col("event_date"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_total"))
       .orderBy(col("event_date"))
   }
   private val dppJoinSql =
-    """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+    """WITH days AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_total
       |FROM events
       |WHERE CAST(ts AS DATE) IN (
-      |  SELECT d FROM (
-      |    SELECT CAST(ts AS DATE) AS d,
-      |      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
-      |    FROM events GROUP BY 1) WHERE day_value > 18000)
+      |  SELECT d FROM days
+      |  WHERE day_value > (SELECT max(day_value) * 0.9 FROM days))
       |GROUP BY 1 ORDER BY event_date""".stripMargin
 
   /** Nested-struct schema pruning: events re-shaped into a 2-level struct
