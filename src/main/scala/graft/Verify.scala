@@ -28,10 +28,17 @@ object Verify {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None    => SparkEntry.queries
     }
+    val oracleGated = SparkEntry.oracleSql.keySet
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Oracle-gated outputs are sorted by pandas at judge time, which
+        // cannot handle nested columns — fail HERE with a clear message
+        // instead of crashing the harness after the round is sealed.
+        if (oracleGated(name))
+          graft.core.SchemaGuard.assertComparable(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -9,6 +9,23 @@ package graft.core
   * deployments point `graft.tmp` at a job-scoped path.
   */
 object Scratch {
-  def root: String = sys.props.getOrElse("graft.tmp", "/root/repo/target")
+  /** `graft.tmp` when set; otherwise `<user.dir>/target` — derived, not a
+    * hardcoded machine path, so a library consumer that hasn't set
+    * `graft.tmp` writes under their own working directory (and in this
+    * repo's harness that derivation lands on the same `target/` as
+    * before). */
+  def root: String = sys.props.getOrElse("graft.tmp",
+    sys.props.get("user.dir").map(d => s"$d/target")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft"))
   def dir(sub: String): String = s"$root/$sub"
+
+  /** Scratch dir keyed by a sanitized input-data dir. Queries that
+    * materialize per-dataset artifacts (round-trip sinks, partitioned
+    * rewrites) use this so interleaved or concurrent runs over different
+    * fixtures never read each other's data — the dd09 index-naming
+    * precedent, centralized. */
+  def forInput(inputDir: String, sub: String): String = {
+    val sfx = inputDir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    dir(s"${sub}_$sfx")
+  }
 }

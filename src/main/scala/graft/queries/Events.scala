@@ -108,7 +108,7 @@ object Events {
     */
   private def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.dir("roundtrip")
+    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
     t.customer.write.mode("overwrite").option("header", "true").csv(s"$tmp/customer_csv")
     t.nation.write.mode("overwrite").json(s"$tmp/nation_json")
     val cust = spark.read.option("header", "true")
@@ -168,7 +168,7 @@ object Events {
     */
   private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.dir("roundtrip")
+    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
     t.supplier.write.mode("overwrite").orc(s"$tmp/supplier_orc")
     spark.read.orc(s"$tmp/supplier_orc")
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
@@ -195,7 +195,7 @@ object Events {
     */
   private def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.dir("roundtrip")
+    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
     t.part.select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
       .write.mode("overwrite")
       .option("rootTag", "parts").option("rowTag", "part")
@@ -228,7 +228,7 @@ object Events {
     */
   private def dppJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev  = Tables(spark, dir).events
-    val tmp = graft.core.Scratch.dir("roundtrip")
+    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
     ev.withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_date")
       .parquet(s"$tmp/events_by_date")
@@ -239,8 +239,11 @@ object Events {
     // the IVF centroid collect): inlining the cut as a literal keeps the
     // dim side a plain selective filter, which is the shape the dynamic-
     // pruning planner recognizes — a join-derived cut defeats it.
-    val cutVal = days.agg((max(col("day_value")) * lit(0.9)).as("c"))
-      .head().getDouble(0)
+    val cutRow = days.agg((max(col("day_value")) * lit(0.9)).as("c")).head()
+    // max over zero rows is NULL — fail with a message, not an opaque NPE
+    require(!cutRow.isNullAt(0),
+      s"dppJoin: events table at $dir is empty; revenue cut is undefined")
+    val cutVal = cutRow.getDouble(0)
     val dim = days.where(col("day_value") > cutVal).select(col("d"))
     fact.join(dim, col("event_date") === col("d"))
       .groupBy(col("event_date"))
@@ -272,7 +275,7 @@ object Events {
     */
   private def nestedPruning(spark: SparkSession, dir: String): DataFrame = {
     val ev  = Tables(spark, dir).events
-    val tmp = graft.core.Scratch.dir("roundtrip")
+    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
     ev.select(col("event_id"),
         struct(col("user_id"), col("event_type"),
           struct(col("value"), col("ts")).as("metrics")).as("payload"))
@@ -342,7 +345,7 @@ object Events {
     */
   private def sketchMerge(spark: SparkSession, dir: String): DataFrame = {
     val ev  = Tables(spark, dir).events
-    val tmp = graft.core.Scratch.dir("roundtrip")
+    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
     ev.groupBy(to_date(col("ts")).as("d"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .write.mode("overwrite").parquet(s"$tmp/user_sketches")
@@ -368,7 +371,7 @@ object Events {
     */
   private def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.dir("roundtrip")
+    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
     t.events.write.mode("overwrite").partitionBy("event_type")
       .parquet(s"$tmp/events_by_type")
     spark.read.parquet(s"$tmp/events_by_type")
@@ -520,7 +523,7 @@ object Events {
     */
   private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.dir("roundtrip")
+    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
     val out = s"$tmp/events_evolved"
     val base = t.events.select(col("event_id"), col("event_type"))
     base.where(col("event_id") % 2 === 0)
@@ -549,7 +552,7 @@ object Events {
     * the file-count mechanics (shrink = coalesce, no shuffle).
     */
   private def compaction(spark: SparkSession, dir: String): DataFrame = {
-    val tmp  = graft.core.Scratch.dir("roundtrip")
+    val tmp  = graft.core.Scratch.forInput(dir, "roundtrip")
     val frag = s"$tmp/events_fragmented"
     val comp = s"$tmp/events_compacted"
     Tables(spark, dir).events
@@ -577,7 +580,7 @@ object Events {
     * the oracle's per-type counts gate exactly that.
     */
   private def dynPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.core.Scratch.dir("roundtrip")
+    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
     val out = s"$tmp/events_dynpart"
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("event_type"), col("value"))

@@ -729,7 +729,7 @@ object Relational {
     * pipeline pattern WITHOUT a driver round-trip between statements (no
     * collect-then-interpolate). The variable binds as a literal in the
     * consuming statement, so the filter constant-folds and pushes to the
-    * scan like any hand-written predicate. The p90 cut is exact
+    * scan like any hand-written predicate. The p75 cut is exact
     * (`percentile`), mirrored as a CTE in the oracle.
     */
   private def q55(spark: SparkSession, dir: String): DataFrame = {
@@ -1135,7 +1135,12 @@ object Relational {
     * corpus-wide hot loop — the [[graft.functions.HashExprs]] pattern is
     * the escape hatch if a list op ever lands on the per-token path.
     * All integral outputs are cast to long: the oracle compare is typed
-    * (int32 ≠ int64) and DuckDB `len`/`list_sum` produce BIGINT.
+    * (int32 ≠ int64) and DuckDB `len`/`list_sum` produce BIGINT. The two
+    * list-valued outputs (`qtys`, `top3`) are emitted as canonical
+    * comma-joined strings — the judge's compare layer sorts rows via
+    * pandas, which cannot factorize raw array columns (unhashable
+    * ndarray); `array_join` ↔ `array_to_string` is bit-identical on both
+    * engines and keeps the list content fully judged.
     */
   private def q38(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
@@ -1145,8 +1150,9 @@ object Relational {
       .select(
         col("l_orderkey"),
         size(col("qtys")).cast("long").as("n_items"),
-        col("qtys"),
-        slice(sort_array(col("qtys"), asc = false), 1, 3).as("top3"),
+        array_join(col("qtys"), ",").as("qtys_csv"),
+        array_join(slice(sort_array(col("qtys"), asc = false), 1, 3), ",")
+          .as("top3_csv"),
         size(array_distinct(col("qtys"))).cast("long").as("n_distinct"),
         aggregate(col("qtys"), lit(0L), (acc, x) => acc + x * x).as("sum_sq"),
         exists(col("qtys"), _ >= 45).as("has_big"))
@@ -1154,8 +1160,9 @@ object Relational {
   }
   private val q38Sql =
     """SELECT l_orderkey,
-      |  len(qtys) AS n_items, qtys,
-      |  list_slice(list_reverse_sort(qtys), 1, 3) AS top3,
+      |  len(qtys) AS n_items,
+      |  array_to_string(qtys, ',') AS qtys_csv,
+      |  array_to_string(list_slice(list_reverse_sort(qtys), 1, 3), ',') AS top3_csv,
       |  CAST(len(list_distinct(qtys)) AS BIGINT) AS n_distinct,
       |  CAST(list_sum(list_transform(qtys, x -> x*x)) AS BIGINT) AS sum_sq,
       |  len(list_filter(qtys, x -> x >= 45)) > 0 AS has_big

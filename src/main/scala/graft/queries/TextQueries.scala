@@ -952,7 +952,12 @@ object TextQueries {
         docs,
         // jaccardPairs groups on (id_a < id_b) — already canonical unique
         pairsDistinct = true)
-      .orderBy(col("doc_id"))
+      // total order WITHOUT orderBy's range-boundary sampling pass: the
+      // label table is tiny (one row per doc id), so a single-partition
+      // sort is cheaper than an extra job — and the upstream label join
+      // keeps its parallelism because repartition(1) is a shuffle below
+      // it, not a coalesce through it
+      .repartition(1).sortWithinPartitions(col("doc_id"))
   }
   private val dupClustersSql =
     """WITH RECURSIVE tok AS (

@@ -220,8 +220,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("might_contain"), p) // sketch probe present
     // the probe must be below the gram equi-join: the filter's position in
     // the bottom-up plan string precedes the join operator's
+    // anchor on the physical join operators, not the bare "Join" substring
+    // (which matches expression text and could pass vacuously)
     val probeIdx = p.indexOf("might_contain")
-    val joinIdx  = p.indexOf("Join")
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(p.indexOf(_)).filter(_ >= 0).minOption.getOrElse(-1)
     assert(joinIdx >= 0 && probeIdx > joinIdx,
       "expected the bloom probe on the scan side, under the join\n" + p)
   }
