@@ -27,6 +27,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Batch exchanges START fine-grained (8× cores) and let AQE coalesce
+      // by measured size — the partition count then follows the DATA, not
+      // a fixed constant. Without this, a 10× input on the same session
+      // conf pushes 10× bytes through the same 32 reducers and falls off
+      // the in-memory cliff: the sf0.1→sf1 scaling run measured dd03 at
+      // 174× (spilling sort-merge verify join) with fixed partitions,
+      // ~linear after this change. Streaming is unaffected (AQE is off in
+      // microbatch planning, so stateful operators keep the fixed
+      // `shuffle.partitions` width their checkpoints require).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.ansi.enabled", "false") // hash folds use 64-bit wraparound
       // events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
       // rejects; read nanos as long session-wide (a session construction
@@ -69,13 +80,28 @@ final case class Tables(spark: SparkSession, dir: String) {
     // Hadoop FileSystem, not java.io.File: the size probe must also work
     // when `dir` is hdfs:// or s3a:// (local FS resolves through the same
     // API). A probe failure means "don't repartition", not a query failure.
-    val size =
+    // For a DIRECTORY layout the probe sums the data files and estimates
+    // the scan's split count (~1 split per file below maxPartitionBytes):
+    // the original getFileStatus(dir).getLen returned ~0, silently
+    // skipping the fan-out for a directory holding one big file — the
+    // first sf1 scaling run served every map-heavy stage from a single
+    // split that way.
+    val (size, splits) =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getFileStatus(p).getLen
-      } catch { case _: java.io.IOException => 0L }
-    if (size > singleSplitBytes)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) {
+          val maxSplit =
+            math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+          val files = fs.listStatus(p)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          (files.map(_.getLen).sum,
+            files.map(f => (f.getLen + maxSplit - 1) / maxSplit).sum)
+        } else (st.getLen, 1L)
+      } catch { case _: java.io.IOException => (0L, 1L) }
+    if (size > singleSplitBytes &&
+        splits < spark.sparkContext.defaultParallelism)
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }

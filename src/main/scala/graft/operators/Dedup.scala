@@ -694,12 +694,19 @@ object Dedup {
     // below plans at the caller's action time, back at session default,
     // which is right — it is corpus-sized).
     val spark = pairs.sparkSession
+    // both keys: AQE derives an exchange's pre-coalesce width from
+    // initialPartitionNum when the session sets one, so clamping only
+    // shuffle.partitions would be ignored under the session's 8×-cores
+    // adaptive default
+    val partKeys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val saved = partKeys.map(k => k -> spark.conf.getOption(k))
     try {
       while (!converged) {
         prevStats.foreach { case (n, _) =>
           val p = math.min(sessionParts.toLong, n / 2000000L + 1)
-          spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+          partKeys.foreach(k => spark.conf.set(k, p.toString))
         }
         // ONE star round per probe. (Batching two rounds per probe was
         // tried and is 2× SLOWER: the un-checkpointed intermediate round
@@ -720,7 +727,10 @@ object Dedup {
         // report zero rounds run, matching the pre-optimization contract
         if (nOld > 0) rounds += 1
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
     // at the fixpoint every non-root points directly at its component's
     // minimum; roots and singletons label themselves
     val stars = edges.groupBy(col("hi").as("nid")).agg(min(col("lo")).as("lbl"))

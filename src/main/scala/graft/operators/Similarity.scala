@@ -370,12 +370,19 @@ object Similarity {
     */
   def semanticDedup(
       corpus: DataFrame,
-      nCells: Int = 16,
+      nCells: Int = 0,
       threshold: Double = 0.3,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
-    val cents = collectCentroids(seedCentroids(corpus, nCells, idCol, vecCol))
+    // nCells ≤ 0 = auto: cells of ~128 rows (floor 16), so the within-cell
+    // quadratic stays bounded as the corpus grows — the sizing rule the
+    // Scaladoc above prescribes, applied by default instead of left to the
+    // caller. The count is parquet-metadata cheap; the sf0.1→sf1 scaling
+    // run measured the fixed-16 form at ~600× for 10× rows (cell occupancy
+    // ×10 ⟹ pairs ×100, plus skew), auto-sizing restores ~linear.
+    val cells = if (nCells > 0) nCells else math.max(16L, c.count() / 128L).toInt
+    val cents = collectCentroids(seedCentroids(corpus, cells, idCol, vecCol))
     val assigned = c.select(col("vec_id"), col("v"), nearestCell(col("v"), cents).as("cell"))
     val lowerDups = assigned.as("a")
       .join(assigned.as("b"),

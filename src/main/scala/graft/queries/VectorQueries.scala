@@ -301,16 +301,21 @@ object VectorQueries {
     * cell-blocked greedy keep-first over cosine ≥ 0.30. The oracle
     * mirrors the seed-centroid assignment (same argmax/tie-break as
     * ann05/ann06) and the lower-id flag rule over exact within-cell
-    * cosines, so blocking AND dedup policy are both hash-gated.
+    * cosines, so blocking AND dedup policy are both hash-gated. Cell
+    * count is auto-sized (max(16, n/128), mirrored by the oracle's
+    * subquery LIMIT) so within-cell quadratic work stays bounded as the
+    * corpus grows — fixed 16 cells measured ~600× cost for 10× rows on
+    * the sf1 scaling run.
     */
   private def semDedup(spark: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(Tables(spark, dir).embeddings,
-        nCells = 16, threshold = 0.30)
+        threshold = 0.30)
       .orderBy(col("vec_id"))
   private val semDedupSql =
     """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS mv
-      |          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16) s),
+      |          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id
+      |                LIMIT (SELECT greatest(16, count(*)//128) FROM emb)) s),
       |assigned AS (
       |  SELECT vec_id, v, cell FROM (
       |    SELECT e.vec_id, e.v, c.cell,
