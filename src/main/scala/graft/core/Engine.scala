@@ -37,7 +37,8 @@ object GraftSession {
       // microbatch planning, so stateful operators keep the fixed
       // `shuffle.partitions` width their checkpoints require).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          (cpus.toInt * 8).toString))
       .config("spark.sql.ansi.enabled", "false") // hash folds use 64-bit wraparound
       // events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
       // rejects; read nanos as long session-wide (a session construction

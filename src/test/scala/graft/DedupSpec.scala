@@ -264,6 +264,32 @@ class DedupSpec extends SparkSpec {
     assert(shuffled == base)
   }
 
+  test("dd14: cluster keeper is the argmax member and accounting closes") {
+    val out = SparkEntry.allDefs("dd14_cluster_keep_best").fn(spark, sf0001)
+      .select($"cluster_id", $"n_docs", $"keep_id", $"tokens_dropped")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(out.map(_._2).sum == fixture.count(),
+      "cluster sizes partition the corpus")
+    assert(out.forall(_._4 >= 0), "dropped-token accounting is non-negative")
+    // the keeper must be a member of its own cluster and the argmax by
+    // (quality DESC, doc_id ASC) among the members dd07 assigns to it
+    val labels = SparkEntry.allDefs("dd07_dup_clusters").fn(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val q = fixture
+      .select($"doc_id",
+        graft.functions.TextFunctions.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    val byCluster = labels.toSeq.groupBy(_._2)
+    out.foreach { case (cid, n, keep, _) =>
+      assert(labels(keep) == cid, s"keeper $keep is not in cluster $cid")
+      val members = byCluster(cid).map(_._1)
+      assert(members.size == n, s"cluster $cid size mismatch")
+      assert(keep == members.maxBy(id => (q(id), -id)),
+        s"keeper $keep is not the (q DESC, id ASC) argmax of cluster $cid")
+    }
+  }
+
   test("span dedup tail shorter than segLen is its own span") {
     val d = Seq((1L, "aaaabb"), (2L, "bb")).toDF("doc_id", "text")
     // doc 1 → "aaaa","bb"; doc 2's whole text "bb" duplicates doc 1's tail
