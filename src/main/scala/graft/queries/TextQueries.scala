@@ -792,6 +792,83 @@ object TextQueries {
        |WHERE ((fp % 10) + 10) % 10 = 0
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Deterministic train/val/test split: bucket = pmod(fnv64(text), 100)
+    * → 80/10/10. Content-hashed (not id-hashed) on purpose: exact
+    * duplicates land in the SAME split, so a later exact-dedup of train
+    * can never leak a copy of a val/test doc across the boundary — the
+    * split survives dedup, re-ingestion, and id reassignment. Pure
+    * map-side assignment; the only exchange is the tiny per-source×split
+    * rollup. (tx08 is the same machinery as a single held-out sample;
+    * this is the full three-way assignment a training run consumes.)
+    */
+  private def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(TextFunctions.fingerprint64(col("text")), lit(100L))
+    Tables(spark, dir).documents
+      .select(col("source"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("split_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+  private val splitAssignSql =
+    s"""SELECT source, split, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS split_tokens
+       |FROM (
+       |  SELECT source,
+       |    CASE WHEN ((fp % 100) + 100) % 100 < 80 THEN 'train'
+       |         WHEN ((fp % 100) + 100) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+       |      AS n_tokens
+       |  FROM (
+       |    SELECT source, text, $fnvSignSql AS fp
+       |    FROM (SELECT source, text, ${fnvFoldSql("text")} AS h
+       |          FROM documents) f) s) a
+       |GROUP BY source, split ORDER BY source, split""".stripMargin
+
+  /** Temperature-weighted source mixture (the multilingual-training
+    * `p_i ∝ n_i^α` reweighting, α = 0.5): each source's share of a
+    * 10M-token training budget, computed ENTIRELY in fixed-point integer
+    * arithmetic so the result is bit-identical across engines and
+    * partition orders — w_i = floor(sqrt(tokens_i)·10³) (IEEE-754 sqrt is
+    * correctly rounded in both engines; doubles never get summed),
+    * share_ppm = w_i·10⁶ div Σw, budget_tokens = w_i·10⁷ div Σw. The 10³
+    * weight scale keeps w_i·10⁷ < 2⁶³ out to ~10¹⁸ corpus tokens (10× a
+    * 100 TB corpus). Two rows cross the wire per source; the Σw total
+    * joins back as a broadcast 1-row aggregate.
+    */
+  private def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables(spark, dir).documents
+      .select(col("source"), TextFunctions.tokenCount(col("text")).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double")) * 1e3).cast("long"))
+    perSource
+      .crossJoin(broadcast(perSource.agg(sum(col("w")).as("w_total"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(w * 1000000L) div w_total").as("share_ppm"),
+        expr("(w * 10000000L) div w_total").as("budget_tokens"))
+      .orderBy(col("source"))
+  }
+  private val mixtureWeightsSql =
+    """WITH per_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+      |  FROM per_source)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST((w * 1000000) // (SELECT sum(w) FROM w) AS BIGINT) AS share_ppm,
+      |  CAST((w * 10000000) // (SELECT sum(w) FROM w) AS BIGINT) AS budget_tokens
+      |FROM w ORDER BY source""".stripMargin
+
   /** Class-balanced deterministic downsampling: every language is cut to
     * the size of the smallest class, keeping the docs with the lowest
     * (fnv64(text), doc_id) rank — a content-hash ranking, so the selected
@@ -1517,5 +1594,7 @@ object TextQueries {
     "tx13_pii_scrub"         -> QueryDef(piiScrub, Some(piiScrubSql)),
     "tx14_frequent_tokens"   -> QueryDef(frequentTokens, Some(frequentTokensSql)),
     "tx15_nfc_normalize"     -> QueryDef(nfcNormalizeQ, Some(nfcNormalizeSql)),
+    "tx22_split_assign"      -> QueryDef(splitAssign, Some(splitAssignSql)),
+    "tx23_mixture_weights"   -> QueryDef(mixtureWeights, Some(mixtureWeightsSql)),
   )
 }

@@ -107,6 +107,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(merged === full)
   }
 
+  test("tx22: split assignment partitions the corpus and is content-keyed") {
+    val out = SparkEntry.allDefs("tx22_split_assign").fn(spark, sf0001)
+      .select($"split", $"n_docs").as[(String, Long)].collect().toSeq
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(out.map(_._2).sum == total, "every doc is in exactly one split")
+    assert(out.map(_._1).toSet == Set("train", "val", "test"))
+    // content-keyed: the same text always lands in the same split, so a
+    // later exact-dedup cannot move a doc across the train/test boundary
+    val byText = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"text",
+        pmod(graft.functions.HashExprs.fnv64($"text"), lit(100L)).as("b"))
+      .groupBy($"text").agg(countDistinct($"b").as("nb"))
+      .agg(max($"nb")).head().getLong(0)
+    assert(byText == 1L)
+  }
+
+  test("tx23: mixture shares are a fixed-point partition of ~1M ppm") {
+    val out = SparkEntry.allDefs("tx23_mixture_weights").fn(spark, sf0001)
+      .select($"share_ppm", $"budget_tokens").as[(Long, Long)].collect()
+    // truncating integer division: the shares sum to 1M minus at most
+    // (nSources - 1) ppm of rounding loss, never over
+    val s = out.map(_._1).sum
+    assert(s <= 1000000L && s > 1000000L - out.length,
+      s"share_ppm sum $s out of range")
+    // (10w·10⁶) div T lands in [10·((w·10⁶) div T), 10·(…)+9] — the same
+    // share at 10× resolution, never disagreeing by a whole ppm
+    assert(out.forall { case (ppm, bt) => bt >= ppm * 10 && bt <= ppm * 10 + 9 },
+      "budget is the fixed-point share at 10M-token resolution")
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),
