@@ -16,7 +16,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
-      val fn = SparkEntry.benchQueries(name)
+      val fn = SparkEntry.allDefs(name).fn
       // marker to stderr so anything Spark logs mid-run (GC warnings,
       // scheduler races) can be attributed to a specific query
       System.err.println(s"[bench] running $name")
@@ -48,8 +48,13 @@ object Bench {
     // driver never sets it, so the judged bench always runs everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.benchQueries.keys.toSeq.sorted
-      .filter(n => only.forall(_(n)))
+    // The filter may name ANY judged query (local iteration on a
+    // non-headline query); the unfiltered — judged — set is exactly
+    // the benchmark-flagged queries, unchanged.
+    val names = only match {
+      case Some(s) => SparkEntry.allDefs.keys.toSeq.sorted.filter(s)
+      case None    => SparkEntry.benchQueries.keys.toSeq.sorted
+    }
     names.foreach(runOnce) // warm-up: JIT + codegen + file listing caches
     // median of 3 timed runs per query: run-to-run variance on small
     // queries is ±50% (GC, JIT recompiles), which would otherwise swamp
