@@ -792,6 +792,67 @@ object TextQueries {
        |WHERE ((fp % 10) + 10) % 10 = 0
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Count-min sketch heavy hitters — the frequency member of the sketch
+    * family (HLL cardinality = q31/ev31, approx percentile = q32, bloom =
+    * dd13): k=4 hash rows × w=512 counters, h_i(tok) = fnv64(tok + "#i")
+    * mod w, estimate = min_i counters[i][h_i] ≥ exact (one-sided CMS
+    * error), here reported next to the exact count for the top-30 tokens.
+    * Deterministic hashes make the sketch itself hash-gateable — the
+    * oracle rebuilds the identical counters in SQL. Scale posture: the
+    * only data-sized exchange is the vocabulary count (the sketch builds
+    * from exact counts — equivalent to streaming increments, one pass
+    * less); the counter table is k·w = 2048 rows REGARDLESS of corpus
+    * size, broadcast to the probe side, and merges across
+    * shards/batches by plain addition (same re-aggregable contract as
+    * ev31's persisted HLL sketches).
+    */
+  private def countMin(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4; val w = 512L
+    def buckets = explode(array((0 until k).map(i =>
+      struct(lit(i).as("i"),
+        pmod(graft.functions.HashExprs.fnv64(
+          concat(col("tok"), lit("#" + i))), lit(w)).as("bucket"))): _*))
+    val counts = Tables(spark, dir).documents
+      .select(explode(TextFunctions.tokenize(col("text"))).as("raw"))
+      .select(TextFunctions.normalizeToken(col("raw")).as("tok"))
+      .where(TextFunctions.isNonEmptyToken(col("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val counters = counts.select(col("cnt"), buckets.as("hb"))
+      .groupBy(col("hb.i").as("i"), col("hb.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+    counts.orderBy(col("cnt").desc, col("tok")).limit(30)
+      .select(col("tok"), col("cnt"), buckets.as("hb"))
+      .select(col("tok"), col("cnt"), col("hb.i").as("i"), col("hb.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+      .select(col("tok"), col("cnt").as("exact_cnt"), col("est_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+  private val countMinSql =
+    s"""WITH toks AS (
+       |  SELECT lower(regexp_replace(w, '\\W', '', 'g')) AS tok FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents) t1),
+       |counts AS (
+       |  SELECT tok, count(*) AS cnt FROM toks
+       |  WHERE length(tok) > 0 GROUP BY tok),
+       |ib AS (
+       |  SELECT tok, cnt, i, ((fp % 512) + 512) % 512 AS bucket FROM (
+       |    SELECT tok, cnt, i, $fnvSignSql AS fp FROM (
+       |      SELECT tok, cnt, i,
+       |        ${fnvFoldSql("tok || '#' || CAST(i AS VARCHAR)")} AS h
+       |      FROM counts, (SELECT unnest([0, 1, 2, 3]) AS i) ii) f) s),
+       |counters AS (
+       |  SELECT i, bucket, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM ib GROUP BY i, bucket),
+       |top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 30)
+       |SELECT t.tok, t.cnt AS exact_cnt, CAST(min(c.c) AS BIGINT) AS est_cnt
+       |FROM top t
+       |JOIN ib ON ib.tok = t.tok
+       |JOIN counters c ON c.i = ib.i AND c.bucket = ib.bucket
+       |GROUP BY t.tok, t.cnt ORDER BY exact_cnt DESC, t.tok""".stripMargin
+
   /** Deterministic train/val/test split: bucket = pmod(fnv64(text), 100)
     * → 80/10/10. Content-hashed (not id-hashed) on purpose: exact
     * duplicates land in the SAME split, so a later exact-dedup of train
@@ -1595,6 +1656,7 @@ object TextQueries {
     "tx14_frequent_tokens"   -> QueryDef(frequentTokens, Some(frequentTokensSql)),
     "tx15_nfc_normalize"     -> QueryDef(nfcNormalizeQ, Some(nfcNormalizeSql)),
     "tx22_split_assign"      -> QueryDef(splitAssign, Some(splitAssignSql)),
+    "tx24_countmin"          -> QueryDef(countMin, Some(countMinSql)),
     "tx23_mixture_weights"   -> QueryDef(mixtureWeights, Some(mixtureWeightsSql)),
   )
 }

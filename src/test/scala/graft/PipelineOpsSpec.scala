@@ -137,6 +137,14 @@ class PipelineOpsSpec extends SparkSpec {
       "budget is the fixed-point share at 10M-token resolution")
   }
 
+  test("tx24: count-min estimates are one-sided (est >= exact, never under)") {
+    val out = SparkEntry.allDefs("tx24_countmin").fn(spark, sf0001)
+      .select($"exact_cnt", $"est_cnt").as[(Long, Long)].collect()
+    assert(out.length == 30)
+    assert(out.forall { case (exact, est) => est >= exact },
+      "a count-min sketch can only overcount")
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),
