@@ -331,6 +331,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("dd14: keeper selection adds no window sort — one combinable agg") {
+    val p = planOf("dd14_cluster_keep_best")
+    // the argmax is max(struct(...)) — a hash aggregate with a map-side
+    // partial, never a per-cluster Window sort
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tx22: split assignment is map-side — only the rollup exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = SparkEntry.queries("tx22_split_assign")(spark, sf0001)
+      .queryExecution.executedPlan
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // one exchange for the (source, split) rollup + the final order-by
+    // range exchange; the per-doc hash/bucket assignment must not shuffle
+    assert(shuffles.size <= 2, plan.toString)
+  }
+
+  test("tx24: count-min probe joins the counter table by broadcast") {
+    val p = planOf("tx24_countmin")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // counters aggregate map-side before their (tiny, fixed-width) exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("tx18: balanced sample broadcasts the class cap, no product join") {
     val p = planOf("tx18_balanced_sample")
     assert(!p.contains("CartesianProduct"), p)
