@@ -884,12 +884,20 @@ object Events {
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** The gr03 BFS expressed as a SQL-surface RECURSIVE CTE — Spark 4's
-    * native `WITH RECURSIVE` (UNION ALL form; the fixpoint loop runs
-    * inside the engine, no driver iteration at all). The `d < 4` guard
-    * bounds the walk, `min(d)` collapses the path multiset to BFS
-    * distances, and the oracle runs the SAME recursion (modulo the
-    * 10-minute-bucket dialect spelling), so both engines' recursive
-    * execution is compared end-to-end.
+    * native `WITH RECURSIVE` (the fixpoint loop runs inside the engine,
+    * no driver iteration at all). The recursive member SELECTs DISTINCT
+    * on purpose: a bare step accumulates the path MULTISET, which grows
+    * combinatorially with graph density (at sf0.1 it blows past the
+    * engine's 1M-row recursion guard; at 100 TB it is unrunnable on any
+    * engine). Each iteration joins only the PREVIOUS step's rows, so the
+    * per-step dedup caps every level at one (node, d) row per node —
+    * working set ≤ nodes × depth — and `min(d)` over the walk is
+    * identical, so the dedup is free semantically. (Distinct-UNION
+    * recursion itself is unsupported in Spark 4.1; per-step DISTINCT
+    * under UNION ALL is the portable spelling of the same bound.)
+    * The `d < 4` guard bounds the walk; the oracle runs
+    * the SAME recursion (modulo the 10-minute-bucket dialect spelling),
+    * so both engines' recursive execution is compared end-to-end.
     */
   private def recursiveSql(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).events.createOrReplaceTempView("events_gr04")
@@ -907,7 +915,7 @@ object Events {
         |walk AS (
         |  SELECT node, 0 AS d FROM seeds
         |  UNION ALL
-        |  SELECT e.dst AS node, w.d + 1 AS d
+        |  SELECT DISTINCT e.dst AS node, w.d + 1 AS d
         |  FROM walk w JOIN e ON w.node = e.src WHERE w.d < 4)
         |SELECT node, CAST(min(d) AS BIGINT) AS dist
         |FROM walk GROUP BY node ORDER BY node""".stripMargin)
@@ -925,7 +933,7 @@ object Events {
       |walk AS (
       |  SELECT node, 0 AS d FROM seeds
       |  UNION ALL
-      |  SELECT e.dst AS node, w.d + 1 AS d
+      |  SELECT DISTINCT e.dst AS node, w.d + 1 AS d
       |  FROM walk w JOIN e ON w.node = e.src WHERE w.d < 4)
       |SELECT node, CAST(min(d) AS BIGINT) AS dist
       |FROM walk GROUP BY node ORDER BY node""".stripMargin
