@@ -171,11 +171,26 @@ object StreamOps {
     */
   def parquetStream(spark: SparkSession, dir: String, fileGlob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/$fileGlob").schema
-    spark.readStream.schema(schema)
+    val path = s"$dir/$fileGlob"
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", fileGlob)
-      .parquet(dir)
+    // The table entry may be a single FILE (the driver's fixtures) or a
+    // DIRECTORY of part files (every production layout, and ScaleData's).
+    // pathGlobFilter matches against leaf FILE names, so filtering `dir`
+    // by the table name silently matches ZERO files under a directory
+    // layout — the stream "completes" having processed nothing (caught by
+    // the sf1 sweep: st07's sink had no committed files, st18's
+    // checkpoint no committed batch, every other st* an empty result).
+    // Stream the directory itself in that case; glob-filter only when the
+    // entry really is a bare file sitting next to the other tables.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val isDir =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isDirectory
+      catch { case _: java.io.IOException => false }
+    if (isDir) reader.parquet(path)
+    else reader.option("pathGlobFilter", fileGlob).parquet(dir)
   }
 
   /** Nanos-as-long → microsecond timestamp (see Tables.events). */

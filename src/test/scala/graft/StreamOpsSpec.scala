@@ -67,4 +67,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 9.0)))
     assert(rows.contains((2L, 1L, 7.0)))
   }
+
+  test("parquetStream reads BOTH fixture layouts: bare file and directory") {
+    // production tables are directories of part files; the driver fixture
+    // is a bare file — pathGlobFilter on the parent dir matches zero files
+    // for a directory entry (the sf1-sweep defect), so the source must
+    // switch to streaming the directory itself
+    val root = graft.core.Scratch.dir(s"spec/stream_layout_${System.nanoTime()}")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "source")
+    df.repartition(2).write.parquet(s"$root/documents.parquet") // directory
+    def rows(dir: String): Long = {
+      val out = s"$dir/out_${System.nanoTime()}"
+      val q = StreamOps.parquetStream(spark, dir, "documents.parquet")
+        .writeStream.format("parquet")
+        .option("path", s"$out/data").option("checkpointLocation", s"$out/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$out/data").count()
+    }
+    assert(rows(root) == 3L, "directory-layout table must stream its part files")
+    assert(rows(sf0001) ==
+      spark.read.parquet(s"$sf0001/documents.parquet").count(),
+      "bare-file fixture layout must stream exactly the named file")
+  }
 }
