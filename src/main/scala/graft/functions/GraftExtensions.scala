@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // naive non-equi BETWEEN joins → bin-keyed equi-joins (no nested loop)
     ext.injectOptimizerRule(graft.plans.RangeJoinRule.apply)
+    // drop the fixture fan-out repartition when its consumer shuffles anyway
+    ext.injectOptimizerRule(graft.plans.PruneShuffledFanOut.apply)
   }
 }
 

@@ -29,6 +29,28 @@ object Graph {
     * iterations. Every node appearing as a src or dst gets a rank; dangling
     * nodes (no out-edges) leak their mass — the convention of the original
     * formulation, mirrored exactly by the oracle.
+    *
+    * Loop body cost (the thing that multiplies by `iters`): ONE
+    * exchange-free-on-the-edge-side join plus ONE aggregate.
+    * The weighted edge list is hash-partitioned AND sorted by `src` once at
+    * setup, then lineage-cut — `localCheckpoint` preserves the physical
+    * plan's outputPartitioning/outputOrdering in the `LogicalRDD`, so every
+    * round's sort-merge join sees the edge side as already
+    * partitioned-and-sorted and plants no Exchange and no Sort over it.
+    * The rank side arrives partitioned too: it is the output of the
+    * previous round's `groupBy(node)` at the same partition count, so the
+    * per-round cost is a sort of O(nodes) rows, the merge join, and one
+    * O(nodes) exchange into the next aggregate. No edge EVER crosses an
+    * exchange after setup, and no table is size-bounded — the same plan
+    * shape holds whether the rank table is 1 MB or cluster-sized (this is
+    * the bucketed-iteration form; a broadcast variant would cap nodes at
+    * driver/executor memory).
+    *
+    * The dangling-node default (`coalesce(mass, 0)` in the naive form) is
+    * folded INTO the aggregate by unioning a zero-mass row per node below
+    * the groupBy — a node with no in-edges sums to 0 and lands on the
+    * damping floor, so the separate nodes-⋈-contrib left-outer join (a
+    * second join per round in the first implementation) vanishes.
     */
   def pageRankFixedPoint(
       spark: SparkSession,
@@ -39,28 +61,89 @@ object Graph {
     // edge derivation may be arbitrarily expensive (gr01's is a per-window
     // co-purchase self-join), and it is referenced three times below plus
     // once per iteration — without the cut every reference re-executes it.
-    // outdeg is pre-joined into the edge list so the loop body is ONE join
-    // per round (ranks ⋈ weighted edges on src), not two.
+    // The caller's edge derivation may be arbitrarily expensive (gr01's is
+    // a per-window co-purchase self-join) — materialize it ONCE here, under
+    // the session default conf (AQE on: its exchanges are runtime-sized, so
+    // a 10× input doesn't funnel through a fixed reducer count, and AQE's
+    // stage cache computes the derivation subtree once even when the caller
+    // references it twice, e.g. gr01's both-directions union). The count
+    // doubles as the eager materialization AND sizes the loop below; the
+    // driver receives a single long.
     val e = Dedup.ckpt(
       edges.select(col("src").cast("long"), col("dst").cast("long")))
-    val ew = Dedup.ckpt(
-      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-        .select(col("src"), col("dst"), col("outdeg")))
-    val nodes = Dedup.ckpt(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct())
-    var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = ranks
-        .join(ew, ranks("node") === ew("src"))
-        .select(col("dst"), expr("rank div outdeg").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("mass"))
-      ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left_outer")
-        .select(col("node"),
-          (lit(150000L) + expr("(850 * coalesce(mass, 0L)) div 1000")).as("rank"))
+    val edgeCount = e.count()
+    val loopWidth = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (edgeCount + 1999999) / 2000000)).toInt
+    // Width of every loop-side exchange: ~2M edges (≈50 MB) per task,
+    // capped at the session's parallelism. This is the same width AQE
+    // would discover per stage at runtime — computed ONCE from the cached
+    // edge count instead, because AQE's per-stage materialize-and-replan
+    // round-trips (~2 driver jobs per round) are the dominant cost of a
+    // many-round loop over an already-measured, size-invariant working set.
+    // Nothing semantic depends on the AQE flip — the fixed-point integer
+    // arithmetic is partition-count-invariant by design — and all actions
+    // (the lineage cuts) happen inside the scope, so the captured
+    // LogicalRDD partitioning and ordering are the real, final ones.
+    withConf(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> loopWidth.toString) {
+      // deg is NOT lineage-cut: it is used once, in the ew build directly
+      // below, and an RDD boundary would only block pipelining.
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // The loop-invariant heavy object: outdeg pre-joined into the edge
+      // list, hash-partitioned AND sorted by src, lineage-cut. The cached
+      // LogicalRDD keeps HashPartitioning(src)/src-ASC, so per-round merge
+      // joins plant no Exchange and no Sort over it. (Lazy cut: the first
+      // round's stage materializes and caches it; rounds 2+ hit the cache.)
+      val ew = Dedup.ckpt(
+        e.join(deg, "src")
+          .select(col("src"), col("dst"), col("outdeg"))
+          .repartition(loopWidth, col("src"))
+          .sortWithinPartitions(col("src")))
+      // nodes is NOT lineage-cut either: its distinct-exchange subtree
+      // recurs identically (initial ranks + one zero-mass union per round)
+      // and ReuseExchange computes it once within the single final job.
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to iters) {
+        // MERGE hint: without it the planner broadcasts the (locally tiny)
+        // edge RDD from per-round statistics — a shape that re-collects the
+        // edge list to the driver every round and dies at real edge counts.
+        // The merge join is exchange-free on BOTH sides here: ew is cached
+        // partitioned-and-sorted by src, and the rank side is the previous
+        // round's groupBy(node) output at the same width, so each round
+        // costs one O(nodes) sort, the merge, and one O(nodes) exchange.
+        val r = ranks.hint("merge")
+        ranks = ew
+          .join(r, ew("src") === r("node"))
+          .select(ew("dst").as("node"), expr("rank div outdeg").as("mass"))
+          .union(nodes.select(col("node"), lit(0L).as("mass")))
+          .groupBy(col("node"))
+          .agg((lit(150000L) + expr("(850 * sum(mass)) div 1000")).as("rank"))
+      }
+      // O(nodes) result, lineage-cut (cached blocks), never collected.
+      val out = Dedup.ckpt(ranks)
+      out.foreach(_ => ())
+      out
     }
-    ranks
+  }
+
+  /** Scoped session-conf override: sets each key for the duration of `f`,
+    * then restores the previous values (or unsets). Queries on OTHER
+    * threads of a shared session could observe the flip mid-flight — the
+    * graft harness runs queries sequentially, and the flipped confs here
+    * only affect physical planning, never semantics.
+    */
+  private def withConf[T](spark: SparkSession, kvs: (String, String)*)(
+      f: => T): T = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally old.foreach { case (k, ov) =>
+      ov.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   /** Minimum hop distance from a seed set over a directed edge list,

@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Optimizer rule: drop a shuffling round-robin `Repartition` that sits
+  * between a scan and a consumer that is itself shuffle-inducing.
+  *
+  * [[graft.core.Tables]] fans single-split fixture scans out to the
+  * session's parallelism so map-heavy narrow work (tokenize, sketch,
+  * payload hash) doesn't run on one core. When the first real operation
+  * over the table is an aggregate/join/sort, that fan-out buys nothing —
+  * the consumer's own exchange redistributes the rows anyway — and costs a
+  * full extra shuffle of the scan output: plans showed
+  * `Exchange hashpartitioning <- Exchange RoundRobinPartitioning <- Scan`.
+  * This rule removes the round-robin exchange exactly there, re-creating
+  * the decision [[graft.core.Tables]] cannot make locally (at `t(name)`
+  * time the downstream query is unknown).
+  *
+  * Fires only when EVERY node between the shuffle-inducing consumer and
+  * the scan (on that child path) is a cheap narrow Project/Filter:
+  * attribute shuffling, casts, arithmetic, comparisons — work that costs
+  * no more than the exchange it would otherwise ride. Any map-heavy
+  * expression (UDF, higher-order function, regexp, JSON/XML/CSV parse,
+  * crypto hash, a graft native expression) or a `Generate`/explode keeps
+  * the fan-out: parallelizing that work is what the repartition is FOR.
+  * Only parameterless round-robin [[Repartition]] is touched —
+  * `RepartitionByExpression` (hash/range, e.g. the bucketed-iteration
+  * pre-partitioning in [[graft.operators.Graph]]) expresses an intentional
+  * co-location and always survives.
+  *
+  * Semantics are untouched: a round-robin repartition whose output feeds a
+  * hash/range exchange affects only the map-side width of that exchange,
+  * never row content or downstream partitioning. Idempotent by
+  * construction (the removed node never reappears).
+  */
+case class PruneShuffledFanOut(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case a: Aggregate => a.copy(child = strip(a.child))
+    case j: Join => j.copy(left = strip(j.left), right = strip(j.right))
+    case s: Sort if s.global => s.copy(child = strip(s.child))
+    case r: RepartitionByExpression => r.copy(child = strip(r.child))
+    case d: Deduplicate => d.copy(child = strip(d.child))
+    case w: Window => w.copy(child = strip(w.child))
+    case e: Except => e.copy(left = strip(e.left), right = strip(e.right))
+    case i: Intersect => i.copy(left = strip(i.left), right = strip(i.right))
+  }
+
+  /** Walk down through cheap narrow ops; if the first non-trivial node is a
+    * shuffling round-robin Repartition over a cheap chain to a relation,
+    * splice it out.
+    */
+  private def strip(p: LogicalPlan): LogicalPlan = p match {
+    case r @ Repartition(_, true, child) if cheapToScan(child) => child
+    case pr: Project if pr.projectList.forall(cheap) =>
+      pr.copy(child = strip(pr.child))
+    case f: Filter if cheap(f.condition) =>
+      f.copy(child = strip(f.child))
+    case other => other
+  }
+
+  private def cheapToScan(p: LogicalPlan): Boolean = p match {
+    case _: LogicalRelation => true
+    case pr: Project => pr.projectList.forall(cheap) && cheapToScan(pr.child)
+    case f: Filter => cheap(f.condition) && cheapToScan(f.child)
+    case _ => false
+  }
+
+  /** True when evaluating `e` per-row is no more expensive than shuffling
+    * the row: plain column traffic, literals, casts, arithmetic,
+    * comparisons, struct/date picking. Anything interpretable as "the map
+    * work the fan-out exists to parallelize" returns false and keeps the
+    * repartition. `CodegenFallback` is used as a generic interpreted-
+    * expression signal — false negatives only cost keeping a repartition.
+    */
+  private def cheap(e: Expression): Boolean = e match {
+    case _: ScalaUDF => false
+    case _: HigherOrderFunction => false
+    case _: RegExpExtractBase | _: RegExpReplace | _: RLike | _: Like => false
+    case _: StringSplit | _: SplitPart | _: Levenshtein => false
+    case _: JsonToStructs | _: GetJsonObject | _: JsonTuple => false
+    case _: CsvToStructs | _: XmlToStructs => false
+    case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 => false
+    case _ if e.getClass.getName.startsWith("graft.") => false
+    case _: CodegenFallback => false
+    case _ => e.children.forall(cheap)
+  }
+}

@@ -1033,16 +1033,30 @@ object Events {
 
   /** Per-time-bucket co-purchase pairs (src < dst, distinct) — the shared
     * edge derivation of gr01/gr02.
+    *
+    * Shape: ONE shuffle (groupBy bucket, collect_set dedups users map-side)
+    * followed by a map-side double-explode pair expansion, then the distinct
+    * over pairs — two exchanges total. The naive form (distinct users, self-
+    * join on bucket, distinct pairs) costs four: the per-(bucket,user)
+    * distinct, BOTH self-join sides re-hashed on bucket, and the pair
+    * distinct. Output volume is identical (quadratic in users-per-bucket
+    * either way); the difference is where the expansion runs — here it's
+    * in-task over a per-bucket array, so the skew bound is users in one
+    * 10-minute bucket (a per-task memory bound, not a hot-key shuffle).
+    * Past that bound (a viral bucket with millions of distinct users) the
+    * self-join form with bucket salting is the fallback — [[Skew.saltedJoin]]
+    * exists for exactly that regime.
     */
   private def coPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables(spark, dir).events
+    val byBucket = Tables(spark, dir).events
       .where(col("event_type") === "purchase")
       .select(window(col("ts"), "10 minutes")("start").as("b"),
         col("user_id").as("u"))
-      .distinct()
-    p.as("a").join(p.as("b"),
-        col("a.b") === col("b.b") && col("a.u") < col("b.u"))
-      .select(col("a.u").as("src"), col("b.u").as("dst"))
+      .groupBy(col("b")).agg(collect_set(col("u")).as("us"))
+    byBucket
+      .select(explode(col("us")).as("src"), col("us"))
+      .select(col("src"), explode(col("us")).as("dst"))
+      .where(col("src") < col("dst"))
       .distinct()
   }
 

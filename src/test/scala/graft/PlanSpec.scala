@@ -365,4 +365,28 @@ class PlanSpec extends SparkSpec {
     // exactly one window pass computes the per-class ranks
     assert("Window".r.findAllIn(p).size >= 1, p)
   }
+
+  test("fan-out pruning: no round-robin exchange feeds a shuffle consumer") {
+    // PruneShuffledFanOut must remove the fixture fan-out repartition when
+    // the first operation over the scan is itself shuffle-inducing: a
+    // RoundRobinPartitioning exchange whose output only gets re-exchanged
+    // is a wasted full shuffle of the scan (round-5 verdict, What's wrong
+    // #2 — dd07/q17 carried the double exchange).
+    for (name <- Seq("q17_avg_subquery", "dd07_dup_clusters",
+        "q01_pricing_summary", "q16_group_having")) {
+      val p = planOf(name)
+      assert(!p.contains("RoundRobinPartitioning"), s"$name still fans out:\n$p")
+    }
+  }
+
+  test("fan-out pruning: map-heavy narrow chains KEEP the fan-out repartition") {
+    // wordcount normalizes with regexp above the single-split scan —
+    // exactly the shape the fan-out exists for; the rule must not touch
+    // it. sf0.1, not the tiny fixtures: below 200 KB the fan-out is never
+    // injected (tiny files don't starve), so only sf0.1's documents
+    // (~0.6 MB) exercises the keep side.
+    val p = SparkEntry.queries("wc_reference_wordcount")(
+      spark, "/root/testdata/sf0.1").queryExecution.executedPlan.toString
+    assert(p.contains("RoundRobinPartitioning"), p)
+  }
 }
