@@ -17,9 +17,10 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val fn = SparkEntry.allDefs(name).fn
-      // marker to stderr so anything Spark logs mid-run (GC warnings,
-      // scheduler races) can be attributed to a specific query
-      System.err.println(s"[bench] running $name")
+      // progress marker on STDOUT: sbt tags stderr lines `[error]`, and a
+      // judged bench tail must carry none — mid-run Spark logs still land
+      // next to the most recent marker in the combined log
+      println(s"[bench] running $name")
       // Drain still-running stages before collecting garbage: an AQE-
       // abandoned (or speculative) stage can outlive its query's action,
       // and once the action returns nothing strongly references its SQL-
@@ -52,7 +53,14 @@ object Bench {
     // non-headline query); the unfiltered — judged — set is exactly
     // the benchmark-flagged queries, unchanged.
     val names = only match {
-      case Some(s) => SparkEntry.allDefs.keys.toSeq.sorted.filter(s)
+      case Some(s) =>
+        // a misspelled filter entry would otherwise be dropped silently —
+        // and an all-misses filter would "pass" a zero-query bench
+        val unknown = s.diff(SparkEntry.allDefs.keySet)
+        if (unknown.nonEmpty)
+          println(s"[bench] WARNING: filter names match no query: " +
+            unknown.toSeq.sorted.mkString(", "))
+        SparkEntry.allDefs.keys.toSeq.sorted.filter(s)
       case None    => SparkEntry.benchQueries.keys.toSeq.sorted
     }
     names.foreach(runOnce) // warm-up: JIT + codegen + file listing caches
@@ -67,8 +75,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also write the metric line to a file: log-tail parsing is fragile
+    // (sbt prefixes, interleaved Spark output), a file is not
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
     spark.stop()
   }
 }

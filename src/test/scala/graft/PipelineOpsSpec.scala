@@ -114,13 +114,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_._2).sum == total, "every doc is in exactly one split")
     assert(out.map(_._1).toSet == Set("train", "val", "test"))
     // content-keyed: the same text always lands in the same split, so a
-    // later exact-dedup cannot move a doc across the train/test boundary
-    val byText = spark.read.parquet(s"$sf0001/documents.parquet")
-      .select($"text",
-        pmod(graft.functions.HashExprs.fnv64($"text"), lit(100L)).as("b"))
-      .groupBy($"text").agg(countDistinct($"b").as("nb"))
-      .agg(max($"nb")).head().getLong(0)
-    assert(byText == 1L)
+    // later exact-dedup cannot move a doc across the train/test boundary.
+    // Exercised through the QUERY's own assignment (not a re-derivation of
+    // the hash, which would hold for any deterministic function): two
+    // sources carrying identical texts must report identical per-split
+    // doc counts — an id- or partition-keyed assignment could diverge.
+    val tmp = "target/test_tx22_dup"
+    val texts = (1 to 40).map(i => s"sample text number $i with filler")
+    val dup = for (src <- Seq("s1", "s2"); t <- texts) yield (src, t)
+    dup.toDF("source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val assigned = SparkEntry.allDefs("tx22_split_assign").fn(spark, tmp)
+      .select($"source", $"split", $"n_docs")
+      .as[(String, String, Long)].collect().toSeq
+    val bySrc = assigned.groupBy(_._1)
+      .map { case (s, rs) => s -> rs.map(r => (r._2, r._3)).toSet }
+    assert(bySrc("s1") == bySrc("s2"),
+      s"duplicate texts split differently across sources: $bySrc")
+    // non-degenerate: the fixture texts span more than one split
+    assert(bySrc("s1").size >= 2, bySrc.toString)
   }
 
   test("tx23: mixture shares are a fixed-point partition of ~1M ppm") {
