@@ -747,14 +747,14 @@ object StreamQueries {
     "st12_late_data_drop"    -> QueryDef(streamLateData, Some(streamLateDataSql)),
     "st13_update_mode"       -> QueryDef(streamUpdateMode, Some(streamUpdateModeSql)),
     "st14_outer_stream_join" -> QueryDef(streamOuterJoin, Some(streamOuterJoinSql)),
-    "st15_transform_with_state" -> QueryDef(streamTws, Some(streamTwsSql)),
+    "st15_transform_with_state" -> QueryDef(streamTws, Some(streamTwsSql), benchmark = true),
     "st16_stream_ohlc"       -> QueryDef(streamOhlc, Some(streamOhlcSql)),
     "st17_chained_agg"       -> QueryDef(streamChained, Some(streamChainedSql)),
     "st11_foreach_batch"     -> QueryDef(streamForeachBatch, Some(streamForeachBatchSql)),
     "st10_stream_multibatch" -> QueryDef(streamMultibatch, Some(streamMultibatchSql)),
     "st09_stream_static_join" -> QueryDef(streamStaticJoin, Some(streamStaticJoinSql)),
     "st01_stream_tumbling"  -> QueryDef(streamTumbling, Some(streamTumblingSql)),
-    "st08_stream_session"   -> QueryDef(streamSession, Some(streamSessionSql)),
+    "st08_stream_session"   -> QueryDef(streamSession, Some(streamSessionSql), benchmark = true),
     "st07_stream_file_sink" -> QueryDef(streamParquetSink, Some(streamParquetSinkSql)),
     "st06_stream_join"      -> QueryDef(streamStreamJoin, Some(streamStreamJoinSql)),
     "st02_stream_wordcount" -> QueryDef(streamWordcount, Some(streamWordcountSql)),

@@ -2,7 +2,13 @@
 """Local stand-in for the driver's correctness gate: run Verify's output
 against DuckDB on the same tables and report per-query match.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [only]
+
+`only` (optional): comma-separated query names, or `-name` entries to
+EXCLUDE from the full set — used at sf>=1 where the handful of
+deliberately-quadratic oracle queries (dd02/dd03/dd05/dd12, the ann
+brute-force rescores) would run for hours in DuckDB while everything
+else hash-checks in minutes.
 """
 import json
 import math
@@ -23,11 +29,17 @@ def norm(v):
     return (type(v).__name__, str(v))
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        excluded = {n[1:] for n in names if n.startswith("-")}
+        included = {n for n in names if not n.startswith("-")}
+        oracle = {k: v for k, v in oracle.items()
+                  if (not included or k in included) and k not in excluded}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -81,4 +93,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
