@@ -1405,37 +1405,61 @@ object Relational {
     */
   private def q46(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
-    li.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).cast("double").as("n"),
-        sum(dec(col("l_quantity"))).cast("double").as("sx"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
-        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"),
-        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("syy"),
-        sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast("double").as("sxy"))
-      .select(col("l_returnflag"),
-        col("n").cast("long").as("n_rows"),
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
-          (col("n") * (col("n") - lit(1.0)))).as("std_qty"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * (col("n") - lit(1.0)))).as("covar_qp"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qp"))
+    // Pivot-centered EXACT-decimal power sums. The textbook combine
+    // (n·Σxy − Σx·Σy in doubles) cancels ~19 digits at sf1 — the result is
+    // pure rounding residue, and the two engines' residues differ at the
+    // last ULP (one fuses the multiply-subtract). Centering on fixed
+    // pivots (25.50 / 38000.00 — any constants work, these sit near the
+    // fixture means to keep magnitudes small; the moments are
+    // shift-invariant) keeps every sum and the n·Σ−Σ·Σ numerators inside
+    // exact DECIMAL arithmetic, so the ONLY rounding anywhere is the final
+    // cast-to-double + divide/sqrt — bit-identical cross-engine at any sf
+    // until DECIMAL(25,4) overflows (~sf100).
+    li.selectExpr("l_returnflag",
+        "CAST(l_quantity AS DECIMAL(12,2)) - 25.50 AS xc",
+        "CAST(l_extendedprice AS DECIMAL(12,2)) - 38000.00 AS yc")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(xc) AS DECIMAL(19,2))").as("sxc"),
+        expr("CAST(sum(yc) AS DECIMAL(19,2))").as("syc"),
+        expr("CAST(sum(xc*xc) AS DECIMAL(25,4))").as("sxx"),
+        expr("CAST(sum(yc*yc) AS DECIMAL(25,4))").as("syy"),
+        expr("CAST(sum(xc*yc) AS DECIMAL(25,4))").as("sxy"))
+      // The final divide/sqrt runs in doubles; the two engines double-round
+      // the DECIMAL->DOUBLE cast + divide differently (1 ULP apart at sf1).
+      // Emitting DECIMAL(28,12) makes the last step a deterministic decimal
+      // rounding at 1e-12 — three orders of magnitude above the ULP noise —
+      // so the result is bit-identical cross-engine at any sf.
+      .selectExpr("l_returnflag",
+        "n AS n_rows",
+        "CAST(sqrt(CAST(CAST(n AS DECIMAL(12,0))*sxx - sxc*sxc AS DOUBLE)" +
+          " / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))) AS DECIMAL(28,12)) AS std_qty",
+        "CAST(CAST(CAST(n AS DECIMAL(12,0))*sxy - sxc*syc AS DOUBLE)" +
+          " / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) AS DECIMAL(28,12)) AS covar_qp",
+        "CAST(CAST(CAST(n AS DECIMAL(12,0))*sxy - sxc*syc AS DOUBLE)" +
+          " / sqrt(CAST(CAST(n AS DECIMAL(12,0))*sxx - sxc*sxc AS DOUBLE)" +
+          " * CAST(CAST(n AS DECIMAL(12,0))*syy - syc*syc AS DOUBLE)) AS DECIMAL(28,12)) AS corr_qp")
       .orderBy(col("l_returnflag"))
   }
   private val q46Sql =
-    """WITH s AS (SELECT l_returnflag,
-      |  CAST(count(*) AS DOUBLE) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
-      |FROM lineitem GROUP BY 1)
+    """WITH s AS (SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(xc) AS DECIMAL(19,2)) AS sxc,
+      |  CAST(sum(yc) AS DECIMAL(19,2)) AS syc,
+      |  CAST(sum(xc*xc) AS DECIMAL(25,4)) AS sxx,
+      |  CAST(sum(yc*yc) AS DECIMAL(25,4)) AS syy,
+      |  CAST(sum(xc*yc) AS DECIMAL(25,4)) AS sxy
+      |FROM (SELECT l_returnflag,
+      |        CAST(l_quantity AS DECIMAL(12,2)) - 25.50 AS xc,
+      |        CAST(l_extendedprice AS DECIMAL(12,2)) - 38000.00 AS yc
+      |      FROM lineitem) c GROUP BY 1)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-      |  sqrt((n*sxx - sx*sx) / (n*(n - 1.0))) AS std_qty,
-      |  (n*sxy - sx*sy) / (n*(n - 1.0)) AS covar_qp,
-      |  (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qp
+      |  CAST(sqrt(CAST(CAST(n AS DECIMAL(12,0))*sxx - sxc*sxc AS DOUBLE)
+      |    / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0))) AS DECIMAL(28,12)) AS std_qty,
+      |  CAST(CAST(CAST(n AS DECIMAL(12,0))*sxy - sxc*syc AS DOUBLE)
+      |    / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)) AS DECIMAL(28,12)) AS covar_qp,
+      |  CAST(CAST(CAST(n AS DECIMAL(12,0))*sxy - sxc*syc AS DOUBLE)
+      |    / sqrt(CAST(CAST(n AS DECIMAL(12,0))*sxx - sxc*sxc AS DOUBLE)
+      |      * CAST(CAST(n AS DECIMAL(12,0))*syy - syc*syc AS DOUBLE)) AS DECIMAL(28,12)) AS corr_qp
       |FROM s ORDER BY l_returnflag""".stripMargin
 
   /** Ordered string aggregation (LISTAGG/string_agg): nation names per

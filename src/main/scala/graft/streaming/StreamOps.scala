@@ -173,8 +173,18 @@ object StreamOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$fileGlob"
     val schema = spark.read.parquet(path).schema
+    // NO maxFilesPerTrigger here: a bounded replay must present ALL
+    // already-available files as ONE AvailableNow batch. With per-file
+    // batches, a multi-file table whose parts each span the full time
+    // range (ScaleData's replicas, any non-time-partitioned layout)
+    // replays the range once per file — the watermark then correctly
+    // drops every later part as late data and the run-to-completion
+    // result diverges from the batch oracle (caught by the sf1 hash
+    // sweep: session/dedup/join st* queries undercounted, update-mode
+    // state queries emitted one row per batch). Queries that deliberately
+    // exercise multi-batch/late-data behavior (st10, st12, st19) opt in
+    // with their own trigger options.
     val reader = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
     // The table entry may be a single FILE (the driver's fixtures) or a
     // DIRECTORY of part files (every production layout, and ScaleData's).
     // pathGlobFilter matches against leaf FILE names, so filtering `dir`

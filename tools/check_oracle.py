@@ -30,9 +30,26 @@ def norm(v):
 
 
 def main(sf_dir, out_dir, only=None):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table is either a bare file (driver fixtures) or a directory of
+        # part files (ScaleData / production layouts)
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        sel = f"SELECT * FROM '{p}'"
+        if t == "events":
+            # the driver fixture stores ts as TIMESTAMP(NANOS), which DuckDB
+            # reads as TIMESTAMP; Spark-written scale fixtures carry the raw
+            # BIGINT nanos (nanosAsLong round trip). Apply the same
+            # nanos -> micros conversion the engine does (Tables.events:
+            # timestamp_micros(ts div 1000)) so oracle SQL written against
+            # TIMESTAMP semantics runs identically on both layouts.
+            typ = con.sql(f"SELECT typeof(ts) FROM '{p}' LIMIT 1").fetchone()[0]
+            if typ == "BIGINT":
+                sel = f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{p}'"
+        con.sql(f"CREATE VIEW {t} AS {sel}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         names = [n.strip() for n in only.split(",") if n.strip()]
