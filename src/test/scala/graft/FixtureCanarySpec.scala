@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+import graft.core.{Tables, TsAdapt}
+
+/** Fixture-schema canary (VERDICT r6 #2).
+  *
+  * Round 6 lost 46 judged queries, 9 tests and 7 bench rows to a single
+  * silent driver-side fixture regeneration: `events.parquet` switched from
+  * TIMESTAMP(NANOS) (read as BIGINT nanos) to TIMESTAMP_MICROS-NTZ and the
+  * engine's hard-coded `ts div 1000` failed analysis on every events
+  * reader. This spec turns the next such drift into one targeted test
+  * name:
+  *
+  *   - every `Tables.*` accessor must materialize a row from the real
+  *     fixture dir (catches any table's schema/type drift at `sbt test`
+  *     time, not judge time);
+  *   - the events time column must normalize to TimestampType on BOTH
+  *     layouts the driver has shipped (the other layout is synthesized
+  *     in-test), and on the already-normalized layout, so a future
+  *     regeneration in either direction keeps working.
+  */
+class FixtureCanarySpec extends SparkSpec {
+
+  test("canary: every fixture table materializes one row via Tables") {
+    val t = Tables(spark, sf0001)
+    val accessors: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "events" -> t.events,
+      "documents" -> t.documents, "embeddings" -> t.embeddings)
+    val failures = accessors.flatMap { case (name, df) =>
+      try { df.limit(1).collect(); None }
+      catch { case e: Exception =>
+        Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty,
+      s"fixture drift — Tables accessor(s) no longer read: $failures")
+  }
+
+  test("canary: events ts arrives as TimestampType whatever the layout") {
+    val ts = Tables(spark, sf0001).events.schema("ts").dataType
+    assert(ts == TimestampType,
+      s"Tables.events must normalize ts to TimestampType, got $ts")
+  }
+
+  test("TsAdapt handles all three ts layouts identically") {
+    import spark.implicits._
+    // One known instant: 2024-03-01T12:00:00Z = 1709294400s epoch.
+    val micros = 1709294400L * 1000000L
+    val nanosDf = Seq((micros * 1000L, "a")).toDF("ts", "v") // BIGINT nanos
+    val ntzDf = spark.sql(
+      s"SELECT timestamp_ntz '2024-03-01 12:00:00' AS ts, 'a' AS v")
+    assert(ntzDf.schema("ts").dataType == TimestampNTZType)
+    val ltzDf = spark.sql(
+      s"SELECT timestamp '2024-03-01 12:00:00' AS ts, 'a' AS v")
+    assert(nanosDf.schema("ts").dataType == LongType)
+
+    val out = Seq(nanosDf, ntzDf, ltzDf).map { df =>
+      val r = TsAdapt.toTimestamp(df, "ts")
+      assert(r.schema("ts").dataType == TimestampType)
+      r.select(unix_timestamp(col("ts"))).as[Long].head()
+    }
+    assert(out.toSet == Set(1709294400L),
+      s"layouts disagree on the instant: $out")
+  }
+
+  test("TsAdapt round-trips both parquet layouts the driver has shipped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-canary").toFile
+    dir.deleteOnExit()
+    val micros = 1709294400L * 1000000L
+
+    // Layout A (rounds 1-5): BIGINT column — what nanosAsLong yields for
+    // TIMESTAMP(NANOS) physical storage.
+    val aPath = s"${dir.getAbsolutePath}/a.parquet"
+    Seq((micros * 1000L + 999L, 1L)).toDF("ts", "id") // +999ns: floor check
+      .write.mode("overwrite").parquet(aPath)
+
+    // Layout B (round 6 regeneration): TIMESTAMP_MICROS isAdjustedToUTC=0
+    // → TIMESTAMP_NTZ on read.
+    val bPath = s"${dir.getAbsolutePath}/b.parquet"
+    spark.sql("SELECT timestamp_ntz '2024-03-01 12:00:00' AS ts, 1L AS id")
+      .write.mode("overwrite").parquet(bPath)
+
+    val instants = Seq(aPath, bPath).map { p =>
+      val df = TsAdapt.toTimestamp(spark.read.parquet(p), "ts")
+      assert(df.schema("ts").dataType == TimestampType)
+      df.select(unix_timestamp(col("ts"))).as[Long].head()
+    }
+    assert(instants.toSet == Set(1709294400L),
+      s"parquet layouts disagree on the instant: $instants")
+  }
+}
