@@ -52,6 +52,21 @@ object TextFunctions {
         size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
           .cast("long"))
 
+  /** GPT-2-style pretokenizer segmentation → array<string>. The classic
+    * pattern minus its trailing-whitespace lookahead (`\s+(?!\S)`), which
+    * RE2 — the oracle's regex engine — cannot express: contractions,
+    * space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+    * symbol runs, then whitespace runs. Alternation is leftmost-first in
+    * both java.util.regex and RE2, so segmentation is bit-identical
+    * cross-engine; every input char lands in exactly one pretoken
+    * (concatenating the matches reproduces the input).
+    */
+  val pretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def pretokenize(text: Column): Column =
+    regexp_extract_all(text, lit(pretokenPattern), lit(0))
+
   /** Ratio of punctuation chars to total chars (0.0 for empty). */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(

@@ -759,6 +759,87 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** Winnowing fingerprint sets (Schleimer/Wilkerson/Aiken '03, the MOSS
+    * scheme): per document, FNV-hash every k-token shingle, slide a
+    * w-hash window over the gram sequence, and keep each window's MINIMUM
+    * hash; the distinct window-minima are the document's fingerprints.
+    * Guarantee: two documents sharing any token run of length ≥ k+w−1
+    * share at least one fingerprint; expected density is 2/(w+1) of the
+    * grams, so the postings index is ~2/(w+1) the size of dd02/dd05's
+    * full shingle index for the same recall on runs ≥ the guarantee
+    * length. All of this is per-row array arithmetic inside native
+    * higher-order functions — ZERO shuffles; nothing leaves the row until
+    * the caller explodes the (much smaller) fingerprint set.
+    *
+    * Ties inside a window: classic winnowing picks the rightmost minimal
+    * POSITION to stabilize the density argument, but the selected VALUE
+    * set — all a set-similarity join consumes — is tie-break-invariant
+    * (every window contributes exactly its minimum value), so this keeps
+    * plain `array_min` and stays SQL-expressible for the oracle.
+    *
+    * Short inputs degrade gracefully: fewer than k tokens → no grams → no
+    * fingerprints; fewer than w grams → one window over what exists.
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive (got k=$k, w=$w)")
+    val toks =
+      filter(TextFunctions.tokenize(lower(col(textCol))), t => length(t) > 0)
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            i => HashExprs.fnv64(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+          .otherwise(array().cast("array<bigint>")).as("grams"))
+      .select(col("doc_id"),
+        when(size(col("grams")) > 0,
+          array_distinct(transform(
+            sequence(lit(0), greatest(size(col("grams")) - w, lit(0))),
+            j => array_min(slice(col("grams"), j + 1, lit(w))))))
+          .otherwise(array().cast("array<bigint>")).as("fps"))
+  }
+
+  /** Near-dup pairs by winnowing-fingerprint Jaccard: the same DF-capped
+    * inverted-index join as [[jaccardPairs]], but over the winnowed
+    * fingerprint sets — the index holds ~2/(w+1) of the grams, so at
+    * 100 TB the exchange is a fraction of the full-shingle index for the
+    * same ≥(k+w−1)-run recall. The DF cap bounds per-key fan-out exactly
+    * as in [[tokenPostings]] (candidate pairs ≤ maxDf²/2 per fingerprint).
+    */
+  def winnowingDupPairs(
+      docs: DataFrame,
+      threshold: Double,
+      k: Int = 3,
+      w: Int = 4,
+      maxDf: Long = 400L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val post = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val dfCounts = post.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val capped = post.join(dfCounts.where(col("df") <= maxDf), "fp")
+      .select(col("doc_id"), col("fp"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
   /** Exact all-pairs form of [[embeddingDupPairs]] — O(n²) cartesian;
     * correctness baseline for specs only, never the judged/production path.
     */

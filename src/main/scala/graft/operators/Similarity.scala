@@ -57,6 +57,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Exact cosine radius (range) search: every corpus vector within
+    * `minCos` of each query — the threshold sibling of [[bruteForceTopK]]
+    * for "all sufficiently-similar", where a fixed k would either truncate
+    * dense neighborhoods or pad sparse ones.
+    *
+    * Plan shape: same as top-k's scan side — queries broadcast, corpus
+    * scanned once, scores computed partition-locally — but with NO window
+    * and NO exchange at all: the threshold filter is a codegen'd predicate
+    * right above the join, so the result streams out of the scan stage.
+    * At 100 TB this is the cheapest possible exact form; the IVF/LSH
+    * variants ([[ivfTopK]], [[lshCandidatePairs]]) are the approximate
+    * scale path when even one corpus scan per query batch is too much.
+    */
+  def radiusSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      minCos: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   /** Sign-random-projection LSH: `nPlanes` hyperplane sign bits folded into
     * one bucket id. Hyperplane components are deterministic hashes folded
     * to [-1, 1) (reproducible with no RNG state — SURVEY §5 determinism);

@@ -1613,7 +1613,104 @@ object TextQueries {
        |          FROM documents) b) m) t
        |ORDER BY doc_id""".stripMargin
 
+  /** Winnowing-fingerprint near-dup pairs ([[Dedup.winnowingDupPairs]]):
+    * MOSS-style k-gram/window-min fingerprint sets, DF-capped inverted
+    * index, fingerprint-set Jaccard. The oracle recomputes the exact
+    * per-document winnowing (token 3-grams FNV-hashed in HUGEINT mod-2⁶⁴,
+    * re-signed so the window MIN agrees with Spark's signed bigint min,
+    * window w=4) with nested list lambdas, then the same capped self-join.
+    */
+  private def winnowingPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingDupPairs(Tables(spark, dir).documents,
+        threshold = 0.5, k = 3, w = 4, maxDf = 400L)
+      .orderBy(col("id_a"), col("id_b"))
+  private val winnowingPairsSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |grams0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(0, len(toks) - 2), i ->
+      |        list_reduce(
+      |          list_prepend(14695981039346656037::HUGEINT,
+      |            list_transform(
+      |              split(array_to_string(list_slice(toks, i + 1, i + 3), ' '), ''),
+      |              ch -> unicode(ch)::HUGEINT)),
+      |          (fh, ch) -> (xor(fh::UBIGINT, ch::UBIGINT)::HUGEINT
+      |                       * 1099511628211::HUGEINT)
+      |                      % 18446744073709551616::HUGEINT))
+      |    ELSE []::HUGEINT[] END AS gh
+      |  FROM toks),
+      |grams AS (
+      |  SELECT doc_id, list_transform(gh, h ->
+      |    (CASE WHEN h >= 9223372036854775808::HUGEINT
+      |          THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT) AS grams
+      |  FROM grams0),
+      |fps AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(grams) > 0 THEN
+      |      list_distinct(list_transform(
+      |        range(0, greatest(len(grams) - 4, 0) + 1),
+      |        j -> list_min(list_slice(grams, j + 1, j + 4))))
+      |    ELSE []::BIGINT[] END AS fps
+      |  FROM grams),
+      |post AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+      |capped AS (
+      |  SELECT doc_id, fp FROM post
+      |  WHERE fp IN (SELECT fp FROM post GROUP BY fp HAVING count(*) <= 400)),
+      |sizes AS (SELECT doc_id, count(*) AS n_fp FROM capped GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common,
+      |  CAST(n_common AS DOUBLE) / CAST(sa.n_fp + sb.n_fp - n_common AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_fp + sb.n_fp - n_common AS DOUBLE) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** GPT-2-style pretokenizer stats ([[TextFunctions.pretokenize]]): count
+    * + a per-document FNV fingerprint of the SEGMENTATION (pretokens joined
+    * on \x01), so the gate proves byte-exact segment boundaries, not just
+    * counts. chars_per_pretok is one IEEE division of exact integers.
+    */
+  private def pretokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val pt = TextFunctions.pretokenize(col("text"))
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        size(pt).cast("long").as("n_pretok"),
+        TextFunctions.fingerprint64(array_join(pt, "\u0001")).as("seg_fp"),
+        when(size(pt) === 0, lit(null).cast("double"))
+          .otherwise(length(col("text")).cast("double") /
+            size(pt).cast("double")).as("chars_per_pretok"))
+      .orderBy(col("doc_id"))
+  }
+  private val pretokenStatsSql = {
+    val pat =
+      """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+    s"""SELECT doc_id,
+       |  CAST(len(pt) AS BIGINT) AS n_pretok,
+       |  $fnvSignSql AS seg_fp,
+       |  CASE WHEN len(pt) = 0 THEN NULL
+       |       ELSE CAST(length(text) AS DOUBLE) / CAST(len(pt) AS DOUBLE)
+       |  END AS chars_per_pretok
+       |FROM (
+       |  SELECT doc_id, text, pt,
+       |    ${fnvFoldSql("array_to_string(pt, chr(1))")} AS h
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      regexp_extract_all(text, '$pat') AS pt
+       |    FROM documents) p) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql)),
+    "tx25_pretokenize"       -> QueryDef(pretokenStats, Some(pretokenStatsSql)),
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
     "dd08_contamination"     -> QueryDef(contamination, Some(contaminationSql)),
     "dd13_bloom_contamination" -> QueryDef(bloomContamination, Some(bloomContaminationSql)),

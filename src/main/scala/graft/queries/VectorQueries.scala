@@ -331,7 +331,29 @@ object VectorQueries {
       |FROM assigned LEFT JOIN lower_dups USING (vec_id)
       |ORDER BY vec_id""".stripMargin
 
+  /** Exact cosine radius search ([[Similarity.radiusSearch]]): all corpus
+    * vectors within minCos of each query — no window, no exchange; the
+    * threshold predicate streams out of the broadcast-join scan stage.
+    * The oracle computes the same cosine with DuckDB's
+    * list_cosine_similarity (bit-agreement pinned by ann01 since round 1).
+    */
+  private def annRadius(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.radiusSearch(emb.where(col("vec_id") < 5), emb, minCos = 0.30)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+  private val annRadiusSql =
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                         CAST(c.embedding AS DOUBLE[])) AS cos
+      |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |WHERE q.vec_id < 5
+      |  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                             CAST(c.embedding AS DOUBLE[])) >= 0.30
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ann09_radius_search"   -> QueryDef(annRadius, Some(annRadiusSql)),
     "ann08_semantic_dedup"  -> QueryDef(semDedup, Some(semDedupSql), benchmark = true),
     "ann06_ivfpq_topk"      -> QueryDef(annIvfPq, Some(annIvfPqSql)),
     "ann01_bruteforce_topk" -> QueryDef(annBrute, Some(annBruteSql), benchmark = true),

@@ -297,4 +297,56 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(r == Seq((1L, 2L, "aaaabb"), (2L, 0L, "")))
   }
+
+  test("winnowing: fingerprints are the window-minima of the k-gram hashes") {
+    // Brute-force the definition on one doc: k=2 grams over 6 tokens → 5
+    // hashes; w=3 windows → 3 minima; fingerprint set = distinct minima.
+    val d = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, k = 2, w = 3)
+      .select($"fps").as[Seq[Long]].head().toSet
+    val toks = Seq("a", "b", "c", "d", "e", "f")
+    val grams = toks.sliding(2).map(g =>
+      graft.functions.HashImpl.fnv64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(g.mkString(" "))))
+      .toIndexedSeq
+    val expected = grams.sliding(3).map(_.min).toSet
+    assert(fps == expected)
+  }
+
+  test("winnowing guarantee: docs sharing a token run ≥ k+w-1 share a fingerprint") {
+    // Shared middle run of 7 tokens ≥ k+w-1 = 3+4-1 = 6 → ≥1 common
+    // fingerprint regardless of the differing prefixes/suffixes.
+    val d = Seq(
+      (1L, "alpha beta the quick brown fox jumps over dog omega"),
+      (2L, "zeta eta the quick brown fox jumps over dog theta")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, k = 3, w = 4)
+      .select($"doc_id", $"fps").as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+  }
+
+  test("winnowing degrades gracefully: short docs and empty text") {
+    val d = Seq(
+      (1L, "one two"),          // < k=3 tokens → no grams → no fingerprints
+      (2L, "one two three"),    // exactly k tokens → 1 gram < w → 1 window
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, k = 3, w = 4)
+      .select($"doc_id", $"fps").as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).isEmpty && fps(3L).isEmpty)
+    assert(fps(2L).size == 1)
+  }
+
+  test("winnowing pairs: identical docs score 1.0, disjoint docs are absent") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about distributed spark engines here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingDupPairs(d, threshold = 0.5, k = 3, w = 4)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 == 1.0)
+  }
 }

@@ -135,4 +135,20 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
     assert(a.forall(p => p._1 < p._2))
   }
+
+  test("radius search returns exactly the above-threshold slice of brute force") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
+    val q = emb.where(col("vec_id") < 3)
+    val got = Similarity.radiusSearch(q, emb, minCos = 0.25)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect().toSet
+    // oracle: unbounded top-k (k = corpus size) filtered by the threshold
+    val all = Similarity.bruteForceTopK(q, emb, k = 200)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .filter(_._3 >= 0.25).toSet
+    assert(got == all)
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= 0.25))
+  }
 }

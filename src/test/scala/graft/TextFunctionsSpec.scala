@@ -95,4 +95,15 @@ class TextFunctionsSpec extends SparkSpec {
       .select(charShingles(col("t"), 3)).as[Seq[String]].head()
     assert(sh == Seq("abc", "bcd"))
   }
+
+  test("pretokenize: GPT-2-style segmentation, lossless and contraction-aware") {
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("t").select(pretokenize(col("t"))).as[Seq[String]].head()
+    assert(seg("I don't know... 42 things!") ==
+      Seq("I", " don", "'t", " know", "...", " 42", " things", "!"))
+    // every char lands in exactly one pretoken: concat reproduces input
+    val s = "We've  seen 3.14 co-ops; they'll work\tfine"
+    assert(seg(s).mkString == s)
+    assert(seg("") == Seq.empty)
+  }
 }
