@@ -774,11 +774,19 @@ object Dedup {
     * Ties inside a window: classic winnowing picks the rightmost minimal
     * POSITION to stabilize the density argument, but the selected VALUE
     * set — all a set-similarity join consumes — is tie-break-invariant
-    * (every window contributes exactly its minimum value), so this keeps
-    * plain `array_min` and stays SQL-expressible for the oracle.
+    * (every window contributes exactly its minimum value), so window-MIN
+    * selection is the semantics, and it stays SQL-expressible for the
+    * oracle.
     *
     * Short inputs degrade gracefully: fewer than k tokens → no grams → no
     * fingerprints; fewer than w grams → one window over what exists.
+    *
+    * One native codegen'd loop per row ([[graft.functions.WinnowFps]] —
+    * O(chars + grams) with deque sliding minima). The equivalent
+    * `transform(sequence, j -> array_min(slice(grams, j, w)))` HOF chain
+    * is quadratic in practice: CollapseProject inlines the gram array
+    * into every window reference, recomputing ALL gram hashes per window,
+    * and the downstream self-join re-evaluates the projection per branch.
     */
   def winnowFingerprints(
       docs: DataFrame,
@@ -789,19 +797,8 @@ object Dedup {
     require(k >= 1 && w >= 1, s"k and w must be positive (got k=$k, w=$w)")
     val toks =
       filter(TextFunctions.tokenize(lower(col(textCol))), t => length(t) > 0)
-    docs
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) >= k,
-          transform(sequence(lit(0), size(col("toks")) - k),
-            i => HashExprs.fnv64(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
-          .otherwise(array().cast("array<bigint>")).as("grams"))
-      .select(col("doc_id"),
-        when(size(col("grams")) > 0,
-          array_distinct(transform(
-            sequence(lit(0), greatest(size(col("grams")) - w, lit(0))),
-            j => array_min(slice(col("grams"), j + 1, lit(w))))))
-          .otherwise(array().cast("array<bigint>")).as("fps"))
+    docs.select(col(idCol).as("doc_id"),
+      HashExprs.winnowFps(toks, k, w).as("fps"))
   }
 
   /** Near-dup pairs by winnowing-fingerprint Jaccard: the same DF-capped

@@ -1709,7 +1709,7 @@ object TextQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql)),
+    "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),
     "tx25_pretokenize"       -> QueryDef(pretokenStats, Some(pretokenStatsSql)),
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),
     "dd08_contamination"     -> QueryDef(contamination, Some(contaminationSql)),

@@ -389,4 +389,28 @@ class PlanSpec extends SparkSpec {
       spark, "/root/testdata/sf0.1").queryExecution.executedPlan.toString
     assert(p.contains("RoundRobinPartitioning"), p)
   }
+
+  test("dd15: winnowing is equi-joined on fingerprint — no cartesian, agg partial") {
+    // the per-doc fingerprint computation is row-local HOF math; the only
+    // joins are the DF-cap semi-equi-join and the postings self-equi-join
+    val p = planOf("dd15_winnowing_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("ann09: radius search has NO exchange above the broadcast-join scan") {
+    // threshold filter streams out of the scan stage: the only exchange in
+    // the whole plan is the broadcast of the (tiny) query side
+    val p = planOf("ann09_radius_search")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // q<>n is a theta join on purpose
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tx25: pretokenizer stats are pure map-side — no exchange at all") {
+    val p = planOf("tx25_pretokenize")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
 }
