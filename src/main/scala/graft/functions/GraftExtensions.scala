@@ -68,7 +68,10 @@ object GraftExtensions {
         SrpBucket(v, intLit(p, "nPlanes"), intLit(o, "planeOffset")) }),
     ("nfc_normalize", info("nfc_normalize",
       "nfc_normalize(str) - Unicode NFC (canonical composition) form"),
-      { case Seq(s) => NfcNormalize(s) }))
+      { case Seq(s) => NfcNormalize(s) }),
+    ("winnow_fps", info("winnow_fps",
+      "winnow_fps(tokens, k, w) - winnowing fingerprint set (k-gram FNV window minima)"),
+      { case Seq(t, k, w) => WinnowFps(t, intLit(k, "k"), intLit(w, "w")) }))
 
   /** Register every graft function on an existing session (idempotent —
     * re-registration overwrites with the same builder).

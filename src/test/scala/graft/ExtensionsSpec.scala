@@ -38,6 +38,20 @@ class ExtensionsSpec extends SparkSpec {
       GraftExtensions.functions.size)
   }
 
+  test("SQL winnow_fps equals the operator's fingerprint sets") {
+    GraftExtensions.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.createOrReplaceTempView("ext_docs_w")
+    val viaSql = spark.sql(
+      """SELECT doc_id, winnow_fps(
+        |  filter(split(trim(lower(text)), '\\s+'), t -> length(t) > 0),
+        |  3, 4) AS fps FROM ext_docs_w""".stripMargin)
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaOp = graft.operators.Dedup.winnowFingerprints(docs, 3, 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaSql == viaOp)
+  }
+
   test("non-literal parameters to parameterized functions are rejected") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
