@@ -83,6 +83,51 @@ object Similarity {
       .where(col("cos") >= minCos)
   }
 
+  /** MaxSim late-interaction scoring (the ColBERT retrieval form): both
+    * sides are MULTI-vector documents (`docCol` groups `vecCol` rows), and
+    * score(q, d) = Σ_{qv ∈ q} max_{dv ∈ d} cosine(qv, dv) — each query
+    * vector matches its best document vector, no pooling to one embedding.
+    *
+    * Determinism/parity: vectors are collected per document SORTED by
+    * vector id, the max is order-independent, and the outer sum folds the
+    * sorted query array left-to-right inside ONE row-local `aggregate`
+    * HOF — the same per-row sequential-fold parity the ann04 norms pin
+    * (DuckDB `list_sum` over an `ORDER BY`-built list) — so scores are
+    * bit-identical cross-engine with no decimal quantization.
+    *
+    * Plan shape: corpus vectors cross exactly ONE exchange (the per-doc
+    * collect); query docs (few) broadcast; scoring is map-side; the final
+    * top-k ranks O(|Q|·|C|) score rows, never vectors. At 100 TB the
+    * collect exchange is the unavoidable doc-assembly cost — bucket the
+    * corpus by `docCol` at write time and it disappears too.
+    */
+  def maxSimTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      docCol: String = "doc_id",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def docs(df: DataFrame, dc: String, vc: String) = df
+      .select(col(docCol).as(dc), col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .groupBy(col(dc))
+      .agg(transform(sort_array(collect_list(struct(col("vid"), col("v")))),
+        s => s.getField("v")).as(vc))
+    val q = docs(queries, "q_doc", "qvs")
+    val c = docs(corpus, "c_doc", "cvs")
+    val scored = c.join(broadcast(q), col("q_doc") =!= col("c_doc"))
+      .select(col("q_doc"), col("c_doc"),
+        aggregate(col("qvs"), lit(0.0),
+          (acc, qv) => acc + array_max(transform(col("cvs"),
+            cv => cosine(qv, cv)))).as("maxsim"))
+    val w = Window.partitionBy(col("q_doc"))
+      .orderBy(col("maxsim").desc, col("c_doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_doc"), col("rank"), col("c_doc"), col("maxsim"))
+  }
+
   /** Sign-random-projection LSH: `nPlanes` hyperplane sign bits folded into
     * one bucket id. Hyperplane components are deterministic hashes folded
     * to [-1, 1) (reproducible with no RNG state — SURVEY §5 determinism);

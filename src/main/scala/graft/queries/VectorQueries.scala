@@ -352,7 +352,40 @@ object VectorQueries {
       |                             CAST(c.embedding AS DOUBLE[])) >= 0.30
       |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** MaxSim late-interaction scoring ([[Similarity.maxSimTopK]]): the
+    * embeddings fixture grouped into 10-vector documents (`vec_id div 10`
+    * — replica key strides are multiples of 10, so sf-scaled ids group
+    * within their replica). Bit-parity via per-row sorted-order folds on
+    * both engines — see the operator scaladoc.
+    */
+  private def annMaxSim(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .withColumn("doc_id", expr("vec_id div 10"))
+    Similarity.maxSimTopK(emb.where(col("doc_id") < 2), emb, k = 5)
+      .orderBy(col("q_doc"), col("rank"))
+  }
+  private val annMaxSimSql =
+    """WITH v AS (
+      |  SELECT vec_id // 10 AS doc_id, vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |docs AS (
+      |  SELECT doc_id, list(v ORDER BY vec_id) AS vs FROM v GROUP BY doc_id),
+      |scored AS (
+      |  SELECT q.doc_id AS q_doc, c.doc_id AS c_doc,
+      |    list_sum(list_transform(q.vs, qv ->
+      |      list_max(list_transform(c.vs, cv ->
+      |        list_cosine_similarity(qv, cv))))) AS maxsim
+      |  FROM docs q JOIN docs c ON q.doc_id <> c.doc_id
+      |  WHERE q.doc_id < 2)
+      |SELECT q_doc, rank, c_doc, maxsim FROM (
+      |  SELECT q_doc, c_doc, maxsim,
+      |    row_number() OVER (PARTITION BY q_doc
+      |      ORDER BY maxsim DESC, c_doc) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 5 ORDER BY q_doc, rank""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ann10_maxsim"          -> QueryDef(annMaxSim, Some(annMaxSimSql)),
     "ann09_radius_search"   -> QueryDef(annRadius, Some(annRadiusSql)),
     "ann08_semantic_dedup"  -> QueryDef(semDedup, Some(semDedupSql), benchmark = true),
     "ann06_ivfpq_topk"      -> QueryDef(annIvfPq, Some(annIvfPqSql)),

@@ -136,6 +136,41 @@ class SimilaritySpec extends SparkSpec {
     assert(a.forall(p => p._1 < p._2))
   }
 
+  test("maxsim: single-vector docs degenerate to brute-force cosine ranking") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(60)
+      .withColumn("doc_id", col("vec_id"))
+    val q = emb.where(col("vec_id") < 3)
+    val viaMaxSim = Similarity.maxSimTopK(q, emb, k = 4)
+      .select($"q_doc", $"rank", $"c_doc").as[(Long, Int, Long)].collect().toSet
+    val viaBrute = Similarity.bruteForceTopK(q, emb, k = 4)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(viaMaxSim == viaBrute)
+  }
+
+  test("maxsim: a doc containing the query's own vectors dominates") {
+    // q_doc 0 = vectors {0,1}; c_doc 7 holds COPIES of them, c_doc 8 holds
+    // orthogonal vectors → score(0,7) = 2.0 (each qv matches its copy at
+    // cos 1), score(0,8) ≈ 0 → doc 7 must rank first
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val rows = Seq(
+      Row(0L, 0L, Seq(1.0, 0.0, 0.0, 0.0)), Row(0L, 1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      Row(7L, 70L, Seq(1.0, 0.0, 0.0, 0.0)), Row(7L, 71L, Seq(0.0, 1.0, 0.0, 0.0)),
+      Row(8L, 80L, Seq(0.0, 0.0, 1.0, 0.0)), Row(8L, 81L, Seq(0.0, 0.0, 0.0, 1.0)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val r = Similarity.maxSimTopK(df.where($"doc_id" === 0L), df, k = 2)
+      .select($"rank", $"c_doc", $"maxsim").as[(Int, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(r.map(_._2) == Seq(7L, 8L))
+    assert(r.head._3 == 2.0)
+    assert(math.abs(r(1)._3) < 1e-12)
+  }
+
   test("radius search returns exactly the above-threshold slice of brute force") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
     val q = emb.where(col("vec_id") < 3)
