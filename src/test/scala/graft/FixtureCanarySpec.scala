@@ -69,6 +69,52 @@ class FixtureCanarySpec extends SparkSpec {
       s"layouts disagree on the instant: $out")
   }
 
+  test("canary: engine-required columns exist with usable types") {
+    // Materializing a row catches hard breaks; this catches the quieter
+    // drift — a renamed/retyped column that analysis would only reject
+    // query-by-query. One assertion per (table, column) the engine's
+    // operators actually reference.
+    val t = Tables(spark, sf0001)
+    val required: Seq[(String, org.apache.spark.sql.DataFrame, Seq[String])] = Seq(
+      ("events", t.events,
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
+      ("documents", t.documents,
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+      ("embeddings", t.embeddings, Seq("vec_id", "embedding", "label")),
+      ("lineitem", t.lineitem,
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")),
+      ("orders", t.orders,
+        Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")))
+    val missing = required.flatMap { case (name, df, cols) =>
+      val have = df.columns.toSet
+      cols.filterNot(have).map(c => s"$name.$c")
+    }
+    assert(missing.isEmpty, s"fixture drift — missing columns: $missing")
+  }
+
+  test("canary: embeddings vectors survive both float and double layouts") {
+    // The driver ships list<float>; every vector operator casts to
+    // array<double> at entry. If a regeneration flips the element type,
+    // the cast must stay a no-op-or-widen, never an analysis error.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-canary-emb").toFile
+    dir.deleteOnExit()
+    for ((tag, cast) <- Seq("f" -> "array<float>", "d" -> "array<double>")) {
+      val p = s"${dir.getAbsolutePath}/$tag.parquet"
+      Seq((1L, Seq(3.0, 4.0)), (2L, Seq(4.0, 3.0)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(cast).as("embedding"))
+        .write.mode("overwrite").parquet(p)
+      val emb = spark.read.parquet(p)
+      val topk = graft.operators.Similarity
+        .bruteForceTopK(emb.where(col("vec_id") === 1L), emb, k = 1)
+        .select($"neighbor_id", $"cos").as[(Long, Double)].head()
+      assert(topk._1 == 2L)
+      assert(math.abs(topk._2 - 24.0 / 25.0) < 1e-6, s"layout $tag: $topk")
+    }
+  }
+
   test("TsAdapt round-trips both parquet layouts the driver has shipped") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-canary").toFile
