@@ -78,4 +78,45 @@ object HashImplProps extends Properties("HashImpl") {
       a.numElements() == bands &&
         (0 until bands).forall(i => a.getLong(i) == b.getLong(i))
     }
+
+  /** Brute-force winnowing reference: gram hashes via the joined-string
+    * fold the scaladoc promises, then min of every w-slice (one partial
+    * slice when grams < w), distinct preserving first occurrence.
+    */
+  private def winnowRef(ts: List[String], k: Int, w: Int): List[Long] = {
+    if (ts.length < k) return Nil
+    val grams = ts.sliding(k).map(g =>
+      HashImpl.fnv64(UTF8String.fromString(g.mkString(" ")))).toList
+    val mins =
+      if (grams.length <= w) List(grams.min)
+      else grams.sliding(w).map(_.min).toList
+    mins.distinct
+  }
+
+  private val nonEmptyTokens: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)).suchThat(_.nonEmpty),
+      Gen.oneOf("the", "a", "föö", "日本", "x")))
+
+  property("winnowFps == brute-force winnowing (values AND order)") =
+    forAll(nonEmptyTokens, Gen.choose(1, 5), Gen.choose(1, 6)) { (ts, k, w) =>
+      val got = HashImpl.winnowFps(arr(ts), k, w)
+      val ref = winnowRef(ts, k, w)
+      got.numElements() == ref.length &&
+        ref.indices.forall(i => got.getLong(i) == ref(i))
+    }
+
+  property("winnowing guarantee: shared run of k+w-1 tokens ⇒ shared fingerprint") =
+    forAll(nonEmptyTokens, nonEmptyTokens, nonEmptyTokens, Gen.choose(1, 4),
+        Gen.choose(1, 5)) { (pre, run0, post, k, w) =>
+      // plant the same (k+w-1)-token run inside two different contexts
+      val run = Iterator.continually(run0).flatten.take(k + w - 1).toList
+      val doc1 = pre ++ run ++ post
+      val doc2 = post ++ run ++ pre
+      def fps(ts: List[String]) = {
+        val a = HashImpl.winnowFps(arr(ts), k, w)
+        (0 until a.numElements()).map(a.getLong).toSet
+      }
+      fps(doc1).intersect(fps(doc2)).nonEmpty
+    }
 }
