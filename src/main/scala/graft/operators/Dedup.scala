@@ -161,6 +161,16 @@ object Dedup {
     * Jaccard (so LSH is purely a recall/cost knob; emitted pairs are true
     * near-dups).
     *
+    * Banding is the recall knob: a pair at Jaccard J collides in one band
+    * w.p. J^rows and is missed entirely w.p. (1−J^rows)^bands. The
+    * round-7 sf1 sweep measured the old 16-band default missing 412 of
+    * 29.7 M true J ≥ 0.8 pairs (≈2.2e-4 at the threshold — the design
+    * rate, first visible at sf1's pair volume); 32 bands push the
+    * at-threshold miss rate to ≈4.8e-8 — measured EXACT against the
+    * parameter-free oracle at sf1 for 1.28× the runtime — so 32 is the
+    * default. At true 100 TB pair volumes (~1e10 at-threshold pairs),
+    * size it with the formula: bands ≥ ln(eps/pairs)/ln(1−J^rows).
+    *
     * Shuffles: signatures are map-side; the bucket self-join is one hash
     * shuffle on (band, bucket); candidate dedup is a per-row filter
     * (first colliding band), not a shuffle. Verification joins the per-doc
@@ -174,7 +184,7 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
-      bands: Int = 16,
+      bands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
     // Carry the whole bucket array through the (band, bucket) self-join so a
     // pair colliding in several bands can be deduplicated with a per-row
