@@ -1031,6 +1031,51 @@ object Events {
       |  min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** Connected components of the co-purchase graph — the component/
+    * community primitive completing the graph family (gr01 rank, gr02
+    * triangles, gr03 BFS, gr04 recursive SQL): dd07's alternating
+    * large/small-star contraction ([[graft.operators.Dedup.dupClusters]])
+    * over the shared edge derivation, label = smallest member id, plus a
+    * per-component size rollup. O(log² n) rounds of one hash shuffle
+    * each, O(nodes+edges) state — the oracle instead materializes the
+    * transitive CLOSURE (O(component²) rows) before aggregating, which is
+    * exactly why star contraction is the 100 TB shape and the closure
+    * is not.
+    */
+  private def components(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val nodes = pairs.select(col("src").as("node"))
+      .union(pairs.select(col("dst").as("node"))).distinct()
+    val labels = graft.operators.Dedup.dupClusters(pairs, nodes,
+        idCol = "node", aCol = "src", bCol = "dst", pairsDistinct = true)
+      .select(col("node"), col("cluster_id").as("component"))
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "component")
+      .select(col("node"), col("component"), col("comp_size"))
+      .orderBy(col("node"))
+  }
+  private val componentsSql =
+    """WITH RECURSIVE
+      |p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
+      |        user_id AS u
+      |      FROM events WHERE event_type = 'purchase'),
+      |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
+      |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u),
+      |e AS (SELECT src, dst FROM pairs
+      |      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+      |r(s, t) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.s, e.dst FROM r JOIN e ON r.t = e.src),
+      |lab AS (SELECT s AS node, least(s, min(t)) AS component
+      |        FROM r GROUP BY s),
+      |sizes AS (SELECT component, count(*) AS comp_size FROM lab
+      |          GROUP BY component)
+      |SELECT node, component, comp_size
+      |FROM lab JOIN sizes USING (component)
+      |ORDER BY node""".stripMargin
+
   /** Per-time-bucket co-purchase pairs (src < dst, distinct) — the shared
     * edge derivation of gr01/gr02.
     *
@@ -1160,6 +1205,7 @@ object Events {
     "ev21_agg_state_merge" -> QueryDef(aggStateMerge, Some(aggStateMergeSql)),
     "gr02_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
     "gr03_shortest_path"   -> QueryDef(shortestPath, Some(shortestPathSql)),
+    "gr05_components"      -> QueryDef(components, Some(componentsSql)),
     "ev23_ohlc_bars"       -> QueryDef(ohlcBars, Some(ohlcBarsSql)),
     "ev24_cdc_latest"      -> QueryDef(cdcLatest, Some(cdcLatestSql)),
     "ev25_variant_props"   -> QueryDef(variantProps, Some(variantPropsSql)),

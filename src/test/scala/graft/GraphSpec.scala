@@ -33,4 +33,19 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(d == Map(10L -> 0L, 11L -> 1L))
   }
+
+  test("gr05 composition: components + sizes on two disjoint cliques and a path") {
+    // clique {1,2,3}, path 10-11, isolated-by-derivation nodes absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val nodes = pairs.select($"src".as("node"))
+      .union(pairs.select($"dst".as("node"))).distinct()
+    val labels = graft.operators.Dedup.dupClusters(pairs, nodes,
+        idCol = "node", aCol = "src", bCol = "dst", pairsDistinct = true)
+    val sizes = labels.groupBy($"cluster_id").count()
+      .as[(Long, Long)].collect().toMap
+    val byNode = labels.as[(Long, Long)].collect().toMap
+    assert(byNode == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(sizes == Map(1L -> 3L, 10L -> 2L))
+  }
 }
