@@ -1200,7 +1200,107 @@ object Events {
       |WHERE op IS NULL OR op = 'I' OR (op = 'U' AND bk IS NOT NULL)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Bounded-horizon EWMA smoothing (α = 0.3 over the trailing 16 events
+    * per user): the standard recursive filter `e ← 0.7·e + 0.3·x`, applied
+    * over a ROWS-bounded frame so memory per row is O(16) and the state
+    * never depends on unbounded history — the form that survives 100 TB
+    * (an unbounded recursive EWMA is a sequential scan per user; the
+    * bounded horizon is a sliding frame over one hash exchange + one
+    * in-partition sort). Cross-engine parity: both sides fold the SAME
+    * frame-ordered list left-to-right with the SAME IEEE double ops
+    * (`aggregate` here, `list_reduce` in DuckDB), so the result is
+    * bit-identical regardless of partitioning — no decimal quantization
+    * needed. Frame order is total (ts, event_id).
+    */
+  private def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-15, Window.currentRow)
+    Tables(spark, dir).events
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"),
+        collect_list(col("value")).over(w).as("hist"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        aggregate(col("hist"), lit(0.0),
+          (acc, x) => acc * lit(0.7) + lit(0.3) * x).as("ewma16"))
+      .orderBy(col("event_id"))
+  }
+  private val ewmaSmoothSql =
+    """SELECT event_id, user_id, value,
+      |  list_reduce(list_prepend(0.0::DOUBLE, hist),
+      |              (acc, x) -> acc * 0.7::DOUBLE + 0.3::DOUBLE * x) AS ewma16
+      |FROM (
+      |  SELECT event_id, user_id, value,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS hist
+      |  FROM events WHERE event_type = 'purchase') t
+      |ORDER BY event_id""".stripMargin
+
+  /** Trailing median/MAD anomaly flags: each error event is scored against
+    * the ROBUST statistics of its user's previous ≤20 error values
+    * (median + median-absolute-deviation — outlier-resistant where the
+    * trailing mean/σ is not), flagged when |x − med| > 3·MAD. Same
+    * scale/parity shape as [[ewmaSmooth]]: one hash exchange, bounded
+    * O(20) frame, and every arithmetic step (array_sort of identical
+    * doubles, 1-based middle-element picks via integer `div`, one IEEE
+    * add/divide for even frames) is performed identically by both
+    * engines, so med/mad/flag are bit-exact with no decimal detour.
+    * Rows with fewer than 8 trailing observations are withheld (cold
+    * start), matching the oracle's `len(hist) >= 8`.
+    */
+  private def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    Tables(spark, dir).events
+      .where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("value"),
+        array_sort(collect_list(col("value")).over(w)).as("hist"))
+      .withColumn("n", size(col("hist")))
+      .where(col("n") >= 8)
+      .withColumn("med", expr(
+        """CASE WHEN n % 2 = 1 THEN element_at(hist, int((n + 1) div 2))
+          |ELSE (element_at(hist, int(n div 2)) + element_at(hist, int(n div 2 + 1))) / 2.0
+          |END""".stripMargin))
+      .withColumn("devs", expr("array_sort(transform(hist, x -> abs(x - med)))"))
+      .withColumn("mad", expr(
+        """CASE WHEN n % 2 = 1 THEN element_at(devs, int((n + 1) div 2))
+          |ELSE (element_at(devs, int(n div 2)) + element_at(devs, int(n div 2 + 1))) / 2.0
+          |END""".stripMargin))
+      .select(col("event_id"), col("user_id"), col("value"), col("med"), col("mad"),
+        when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1)
+          .otherwise(0).as("is_outlier"))
+      .orderBy(col("event_id"))
+  }
+  private val madOutliersSql =
+    """WITH h AS (
+      |  SELECT event_id, user_id, value,
+      |    list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) AS hist
+      |  FROM events WHERE event_type = 'error'),
+      |m AS (
+      |  SELECT event_id, user_id, value, hist, len(hist) AS n,
+      |    CASE WHEN len(hist) % 2 = 1 THEN hist[(len(hist) + 1) // 2]
+      |         ELSE (hist[len(hist) // 2] + hist[len(hist) // 2 + 1]) / 2.0::DOUBLE
+      |    END AS med
+      |  FROM h WHERE len(hist) >= 8),
+      |d AS (
+      |  SELECT event_id, user_id, value, med, n,
+      |    list_sort(list_transform(hist, x -> abs(x - med))) AS devs
+      |  FROM m),
+      |f AS (
+      |  SELECT event_id, user_id, value, med,
+      |    CASE WHEN n % 2 = 1 THEN devs[(n + 1) // 2]
+      |         ELSE (devs[n // 2] + devs[n // 2 + 1]) / 2.0::DOUBLE
+      |    END AS mad
+      |  FROM d)
+      |SELECT event_id, user_id, value, med, mad,
+      |  CASE WHEN abs(value - med) > 3.0::DOUBLE * mad THEN 1 ELSE 0 END AS is_outlier
+      |FROM f ORDER BY event_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev32_ewma_smooth"     -> QueryDef(ewmaSmooth, Some(ewmaSmoothSql)),
+    "ev33_mad_outliers"    -> QueryDef(madOutliers, Some(madOutliersSql)),
     "ev20_merge_upsert"    -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
     "ev21_agg_state_merge" -> QueryDef(aggStateMerge, Some(aggStateMergeSql)),
     "gr02_triangles"       -> QueryDef(triangles, Some(trianglesSql)),

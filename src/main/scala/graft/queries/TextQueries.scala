@@ -1708,7 +1708,46 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE training pair-count step: the first merge iteration of byte-pair
+    * encoding — count adjacent symbol (character) pairs inside every
+    * GPT-2-style pretoken, weighted by pretoken frequency. The scale trick
+    * is the classic one from the BPE literature: aggregate the corpus down
+    * to its DISTINCT pretoken vocabulary first (vocab ≪ corpus — here one
+    * map-side-combined shuffle of (pretoken, freq)), then expand pairs only
+    * over the vocabulary, so the expensive per-character explode runs on
+    * thousands of rows regardless of corpus size. At 100 TB both shuffles
+    * carry tiny keyed aggregates; no document text crosses the second
+    * exchange. Order (cnt DESC, pair) is total — `pair` is unique.
+    */
+  private def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir).documents
+      .select(explode(TextFunctions.pretokenize(col("text"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("freq"))
+    words
+      .where(length(col("p")) >= 2)
+      .select(explode(expr(
+          "transform(sequence(1, length(p) - 1), i -> substring(p, i, 2))")).as("pair"),
+        col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+  }
+  private val bpePairCountsSql = {
+    val pat =
+      """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+    s"""WITH pt AS (
+       |  SELECT unnest(regexp_extract_all(text, '$pat')) AS p FROM documents),
+       |w AS (SELECT p, count(*) AS freq FROM pt GROUP BY p),
+       |pr AS (
+       |  SELECT unnest(list_transform(range(1, length(p)),
+       |                               i -> substring(p, i, 2))) AS pair,
+       |    freq
+       |  FROM w WHERE length(p) >= 2)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+       |FROM pr GROUP BY pair ORDER BY cnt DESC, pair""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),
     "tx25_pretokenize"       -> QueryDef(pretokenStats, Some(pretokenStatsSql)),
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),

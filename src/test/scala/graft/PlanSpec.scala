@@ -413,4 +413,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("HashAggregate"), p)
   }
+
+  test("tx26: both BPE aggregations are two-phase; no document text past the vocab agg") {
+    val p = planOf("tx26_bpe_pair_counts")
+    assert(!p.contains("CartesianProduct"), p)
+    // two hash exchanges (vocab rollup, pair rollup), each with a partial
+    // HashAggregate below it (map-side combine)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("partial_count|partial_sum".r.findAllIn(p).size >= 2, p)
+    // after the vocabulary rollup only (p, freq)/(pair, freq) move — the
+    // `text` column must not appear above the first aggregate's exchange
+    val vocabEx = p.indexOf("Exchange hashpartitioning")
+    assert(!p.substring(0, vocabEx).contains("text#"), p)
+  }
+
+  test("ev32/ev33: trailing-window analytics shuffle ONCE by user") {
+    for (name <- Seq("ev32_ewma_smooth", "ev33_mad_outliers")) {
+      val p = planOf(name)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$name: expected exactly the user_id exchange\n" + p)
+      assert(p.contains("Window"), p)
+      // frame math (fold / median picks) is projection-resident, no join
+      assert(!p.contains("Join"), s"$name plans a join\n" + p)
+      // event_type filter reaches the parquet scan
+      assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"),
+        s"$name: filter not pushed\n" + p)
+    }
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantic pins for the round-7 trailing-window analytics (ev32/ev33)
+  * and the BPE pair-count step (tx26): each query is recomputed here by an
+  * independent, deliberately-naive in-test reference (per-user sequential
+  * recursion, brute-force median, per-occurrence pair counting) and must
+  * agree exactly — the oracle gate then separately proves cross-engine
+  * bit-parity at sf0.01.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def events = spark.read.parquet(s"$sf0001/events.parquet")
+
+  test("ev32: windowed fold equals the sequential per-user EWMA recursion") {
+    val out = SparkEntry.allDefs("ev32_ewma_smooth").fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+
+    val rows = events.where("event_type = 'purchase'")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      ordered.indices.map { i =>
+        // bounded horizon: restart the recursion 16 events back
+        val frame = ordered.slice(math.max(0, i - 15), i + 1)
+        var acc = 0.0
+        frame.foreach(e => acc = acc * 0.7 + 0.3 * e._4)
+        ordered(i)._3 -> acc
+      }
+    }
+    assert(out.size == expected.size)
+    expected.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(out(id)) ==
+        java.lang.Double.doubleToLongBits(v), s"event $id: ${out(id)} != $v")
+    }
+  }
+
+  test("ev33: med/MAD/flag match a brute-force trailing recompute") {
+    val out = SparkEntry.allDefs("ev33_mad_outliers").fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4), r.getInt(5)))).toMap
+
+    def median(s: Seq[Double]): Double = {
+      val v = s.sorted; val n = v.length
+      if (n % 2 == 1) v(n / 2) else (v(n / 2 - 1) + v(n / 2)) / 2.0
+    }
+    val rows = events.where("event_type = 'error'")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.getDouble(3)))
+    var checked = 0
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      ordered.indices.foreach { i =>
+        val hist = ordered.slice(math.max(0, i - 20), i).map(_._4)
+        if (hist.length >= 8) {
+          val med = median(hist)
+          val mad = median(hist.map(x => math.abs(x - med)))
+          val flag = if (math.abs(ordered(i)._4 - med) > 3.0 * mad) 1 else 0
+          val (m, d, f) = out(ordered(i)._3)
+          assert(m == med && d == mad && f == flag, s"event ${ordered(i)._3}")
+          checked += 1
+        } else assert(!out.contains(ordered(i)._3), "cold-start row leaked")
+      }
+    }
+    assert(checked == out.size && checked > 0)
+  }
+
+  test("tx26: vocabulary-weighted pair counts equal per-occurrence counting") {
+    val out = SparkEntry.allDefs("tx26_bpe_pair_counts").fn(spark, sf0001).collect()
+    // naive reference: count adjacent char pairs over every pretoken
+    // OCCURRENCE (no vocabulary rollup)
+    val pat = graft.functions.TextFunctions.pretokenPattern.r
+    val counts = collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().foreach { case Row(t: String) =>
+        pat.findAllIn(t).foreach { p =>
+          (0 until p.length - 1).foreach { i =>
+            val pr = p.substring(i, i + 2)
+            counts(pr) = counts.getOrElse(pr, 0L) + 1L
+          }
+        }
+      }
+    assert(out.length == counts.size)
+    out.foreach { r =>
+      assert(counts(r.getString(0)) == r.getLong(1), r.getString(0))
+    }
+    // judged order is total: (cnt DESC, pair ASC)
+    val key = out.map(r => (-r.getLong(1), r.getString(0)))
+    assert(key.sameElements(key.sorted))
+  }
+}
