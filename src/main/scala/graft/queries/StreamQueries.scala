@@ -741,7 +741,46 @@ object StreamQueries {
       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Event-time-ORDERED stateful recursion ([[StreamOps.orderedEwma]]):
+    * per-user full-history EWMA through `transformWithState` on the
+    * RocksDB store. The operator's point is sequencing — an EWMA fold is
+    * order-SENSITIVE, so the processor sorts each key's microbatch rows
+    * by (ts, event_id) before folding; the batch oracle's ordered list
+    * aggregate folds the identical sequence with identical IEEE ops, so
+    * the judged doubles are bit-exact (same parity argument as ev32, here
+    * through the real streaming path + state store). O(1) state per key.
+    */
+  private def streamEwma(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = StreamOps.nanosToTs(
+        StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+      StreamOps.runToMemory(spark, StreamOps.orderedEwma(src),
+          s"graft_stream_ewma_${System.nanoTime()}",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append)
+        .select(col("user_id"), col("n"), col("ewma"))
+        .orderBy(col("user_id"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+  private val streamEwmaSql =
+    """SELECT user_id, CAST(len(l) AS BIGINT) AS n,
+      |  list_reduce(list_prepend(0.0::DOUBLE, l),
+      |              (acc, x) -> acc * 0.7::DOUBLE + 0.3::DOUBLE * x) AS ewma
+      |FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+      |      FROM events GROUP BY user_id) t
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st20_stream_ewma"       -> QueryDef(streamEwma, Some(streamEwmaSql)),
     "st18_state_reader"      -> QueryDef(stateReader, Some(stateReaderSql)),
     "st19_restart_exactly_once" -> QueryDef(streamRestart, Some(streamRestartSql)),
     "st12_late_data_drop"    -> QueryDef(streamLateData, Some(streamLateDataSql)),

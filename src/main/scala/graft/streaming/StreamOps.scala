@@ -147,6 +147,58 @@ object StreamOps {
       .toDF()
   }
 
+  /** Event-time-ORDERED stateful fold: per-user full-history EWMA
+    * (α = 0.3) via `transformWithState`. The sequencing problem this
+    * solves is the one [[PerTypeCountsProcessor]] never meets: its counts
+    * are order-free, but an EWMA recursion `a ← 0.7·a + 0.3·x` is not —
+    * and a streaming source hands each key's rows in ARRIVAL order, not
+    * event time. The processor therefore buffers the key's batch rows,
+    * sorts them by (ts, event_id) — the same total order every batch ev*
+    * window query pins — and folds in that order, so the result is
+    * deterministic whatever the source's file/partition interleaving.
+    * State per key is two scalars (acc, n), O(1) regardless of history
+    * length; the per-batch buffer is that key's rows in that microbatch,
+    * the same transient footprint a sort-based window operator pays. A
+    * restart resumes the recursion from the checkpointed (acc, n) —
+    * events are folded exactly once (st19's exactly-once sink argument).
+    */
+  final case class TsValueEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  final case class EwmaState(acc: Double, n: Long)
+  final case class EwmaOut(user_id: Long, n: Long, ewma: Double)
+
+  final class OrderedEwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TsValueEvent, EwmaOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[EwmaState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EwmaState]("ewma", E.product[EwmaState], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[TsValueEvent],
+        timerValues: TimerValues): Iterator[EwmaOut] = {
+      val ordered = rows.toArray.sortWith { (a, b) =>
+        val c = a.ts.compareTo(b.ts) // full timestamp precision, then id
+        if (c != 0) c < 0 else a.event_id < b.event_id
+      }
+      var s = if (st.exists()) st.get() else EwmaState(0.0, 0L)
+      ordered.foreach(e => s = EwmaState(s.acc * 0.7 + 0.3 * e.value, s.n + 1))
+      if (ordered.nonEmpty) { st.update(s); Iterator(EwmaOut(key, s.n, s.acc)) }
+      else Iterator.empty
+    }
+  }
+
+  def orderedEwma(events: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[TsValueEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new OrderedEwmaProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Drive a streaming DataFrame from a bounded source to completion into
     * an in-memory table and return the final result (used by the judged
     * `stream_*` queries so the true streaming path is oracle-gated).

@@ -90,4 +90,41 @@ class StreamOpsSpec extends SparkSpec {
       spark.read.parquet(s"$sf0001/documents.parquet").count(),
       "bare-file fixture layout must stream exactly the named file")
   }
+
+  test("orderedEwma sorts within each batch and resumes the fold across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Long, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "event_id", "value")
+      val q = StreamOps.orderedEwma(df)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("ewma_order_test").start()
+      // batch 1, user 7: ARRIVAL order deliberately reversed vs event time
+      mem.addData((7L, ts(3), 3L, 4.0), (7L, ts(1), 1L, 1.0), (7L, ts(2), 2L, 2.0))
+      q.processAllAvailable()
+      // batch 2: later events, again out of order — must resume from state
+      mem.addData((7L, ts(5), 5L, 8.0), (7L, ts(4), 4L, 16.0))
+      q.processAllAvailable()
+      q.stop()
+      var a = 0.0
+      Seq(1.0, 2.0, 4.0).foreach(x => a = a * 0.7 + 0.3 * x)
+      val afterB1 = a
+      Seq(16.0, 8.0).foreach(x => a = a * 0.7 + 0.3 * x)
+      val got = spark.table("ewma_order_test")
+        .select("user_id", "n", "ewma").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
+      assert(got.toSeq == Seq((7L, 3L, afterB1), (7L, 5L, a)),
+        s"got ${got.toSeq}; the event-time fold must ignore arrival order")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
