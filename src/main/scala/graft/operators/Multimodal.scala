@@ -132,6 +132,49 @@ object Multimodal {
       .withColumn("scale", scale)
   }
 
+  /** Aspect-ratio bucket ladder for resolution-bucketed image training
+    * (the SDXL-style trick: group media whose aspect ratios are close so a
+    * batch shares one target resolution and no image is cropped/padded
+    * far from its native shape). Ladder order is the tie-break order.
+    */
+  val AspectLadder: Seq[(Int, Int)] = Seq(
+    (640, 640), (512, 768), (768, 512), (576, 704), (704, 576),
+    (448, 832), (832, 448))
+
+  /** Assign each decoded medium to its nearest aspect bucket and roll up
+    * per-bucket batch counts: `n_batches = ceil(n / batchSize)` is the
+    * number of training batches this bucket contributes. The argmin over
+    * the ladder is ONE row-local projection (an array of (|Δratio|, idx)
+    * structs reduced by `array_min`, ties to the lowest ladder index —
+    * the [[graft.operators.Similarity]] centroid-assignment pattern), so
+    * the only exchange is the ≤|ladder|-group map-side-combined rollup:
+    * at 100 TB the media rows never shuffle at all. All ratio math is one
+    * IEEE divide per side (w/h, and the constant ladder ratio), so bucket
+    * assignment is bit-identical cross-engine.
+    */
+  def aspectBuckets(decoded: DataFrame, batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val ratio = col("width").cast("double") / col("height").cast("double")
+    val scored = array(AspectLadder.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(abs(ratio - lit(bw.toDouble / bh.toDouble)).as("d"),
+        lit(i).as("idx"))
+    }: _*)
+    decoded
+      .select(array_min(scored).getField("idx").as("b"),
+        col("n_bytes"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"))
+      .select(
+        element_at(typedLit(AspectLadder.map(_._1)), col("b") + 1).as("bucket_w"),
+        element_at(typedLit(AspectLadder.map(_._2)), col("b") + 1).as("bucket_h"),
+        col("n_media"),
+        expr(s"(n_media + ${batchSize - 1}) div $batchSize").as("n_batches"),
+        col("total_bytes"),
+        col("b"))
+      .orderBy(col("b"))
+      .drop("b")
+  }
+
   /** Frame-sampling shape: split payload into fixed-size "frames" and keep
     * every `stride`-th — the array-typed plumbing of video frame sampling,
     * as pure column expressions.

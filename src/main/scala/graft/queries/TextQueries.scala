@@ -646,6 +646,61 @@ object TextQueries {
       |        END AS h
       |      FROM documents) f) s) t
       |ORDER BY media_id""".stripMargin
+  /** Aspect-ratio bucketing for resolution-bucketed image training
+    * ([[Multimodal.aspectBuckets]]): nearest-ladder-bucket assignment is a
+    * row-local struct-array argmin (ties to the lowest ladder index), so
+    * the only exchange is a ≤7-group map-side-combined rollup — media rows
+    * never shuffle. The oracle reproduces the stub decode (mm01's CTE
+    * chain), then the same argmin as a row_number over the ladder cross
+    * join; all ratio math is one IEEE divide per operand on both sides.
+    */
+  private def aspectBucketsQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.aspectBuckets(
+      Multimodal.decodeFeatures(
+        Multimodal.asMediaTable(Tables(spark, dir).documents)),
+      batchSize = 32)
+  private val aspectBucketsSql = {
+    val ladder = Multimodal.AspectLadder.zipWithIndex
+      .map { case ((bw, bh), i) => s"($i, $bw, $bh)" }.mkString(", ")
+    s"""WITH feat AS (
+       |  SELECT media_id, n_bytes,
+       |    CAST(((cs % 640) + 640) % 640 + 1 AS INT) AS width,
+       |    CAST((((fdiv % 480) + 480) % 480) + 1 AS INT) AS height
+       |  FROM (
+       |    SELECT media_id, n_bytes, cs,
+       |      (cs - ((cs % 65536) + 65536) % 65536) // 65536 AS fdiv
+       |    FROM (
+       |      SELECT doc_id AS media_id,
+       |        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |        (CASE WHEN h >= 9223372036854775808::HUGEINT
+       |              THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS cs
+       |      FROM (
+       |        SELECT doc_id, text,
+       |          CASE WHEN length(text)=0 THEN 1469598103934665603::HUGEINT
+       |          ELSE list_reduce(
+       |            list_prepend(1469598103934665603::HUGEINT,
+       |                         list_transform(split(text,''), ch -> unicode(ch)::HUGEINT)),
+       |            (fh, ch) -> (xor(fh::UBIGINT, ch::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+       |                      % 18446744073709551616::HUGEINT)
+       |          END AS h
+       |        FROM documents) f) s) t),
+       |ladder(idx, bw, bh) AS (VALUES $ladder),
+       |assign AS (
+       |  SELECT media_id, n_bytes, idx FROM (
+       |    SELECT f.media_id, f.n_bytes, l.idx,
+       |      row_number() OVER (PARTITION BY f.media_id
+       |        ORDER BY abs(CAST(f.width AS DOUBLE) / CAST(f.height AS DOUBLE)
+       |                     - CAST(l.bw AS DOUBLE) / CAST(l.bh AS DOUBLE)), l.idx) AS rn
+       |    FROM feat f CROSS JOIN ladder l) x WHERE rn = 1),
+       |g AS (
+       |  SELECT idx, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+       |  FROM assign GROUP BY idx)
+       |SELECT l.bw AS bucket_w, l.bh AS bucket_h, g.n_media,
+       |  (g.n_media + 31) // 32 AS n_batches, g.total_bytes
+       |FROM g JOIN ladder l ON l.idx = g.idx
+       |ORDER BY g.idx""".stripMargin
+  }
+
   /** Binary-payload metadata alone is engine-portable: UTF-8 byte length
     * via octet_length on both sides — gates the media-table schema path.
     */
@@ -1775,6 +1830,7 @@ object TextQueries {
     "mm03_resize"            -> QueryDef(mediaResize, Some(mediaResizeSql)),
     "mm04_sample_frames"     -> QueryDef(sampleFramesQ, Some(sampleFramesSql)),
     "mm05_payload_dedup"     -> QueryDef(mediaDedup, Some(mediaDedupSql)),
+    "mm06_aspect_buckets"    -> QueryDef(aspectBucketsQ, Some(aspectBucketsSql)),
     "tx20_bigrams"           -> QueryDef(bigrams, Some(bigramsSql)),
     "tx21_budget_select"     -> QueryDef(budgetSelect, Some(budgetSelectSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),

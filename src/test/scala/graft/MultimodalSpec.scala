@@ -83,6 +83,29 @@ class MultimodalSpec extends SparkSpec {
     assert(r._1 == 10)
     assert(r._2 == Seq(0L, 3L, 6L, 9L))
   }
+
+  test("aspect buckets: assignment, batch ceiling, and totals match brute force") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val decoded = Multimodal.decodeFeatures(Multimodal.asMediaTable(docs))
+    val feats = decoded.select("width", "height", "n_bytes").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val ladder = Multimodal.AspectLadder
+    val byBucket = feats.groupBy { case (w, h, _) =>
+      // brute-force argmin with ladder-order tie-break
+      ladder.zipWithIndex.minBy { case ((bw, bh), i) =>
+        (math.abs(w.toDouble / h.toDouble - bw.toDouble / bh.toDouble), i)
+      }._2
+    }
+    val got = Multimodal.aspectBuckets(decoded, batchSize = 32).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == byBucket.size)
+    got.foreach { case (bw, bh, n, nb, tb) =>
+      val i = ladder.indexOf((bw, bh))
+      val exp = byBucket(i)
+      assert(n == exp.length && nb == (n + 31) / 32 && tb == exp.map(_._3).sum,
+        s"bucket ($bw,$bh)")
+    }
+  }
 }
 
 /** Top-level (no outer capture) so the task closure serializes cleanly. */

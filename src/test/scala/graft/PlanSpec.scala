@@ -427,6 +427,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.substring(0, vocabEx).contains("text#"), p)
   }
 
+  test("mm06: bucket argmin is row-local — one rollup exchange, no join, no window") {
+    val p = planOf("mm06_aspect_buckets")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("partial_count"), p) // map-side combine below the rollup
+  }
+
   test("ev32/ev33: trailing-window analytics shuffle ONCE by user") {
     for (name <- Seq("ev32_ewma_smooth", "ev33_mad_outliers")) {
       val p = planOf(name)
