@@ -93,6 +93,24 @@ class FixtureCanarySpec extends SparkSpec {
     assert(missing.isEmpty, s"fixture drift — missing columns: $missing")
   }
 
+  test("canary: filtered value domains still exist in the fixture") {
+    // Queries that filter on literal labels (ev32/st-family on
+    // event_type, funnels on click/view/signup) would not CRASH if the
+    // driver relabeled a domain — they'd emit zero rows and the oracle
+    // would agree on empty, a silently-weakened gate. Pin the domains.
+    val t = Tables(spark, sf0001)
+    val types = t.events.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    val needed = Set("click", "view", "signup", "purchase", "error")
+    assert(needed.subsetOf(types),
+      s"event_type domain drifted: missing ${needed -- types}")
+    // tx18/tx23 stratify on these; an empty stratum flips their caps
+    assert(t.documents.select("lang").distinct().count() >= 2,
+      "documents.lang collapsed to one stratum")
+    assert(t.documents.select("source").distinct().count() >= 2,
+      "documents.source collapsed to one stratum")
+  }
+
   test("canary: embeddings vectors survive both float and double layouts") {
     // The driver ships list<float>; every vector operator casts to
     // array<double> at entry. If a regeneration flips the element type,
