@@ -1550,7 +1550,50 @@ object Relational {
       |        WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** Exact per-group percentiles WITHOUT sorting the data: the fixture's
+    * doubles have bounded 2-decimal precision, so the value DOMAIN is
+    * small — roll the rows up to a (group, value) histogram first (one
+    * map-side-combined exchange; at 100 TB the histogram is ≤|domain|
+    * tiny rows however many rows feed it), then take a running sum over
+    * the histogram and pick the lower-quantile value where the cumulative
+    * count crosses ⌈q·n⌉. This is the scalable exact-quantile pattern for
+    * bounded-precision domains — the alternatives are a full sort
+    * (O(n log n) shuffle of every row) or an approximate sketch. Type-1
+    * (lower) quantiles return an actual domain value, so the judged
+    * doubles are exact parquet values; ⌈q·n⌉ is the same IEEE multiply +
+    * ceil on both engines.
+    */
+  private def q56(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy(col("flag"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byFlag.orderBy(col("v"))))
+      .withColumn("n", sum(col("cnt")).over(byFlag))
+    def pick(q: Double, name: String) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("v"))).as(name)
+    cum.groupBy(col("flag"))
+      .agg(pick(0.5, "p50"), pick(0.95, "p95"), pick(0.99, "p99"))
+      .orderBy(col("flag"))
+  }
+  private val q56Sql =
+    """WITH hist AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT flag, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS cum,
+      |    sum(cnt) OVER (PARTITION BY flag) AS n
+      |  FROM hist)
+      |SELECT flag,
+      |  min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+      |  min(CASE WHEN cum >= ceil(0.95 * n) THEN v END) AS p95,
+      |  min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
+      |FROM c GROUP BY flag ORDER BY flag""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q56_exact_quantiles"  -> QueryDef(q56, Some(q56Sql)),
     "q49_exists_subqueries" -> QueryDef(q49, Some(q49Sql)),
     "q45_unpivot"          -> QueryDef(q45, Some(q45Sql)),
     "q46_stats_moments"    -> QueryDef(q46, Some(q46Sql)),

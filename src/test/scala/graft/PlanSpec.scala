@@ -427,6 +427,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.substring(0, vocabEx).contains("text#"), p)
   }
 
+  test("q56: quantiles sort the HISTOGRAM, not the rows — and match brute force") {
+    val p = planOf("q56_exact_quantiles")
+    // rows roll up to the (flag, value) histogram map-side before any sort
+    assert(p.contains("partial_count"), p)
+    // plan text is root-first: the scan-adjacent partial aggregate is the
+    // LAST agg line, and every Sort must sit above it (histogram-side)
+    assert(p.lastIndexOf("Sort ") < p.lastIndexOf("partial_count"),
+      "lineitem rows must roll up map-side before anything sorts\n" + p)
+    // the only range exchange is the 3-row final ORDER BY
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p)
+
+    // semantic pin: brute-force type-1 quantiles at sf0.001
+    val vals = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = vals.groupBy(_._1).map { case (f, vs) =>
+      val s = vs.map(_._2).sorted
+      def q(p: Double) = s(math.ceil(p * s.length).toInt - 1)
+      (f, q(0.5), q(0.95), q(0.99))
+    }
+    val got = SparkEntry.queries("q56_exact_quantiles")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSet == expected.toSet, s"got ${got.toSeq}")
+  }
+
   test("mm06: bucket argmin is row-local — one rollup exchange, no join, no window") {
     val p = planOf("mm06_aspect_buckets")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
