@@ -45,7 +45,8 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        val first = Option(e.getMessage).map(_.linesIterator.next())
+        val first = Option(e.getMessage)
+          .flatMap(_.linesIterator.find(_.nonEmpty))
           .getOrElse(e.getClass.getSimpleName)
         failures(name) = first
         System.err.println(s"[bench] $name failed: $first"); return -1.0

@@ -56,13 +56,18 @@ object TextFunctions {
     * pattern minus its trailing-whitespace lookahead (`\s+(?!\S)`), which
     * RE2 — the oracle's regex engine — cannot express: contractions,
     * space-prefixed letter runs, space-prefixed digit runs, space-prefixed
-    * symbol runs, then whitespace runs. Alternation is leftmost-first in
-    * both java.util.regex and RE2, so segmentation is bit-identical
-    * cross-engine; every input char lands in exactly one pretoken
-    * (concatenating the matches reproduces the input).
+    * symbol runs, then whitespace runs. Whitespace is the EXPLICIT class
+    * `[\t\n\x0B\f\r ]`, not `\s`: java.util.regex counts U+000B
+    * (vertical tab) as `\s` while RE2 — the oracle's engine — does not,
+    * so a bare `\s` would segment VT-bearing text differently per
+    * engine. With the class spelled out, alternation is leftmost-first in
+    * both engines and segmentation is bit-identical cross-engine; every
+    * input char lands in exactly one pretoken (concatenating the matches
+    * reproduces the input).
     */
   val pretokenPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+" +
+      "| ?[^A-Za-z0-9\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+"
 
   def pretokenize(text: Column): Column =
     regexp_extract_all(text, lit(pretokenPattern), lit(0))

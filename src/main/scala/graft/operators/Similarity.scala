@@ -63,12 +63,19 @@ object Similarity {
     * dense neighborhoods or pad sparse ones.
     *
     * Plan shape: same as top-k's scan side — queries broadcast, corpus
-    * scanned once, scores computed partition-locally — but with NO window
-    * and NO exchange at all: the threshold filter is a codegen'd predicate
-    * right above the join, so the result streams out of the scan stage.
-    * At 100 TB this is the cheapest possible exact form; the IVF/LSH
-    * variants ([[ivfTopK]], [[lshCandidatePairs]]) are the approximate
-    * scale path when even one corpus scan per query batch is too much.
+    * scanned once, scores computed partition-locally — with NO window and
+    * NO exchange at all. Catalyst pushes the threshold INTO the join
+    * predicate (verified in the executed plan), so the cosine evaluates
+    * once per candidate pair at the join and non-matches never leave the
+    * stage; the output projection then re-evaluates it once per SURVIVOR
+    * to emit the score column. That per-survivor recompute is the cost of
+    * streaming (the alternative is a materialization barrier between
+    * score and filter, which writes every candidate's score); it is
+    * bounded by 2× in the degenerate all-pairs-match case and negligible
+    * under a selective radius, where survivors ≪ candidates. At 100 TB
+    * this is the cheapest exact streaming form; the IVF/LSH variants
+    * ([[ivfTopK]], [[lshCandidatePairs]]) are the approximate scale path
+    * when even one corpus scan per query batch is too much.
     */
   def radiusSearch(
       queries: DataFrame,

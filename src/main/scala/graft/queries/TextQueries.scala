@@ -291,7 +291,9 @@ object TextQueries {
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. The LSH stage is
     * engine-specific (xxhash64) so the oracle gate is the *exact* pair set:
-    * with 16 bands × 4 rows, P(miss | J≥0.8) = (1-0.8^4)^16 ≈ 2e-4 — and
+    * with 32 bands × 4 rows, P(miss | J≥0.8) = (1-0.8^4)^32 ≈ 4.8e-8
+    * (the default raised from 16 bands after the sf1 sweep measured the
+    * 2.2e-4 design miss rate as 412 real missed pairs) — and
     * the verified output equals the exact-Jaccard output on this corpus
     * (asserted in DedupSpec).
     */
@@ -1746,7 +1748,7 @@ object TextQueries {
   }
   private val pretokenStatsSql = {
     val pat =
-      """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+      """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\x0B\f\r ]+|[\t\n\x0B\f\r ]+"""
     s"""SELECT doc_id,
        |  CAST(len(pt) AS BIGINT) AS n_pretok,
        |  $fnvSignSql AS seg_fp,
@@ -1788,7 +1790,7 @@ object TextQueries {
   }
   private val bpePairCountsSql = {
     val pat =
-      """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"""
+      """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\x0B\f\r ]+|[\t\n\x0B\f\r ]+"""
     s"""WITH pt AS (
        |  SELECT unnest(regexp_extract_all(text, '$pat')) AS p FROM documents),
        |w AS (SELECT p, count(*) AS freq FROM pt GROUP BY p),

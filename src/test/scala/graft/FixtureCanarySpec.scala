@@ -36,7 +36,10 @@ class FixtureCanarySpec extends SparkSpec {
     val failures = accessors.flatMap { case (name, df) =>
       try { df.limit(1).collect(); None }
       catch { case e: Exception =>
-        Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+        val first = Option(e.getMessage)
+          .flatMap(_.linesIterator.find(_.nonEmpty))
+          .getOrElse(e.getClass.getSimpleName)
+        Some(s"$name: $first") }
     }
     assert(failures.isEmpty,
       s"fixture drift — Tables accessor(s) no longer read: $failures")

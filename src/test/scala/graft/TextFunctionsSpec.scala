@@ -105,5 +105,9 @@ class TextFunctionsSpec extends SparkSpec {
     val s = "We've  seen 3.14 co-ops; they'll work\tfine"
     assert(seg(s).mkString == s)
     assert(seg("") == Seq.empty)
+    // U+000B is in the EXPLICIT whitespace class (Java \s has it, RE2 \s
+    // does not — the pattern spells the class out so both engines agree):
+    // VT+space is ONE whitespace run, not a symbol run then a space
+    assert(seg("a\u000B b") == Seq("a", "\u000B ", "b"))
   }
 }
