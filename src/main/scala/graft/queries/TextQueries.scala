@@ -1765,6 +1765,71 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Statistical-LM quality scoring (the CCNet/Gopher "perplexity filter"
+    * shape): train add-one-smoothed bigram probabilities FROM the corpus
+    * (two keyed count rollups — at 100 TB, run on a sample or a held-out
+    * reference corpus and persist), then score every document map-side by
+    * its mean bigram probability. All arithmetic is fixed-point INTEGER
+    * (probabilities in 2²⁰ ticks, integer-div mean), so scores are
+    * bit-identical across engines/partitionings — the mean probability
+    * stands in for perplexity to keep the gate exact; a production run
+    * would emit log-probs (floating point) from the same count tables.
+    * Scale shape: C2/C1/V are vocabulary-sized aggregates (map-side
+    * combined); the doc-side score is one equi-join on the bigram key +
+    * one combinable rollup — no document text past the first explode,
+    * nothing driver-side.
+    */
+  private def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val fpScale = 1L << 20
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        filter(TextFunctions.tokenize(lower(col("text"))),
+          t => length(t) > 0).as("ts"))
+    val docBg = toks.where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bg"))
+    val c2 = docBg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val v = c2.select(countDistinct(substring_index(col("bg"), " ", -1)).as("v"))
+    val probs = c2.crossJoin(broadcast(v))
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("bg"), expr(s"((c2 + 1) * $fpScale) div (c1 + v)").as("p_fp"))
+    docBg.join(probs, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("sum_fp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_fp div n_bigrams").as("mean_p_fp"))
+      .orderBy(col("doc_id"))
+  }
+  private val bigramLmScoreSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |bgs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ts)),
+      |                          i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      |  FROM tok WHERE len(ts) >= 2),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+      |c1 AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM c2),
+      |probs AS (
+      |  SELECT bg, ((c2 + 1) * 1048576) // (c1 + v) AS p_fp
+      |  FROM c2 CROSS JOIN v JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+      |scored AS (
+      |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(p.p_fp) AS BIGINT) AS sum_fp
+      |  FROM bgs b JOIN probs p ON b.bg = p.bg
+      |  GROUP BY b.doc_id)
+      |SELECT doc_id, n_bigrams, sum_fp // n_bigrams AS mean_p_fp
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   /** BPE training pair-count step: the first merge iteration of byte-pair
     * encoding — count adjacent symbol (character) pairs inside every
     * GPT-2-style pretoken, weighted by pretoken frequency. The scale trick
@@ -1805,6 +1870,7 @@ object TextQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
+    "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql)),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),
     "tx25_pretokenize"       -> QueryDef(pretokenStats, Some(pretokenStatsSql)),
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),

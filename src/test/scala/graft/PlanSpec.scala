@@ -459,6 +459,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // map-side combine below the rollup
   }
 
+  test("tx27: LM scoring — count tables aggregate partial; only the 1-row V nest-loops") {
+    val p = planOf("tx27_bigram_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p) // map-side-combined count rollups
+    // the only nested-loop is the single-row vocabulary-size broadcast
+    // (tx19's globals pattern); the bigram joins are hash joins
+    val nls = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nls <= 1, p)
+  }
+
   test("ev32/ev33: trailing-window analytics shuffle ONCE by user") {
     for (name <- Seq("ev32_ewma_smooth", "ev33_mad_outliers")) {
       val p = planOf(name)

@@ -66,6 +66,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(checked == out.size && checked > 0)
   }
 
+  test("tx27: fixed-point bigram LM scores match a sequential recompute") {
+    val out = SparkEntry.allDefs("tx27_bigram_lm_score").fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docBg = docs.map { case (id, t) =>
+      val ts = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (id, ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq)
+    }.filter(_._2.nonEmpty)
+    val c2 = docBg.flatMap(_._2).groupBy(identity).map { case (b, o) => (b, o.size.toLong) }
+    val c1 = c2.groupBy(_._1.split(' ')(0)).map { case (w, m) => (w, m.values.sum) }
+    val v  = c2.keys.map(_.split(' ')(1)).toSet.size.toLong
+    val pfp = c2.map { case (b, n) =>
+      (b, ((n + 1) * (1L << 20)) / (c1(b.split(' ')(0)) + v))
+    }
+    val expected = docBg.map { case (id, bgs) =>
+      (id, bgs.length.toLong, bgs.map(pfp).sum / bgs.length)
+    }.toSet
+    assert(out.toSet == expected && out.nonEmpty)
+  }
+
   test("tx26: vocabulary-weighted pair counts equal per-occurrence counting") {
     val out = SparkEntry.allDefs("tx26_bpe_pair_counts").fn(spark, sf0001).collect()
     // naive reference: count adjacent char pairs over every pretoken
