@@ -522,4 +522,53 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** MMR (maximal-marginal-relevance) diversified top-k: greedily select
+    * `k` corpus vectors maximizing
+    * `λ·cos(q, c) − (1−λ)·max_{s ∈ selected} cos(c, s)` — the classic
+    * retrieval re-ranker that trades relevance against redundancy (a
+    * plain top-k returns k near-duplicates of the best hit; MMR spreads
+    * the set). Ties break to the lowest id.
+    *
+    * Scale shape: inherently sequential in k, but each of the k steps is
+    * ONE distributed pass — the selected set is ≤k MODEL-PARAMETER
+    * vectors literalized into the scoring expression (the
+    * [[kmeansCentroids]] pattern), the per-step winner is a global
+    * top-1 (`TakeOrderedAndProject`, no full sort), and only that one
+    * row comes back to the driver. The corpus is scanned k times; at
+    * 100 TB run MMR on a pre-filtered candidate pool (e.g.
+    * [[bruteForceTopK]]/[[ivfTopK]] top-N, N ≫ k), which is the standard
+    * two-stage retrieve-then-rerank deployment.
+    */
+  def mmrTopK(
+      corpus: DataFrame,
+      queryVec: Seq[Double],
+      k: Int,
+      lambda: Double = 0.5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("rel", cosine(col("v"), typedLit(queryVec)))
+    var selected = Vector.empty[(Int, Long, Seq[Double], Double)]
+    for (r <- 1 to k) {
+      val penalty =
+        if (selected.isEmpty) lit(0.0)
+        else if (selected.size == 1) cosine(col("v"), typedLit(selected.head._3))
+        else greatest(selected.map(s => cosine(col("v"), typedLit(s._3))): _*)
+      val score = lit(lambda) * col("rel") - lit(1.0 - lambda) * penalty
+      val remaining =
+        if (selected.isEmpty) c
+        else c.where(!col("id").isin(selected.map(_._2): _*))
+      // global top-1: TakeOrderedAndProject; ONE model-parameter row
+      // (id, vector, score) returns to the driver per step
+      val top = remaining.select(col("id"), col("v"), score.as("score"))
+        .orderBy(col("score").desc, col("id")).limit(1).collect()(0)
+      selected :+= ((r, top.getLong(0), top.getSeq[Double](1).toIndexedSeq: Seq[Double], top.getDouble(2)))
+    }
+    selected.map { case (r, id, _, s) => (r, id, s) }
+      .toDF("rank", "neighbor_id", "score")
+  }
 }

@@ -12,6 +12,51 @@ import graft.operators.{Dedup, Similarity}
   */
 object VectorQueries {
 
+  /** MMR-diversified top-4 ([[Similarity.mmrTopK]], λ = 0.5) for one
+    * query vector: greedy relevance-vs-redundancy re-ranking, each of the
+    * k steps one distributed top-1 pass with the selected set literalized
+    * as model parameters. The oracle unrolls the same greedy recursion as
+    * k chained single-row CTEs — identical IEEE score arithmetic
+    * (0.5·rel − 0.5·max-cos, greatest over the selected set), identical
+    * (score DESC, id) tie-break — so ranks, ids, and scores hash-match.
+    */
+  private def annMmr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val qv = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    Similarity.mmrTopK(emb.where(col("vec_id") > 0), qv, k = 4, lambda = 0.5)
+      .orderBy(col("rank"))
+  }
+  private val annMmrSql = {
+    def penal(prev: Seq[Int]): String =
+      if (prev.isEmpty) "0.5 * 0.0"
+      else if (prev.size == 1)
+        s"0.5 * list_cosine_similarity(v, (SELECT v FROM s${prev.head}))"
+      else
+        "0.5 * greatest(" + prev.map(i =>
+          s"list_cosine_similarity(v, (SELECT v FROM s$i))").mkString(", ") + ")"
+    def step(i: Int): String = {
+      val prev = 1 until i
+      val excl =
+        if (prev.isEmpty) ""
+        else s" WHERE vec_id NOT IN (${prev.map(j => s"(SELECT vec_id FROM s$j)").mkString(", ")})"
+      s"""s$i AS (SELECT vec_id, v, score FROM (
+         |  SELECT vec_id, v, 0.5 * rel - ${penal(prev)} AS score FROM c$excl) t
+         |ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val steps = (1 to 4).map(step).mkString(",\n")
+    val out = (1 to 4).map(i =>
+      s"SELECT $i AS rank, vec_id AS neighbor_id, score FROM s$i").mkString("\nUNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v FROM emb WHERE vec_id = 0),
+       |c AS (SELECT vec_id, v, list_cosine_similarity(v, (SELECT v FROM q)) AS rel
+       |      FROM emb WHERE vec_id > 0),
+       |$steps
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Exact brute-force top-5 cosine neighbors for the first 10 vectors —
     * the ANN correctness baseline. Queries broadcast; corpus never
     * shuffles; ranking moves only (query, score, id).
@@ -385,6 +430,7 @@ object VectorQueries {
       |WHERE rank <= 5 ORDER BY q_doc, rank""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "ann11_mmr_topk"        -> QueryDef(annMmr, Some(annMmrSql)),
     "ann10_maxsim"          -> QueryDef(annMaxSim, Some(annMaxSimSql)),
     "ann09_radius_search"   -> QueryDef(annRadius, Some(annRadiusSql)),
     "ann08_semantic_dedup"  -> QueryDef(semDedup, Some(semDedupSql), benchmark = true),

@@ -186,4 +186,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.forall(_._3 >= 0.25))
   }
+
+  test("MMR matches the sequential greedy recursion and de-duplicates the result set") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(120)
+    val qv = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val corpus = emb.where(col("vec_id") > 0L)
+    val got = Similarity.mmrTopK(corpus, qv, k = 4, lambda = 0.5)
+      .select($"rank", $"neighbor_id", $"score")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+
+    // sequential reference: same greedy recursion on collected vectors
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    var selected = Vector.empty[(Long, Double)]
+    for (_ <- 1 to 4) {
+      val best = vecs.keys.filterNot(selected.map(_._1).contains).map { id =>
+        val rel = cos(qv, vecs(id))
+        val pen = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(vecs(id), vecs(s._1))).max
+        (id, 0.5 * rel - 0.5 * pen)
+      }.minBy { case (id, s) => (-s, id) }
+      selected :+= best
+    }
+    assert(got.map(g => (g._2, g._3)) == selected,
+      s"greedy divergence: $got vs $selected")
+    assert(got.map(_._2).distinct.size == 4)
+  }
 }
