@@ -1298,7 +1298,72 @@ object Events {
       |  CASE WHEN abs(value - med) > 3.0::DOUBLE * mad THEN 1 ELSE 0 END AS is_outlier
       |FROM f ORDER BY event_id""".stripMargin
 
+  /** Align two irregular series by LINEAR INTERPOLATION: each error event
+    * gets the purchase-value series evaluated at its own instant —
+    * `pv + (nv − pv)·(t − pt)/(nt − pt)` between the last purchase at-or-
+    * before and the first at-or-after (the bidirectional sibling of ev04's
+    * backward-only as-of join; ev10's gap-fill forward-fills a regular
+    * spine instead). One union'd pass: both series share a single
+    * user-hash exchange, anchors propagate via frame-anchored
+    * first/last IGNORE NULLS (q53's cross-engine-safe form), and the
+    * interpolation is one identical IEEE expression per side — timestamps
+    * compared as exact epoch-microsecond BIGINTs (30 days ≪ 2⁵³, so the
+    * one double division is exact-operand). Boundary rows (no anchor on
+    * one side) are withheld; same-instant anchors short-circuit to `pv`.
+    */
+  private def linearInterp(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .where(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("value"))
+    val anchorV = when(col("event_type") === "purchase", col("value"))
+    val anchorT = when(col("event_type") === "purchase", col("t"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd  = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("pv", last(anchorV, ignoreNulls = true).over(back))
+      .withColumn("pt", last(anchorT, ignoreNulls = true).over(back))
+      .withColumn("nv", first(anchorV, ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(anchorT, ignoreNulls = true).over(fwd))
+      .where(col("event_type") === "error" &&
+        col("pv").isNotNull && col("nv").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        when(col("nt") === col("pt"), col("pv")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            ((col("t") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double"))).as("interp_value"))
+      .orderBy(col("event_id"))
+  }
+  private val linearInterpSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value
+      |  FROM events WHERE event_type IN ('purchase', 'error')),
+      |w AS (
+      |  SELECT event_id, user_id, event_type, t,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |      OVER back AS pv,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN t END IGNORE NULLS)
+      |      OVER back AS pt,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |      OVER fwd AS nv,
+      |    first_value(CASE WHEN event_type = 'purchase' THEN t END IGNORE NULLS)
+      |      OVER fwd AS nt
+      |  FROM ev
+      |  WINDOW back AS (PARTITION BY user_id ORDER BY t, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         fwd AS (PARTITION BY user_id ORDER BY t, event_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id,
+      |  CASE WHEN nt = pt THEN pv
+      |       ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      |  END AS interp_value
+      |FROM w
+      |WHERE event_type = 'error' AND pv IS NOT NULL AND nv IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev34_linear_interp"   -> QueryDef(linearInterp, Some(linearInterpSql)),
     "ev32_ewma_smooth"     -> QueryDef(ewmaSmooth, Some(ewmaSmoothSql)),
     "ev33_mad_outliers"    -> QueryDef(madOutliers, Some(madOutliersSql)),
     "ev20_merge_upsert"    -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),

@@ -469,6 +469,13 @@ class PlanSpec extends SparkSpec {
     assert(nls <= 1, p)
   }
 
+  test("ev34: both interpolation frames share ONE user exchange; filter pushed") {
+    val p = planOf("ev34_linear_interp")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("In(event_type"), s"type filter not pushed\n" + p)
+  }
+
   test("ev32/ev33: trailing-window analytics shuffle ONCE by user") {
     for (name <- Seq("ev32_ewma_smooth", "ev33_mad_outliers")) {
       val p = planOf(name)

@@ -89,6 +89,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSet == expected && out.nonEmpty)
   }
 
+  test("ev34: interpolated values match a sequential two-pointer recompute") {
+    val out = SparkEntry.allDefs("ev34_linear_interp").fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+
+    val rows = graft.core.Tables(spark, sf0001).events
+      .where("event_type IN ('purchase', 'error')")
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS t", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    var checked = 0
+    rows.groupBy(_._2).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._4, e._1))
+      ordered.zipWithIndex.foreach { case ((id, _, kind, t, _), i) =>
+        if (kind == "error") {
+          val prev = ordered.take(i + 1).filter(_._3 == "purchase").lastOption
+          val next = ordered.drop(i).filter(_._3 == "purchase").headOption
+          (prev, next) match {
+            case (Some(p), Some(n)) =>
+              val exp =
+                if (n._4 == p._4) p._5
+                else p._5 + (n._5 - p._5) *
+                  ((t - p._4).toDouble / (n._4 - p._4).toDouble)
+              assert(java.lang.Double.doubleToLongBits(out(id)) ==
+                java.lang.Double.doubleToLongBits(exp), s"event $id")
+              checked += 1
+            case _ => assert(!out.contains(id), s"boundary row $id leaked")
+          }
+        }
+      }
+    }
+    assert(checked == out.size && checked > 0)
+  }
+
   test("tx26: vocabulary-weighted pair counts equal per-occurrence counting") {
     val out = SparkEntry.allDefs("tx26_bpe_pair_counts").fn(spark, sf0001).collect()
     // naive reference: count adjacent char pairs over every pretoken
