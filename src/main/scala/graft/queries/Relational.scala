@@ -1592,7 +1592,37 @@ object Relational {
       |  min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
       |FROM c GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** Correlated LATERAL subquery join (Spark-4 decorrelation of
+    * ORDER BY + LIMIT in a lateral): per-customer top-2 orders by price —
+    * the "top-k dependent rows per outer row" SQL shape that predates
+    * window functions and that both engines now decorrelate into a
+    * ranked join rather than a per-row re-execution. Comparison-only
+    * doubles (prices pass through), total order (custkey, orderkey) —
+    * engine-exact. Same text runs on both engines verbatim.
+    */
+  private def q57(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("orders_q57")
+    Tables(spark, dir).customer.createOrReplaceTempView("customer_q57")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_q57 c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_q57 o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey % 10 = 3
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+  }
+  private val q57Sql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey % 10 = 3
+      |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q57_lateral_topk"     -> QueryDef(q57, Some(q57Sql)),
     "q56_exact_quantiles"  -> QueryDef(q56, Some(q56Sql)),
     "q49_exists_subqueries" -> QueryDef(q49, Some(q49Sql)),
     "q45_unpivot"          -> QueryDef(q45, Some(q45Sql)),

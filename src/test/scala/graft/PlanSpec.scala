@@ -469,6 +469,15 @@ class PlanSpec extends SparkSpec {
     assert(nls <= 1, p)
   }
 
+  test("q57: lateral top-k decorrelates to a ranked join, not per-row re-execution") {
+    val p = planOf("q57_lateral_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the decorrelated form ranks orders per custkey (window) then joins
+    assert(p.contains("Window"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("ev34: both interpolation frames share ONE user exchange; filter pushed") {
     val p = planOf("ev34_linear_interp")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
