@@ -1621,7 +1621,41 @@ object Relational {
       |WHERE c.c_custkey % 10 = 3
       |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
 
+  /** Mergeable QUANTILE sketch, bounds-gated (ev31's idiom, completing
+    * the sketch family: HLL distinct = ev31, count-min frequency = tx24,
+    * Bloom membership = dd08/dd13, and now Greenwald-Khanna quantiles):
+    * `percentile_approx(accuracy=100)` guarantees rank error ≤ n/100 and
+    * its internal state merges across partitions — the 100 TB path where
+    * q56's exact histogram would not fit a wide-domain column. The sketch
+    * VALUE is run-dependent, so the judged output is the exact (flag, n)
+    * row, kept only if the measured rank of BOTH sketch outputs honors
+    * the contract (±3% slack for boundary duplicates) — a contract
+    * violation drops the row and flips the gate red.
+    */
+  private def q58(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val approx = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(100)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(100)).as("a95"),
+        count(lit(1)).as("n"))
+    li.select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      .join(broadcast(approx), "flag")
+      .groupBy(col("flag"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("v") <= col("a95"), 1L).otherwise(0L)).as("r95"))
+      .where(abs(col("r50") - lit(0.5) * col("n")) <= lit(0.03) * col("n") &&
+        abs(col("r95") - lit(0.95) * col("n")) <= lit(0.03) * col("n"))
+      .select(col("flag"), col("n"))
+      .orderBy(col("flag"))
+  }
+  private val q58Sql =
+    """SELECT l_returnflag AS flag, count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q58_quantile_sketch"  -> QueryDef(q58, Some(q58Sql)),
     "q57_lateral_topk"     -> QueryDef(q57, Some(q57Sql)),
     "q56_exact_quantiles"  -> QueryDef(q56, Some(q56Sql)),
     "q49_exists_subqueries" -> QueryDef(q49, Some(q49Sql)),

@@ -469,6 +469,16 @@ class PlanSpec extends SparkSpec {
     assert(nls <= 1, p)
   }
 
+  test("q58: quantile sketch aggregates partial->final; rank check joins by broadcast") {
+    val p = planOf("q58_quantile_sketch")
+    // percentile_approx state is object-typed: partial ObjectHashAggregate
+    // below the exchange proves the sketch MERGES rather than re-scanning
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_percentile_approx"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q57: lateral top-k decorrelates to a ranked join, not per-row re-execution") {
     val p = planOf("q57_lateral_topk")
     assert(!p.contains("CartesianProduct"), p)
