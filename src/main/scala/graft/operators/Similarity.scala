@@ -550,10 +550,12 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("rel", cosine(col("v"), typedLit(queryVec)))
     var selected = Vector.empty[(Int, Long, Seq[Double], Double)]
-    for (r <- 1 to k) {
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
       val penalty =
         if (selected.isEmpty) lit(0.0)
         else if (selected.size == 1) cosine(col("v"), typedLit(selected.head._3))
@@ -565,8 +567,10 @@ object Similarity {
       // global top-1: TakeOrderedAndProject; ONE model-parameter row
       // (id, vector, score) returns to the driver per step
       val top = remaining.select(col("id"), col("v"), score.as("score"))
-        .orderBy(col("score").desc, col("id")).limit(1).collect()(0)
-      selected :+= ((r, top.getLong(0), top.getSeq[Double](1).toIndexedSeq: Seq[Double], top.getDouble(2)))
+        .orderBy(col("score").desc, col("id")).limit(1).collect()
+      if (top.isEmpty) exhausted = true // k exceeds the pool: return what exists
+      else selected :+= ((r, top(0).getLong(0),
+        top(0).getSeq[Double](1).toIndexedSeq: Seq[Double], top(0).getDouble(2)))
     }
     selected.map { case (r, id, _, s) => (r, id, s) }
       .toDF("rank", "neighbor_id", "score")

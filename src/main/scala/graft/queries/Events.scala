@@ -1316,23 +1316,26 @@ object Events {
       .where(col("event_type").isin("purchase", "error"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("t"), col("value"))
-    val anchorV = when(col("event_type") === "purchase", col("value"))
-    val anchorT = when(col("event_type") === "purchase", col("t"))
+    // (t, value) travel TOGETHER in one struct anchor: two independent
+    // IGNORE-NULLS scans could pair the value of one purchase with the
+    // timestamp of a later null-valued one; null-valued purchases are
+    // therefore not anchors at all
+    val anchor = when(
+      col("event_type") === "purchase" && col("value").isNotNull,
+      struct(col("t").as("at"), col("value").as("av")))
     val ord = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd  = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     ev
-      .withColumn("pv", last(anchorV, ignoreNulls = true).over(back))
-      .withColumn("pt", last(anchorT, ignoreNulls = true).over(back))
-      .withColumn("nv", first(anchorV, ignoreNulls = true).over(fwd))
-      .withColumn("nt", first(anchorT, ignoreNulls = true).over(fwd))
+      .withColumn("pa", last(anchor, ignoreNulls = true).over(back))
+      .withColumn("na", first(anchor, ignoreNulls = true).over(fwd))
       .where(col("event_type") === "error" &&
-        col("pv").isNotNull && col("nv").isNotNull)
+        col("pa").isNotNull && col("na").isNotNull)
       .select(col("event_id"), col("user_id"),
-        when(col("nt") === col("pt"), col("pv")).otherwise(
-          col("pv") + (col("nv") - col("pv")) *
-            ((col("t") - col("pt")).cast("double") /
-              (col("nt") - col("pt")).cast("double"))).as("interp_value"))
+        when(col("na.at") === col("pa.at"), col("pa.av")).otherwise(
+          col("pa.av") + (col("na.av") - col("pa.av")) *
+            ((col("t") - col("pa.at")).cast("double") /
+              (col("na.at") - col("pa.at")).cast("double"))).as("interp_value"))
       .orderBy(col("event_id"))
   }
   private val linearInterpSql =
@@ -1341,25 +1344,24 @@ object Events {
       |  FROM events WHERE event_type IN ('purchase', 'error')),
       |w AS (
       |  SELECT event_id, user_id, event_type, t,
-      |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
-      |      OVER back AS pv,
-      |    last_value(CASE WHEN event_type = 'purchase' THEN t END IGNORE NULLS)
-      |      OVER back AS pt,
-      |    first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
-      |      OVER fwd AS nv,
-      |    first_value(CASE WHEN event_type = 'purchase' THEN t END IGNORE NULLS)
-      |      OVER fwd AS nt
+      |    last_value(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+      |                    THEN {'at': t, 'av': value} END IGNORE NULLS)
+      |      OVER back AS pa,
+      |    first_value(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+      |                     THEN {'at': t, 'av': value} END IGNORE NULLS)
+      |      OVER fwd AS na
       |  FROM ev
       |  WINDOW back AS (PARTITION BY user_id ORDER BY t, event_id
       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       |         fwd AS (PARTITION BY user_id ORDER BY t, event_id
       |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       |SELECT event_id, user_id,
-      |  CASE WHEN nt = pt THEN pv
-      |       ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      |  CASE WHEN na.at = pa.at THEN pa.av
+      |       ELSE pa.av + (na.av - pa.av) *
+      |            (CAST(t - pa.at AS DOUBLE) / CAST(na.at - pa.at AS DOUBLE))
       |  END AS interp_value
       |FROM w
-      |WHERE event_type = 'error' AND pv IS NOT NULL AND nv IS NOT NULL
+      |WHERE event_type = 'error' AND pa IS NOT NULL AND na IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(

@@ -1785,10 +1785,16 @@ object TextQueries {
       .select(col("doc_id"),
         filter(TextFunctions.tokenize(lower(col("text"))),
           t => length(t) > 0).as("ts"))
+    // the exploded bigram stream feeds BOTH the count tables and the
+    // scoring join — persist it so the tokenize+explode pass over the
+    // corpus runs once, not once per branch (at 100 TB, disk-backed
+    // persistence of (doc_id, bigram) vs a second full scan is the
+    // standard space-time trade; either way the branch shape is shared)
     val docBg = toks.where(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ts) - 1), " +
           "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = docBg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))

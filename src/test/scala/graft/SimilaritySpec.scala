@@ -219,4 +219,15 @@ class SimilaritySpec extends SparkSpec {
       s"greedy divergence: $got vs $selected")
     assert(got.map(_._2).distinct.size == 4)
   }
+
+  test("MMR with k beyond the pool returns the exhausted set, not an error") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qv = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val pool = emb.where(col("vec_id") > 0L && col("vec_id") <= 3L) // 3 rows
+    val got = Similarity.mmrTopK(pool, qv, k = 5)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.length == 3 && got.map(_._1).toSeq == Seq(1, 2, 3))
+  }
 }

@@ -122,6 +122,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(checked == out.size && checked > 0)
   }
 
+  test("ev34: a NULL-valued purchase is no anchor — (t, value) stay paired") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev34").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // P1(t=100, 5.0), P2(t=200, NULL), error(t=210), P3(t=300, 9.0):
+    // interpolation must bridge P1->P3 over (100, 300), not pair P1's
+    // value with P2's timestamp
+    Seq(
+      (1L, ts(100), 7L, "purchase", Some(5.0), "{}"),
+      (2L, ts(200), 7L, "purchase", None: Option[Double], "{}"),
+      (3L, ts(210), 7L, "error", Some(1.0), "{}"),
+      (4L, ts(300), 7L, "purchase", Some(9.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.allDefs("ev34_linear_interp").fn(spark, dir).collect()
+    assert(out.length == 1)
+    val expected = 5.0 + (9.0 - 5.0) * ((210.0 - 100.0) / (300.0 - 100.0))
+    assert(out(0).getDouble(2) == expected, s"got ${out(0).getDouble(2)}")
+  }
+
   test("tx26: vocabulary-weighted pair counts equal per-occurrence counting") {
     val out = SparkEntry.allDefs("tx26_bpe_pair_counts").fn(spark, sf0001).collect()
     // naive reference: count adjacent char pairs over every pretoken
