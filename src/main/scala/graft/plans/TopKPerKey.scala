@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Native per-key top-k: a custom LOGICAL node + planner STRATEGY +
+  * PHYSICAL operator (the third Catalyst extension point, alongside the
+  * repo's native `Expression`s and optimizer `Rule`s), registered at use
+  * time through the public `spark.experimental.extraStrategies` hook.
+  *
+  * Why a custom operator at all (brief's preference order (c)): Spark
+  * plans "rank() ≤ k per key" as a full per-partition SORT of every row
+  * (window) and then discards all but k per key — O(n log n) comparisons
+  * and a sort buffer of the whole partition. This operator keeps a
+  * BOUNDED HEAP of k rows per key instead: O(n log k) comparisons, memory
+  * `keys-per-partition × k` rows regardless of group size — the shape
+  * that survives a 100 TB fact table with million-row hot keys. The
+  * exchange is the same single hash shuffle (the exec declares
+  * `ClusteredDistribution(keys)` and EnsureRequirements inserts it), so
+  * the plan differs from the window form only where it should: no sort,
+  * no full-width buffer.
+  *
+  * Correctness notes: child rows and projected keys are UnsafeRow
+  * BUFFERS that the scan reuses — both are `copy()`d before retention
+  * (the classic custom-exec pitfall). Ties must be broken by a total
+  * order in `order` or output is partition-dependent; the judged q59
+  * orders by (value DESC, unique id).
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  // every child column passes through to the output — declare them all
+  // referenced so column pruning cannot cut pass-through columns
+  override def references: AttributeSet = AttributeSet(child.output)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+class TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val orderLocal = order
+    val keysLocal = keys
+    val childOutput = child.output
+    val f = (it: Iterator[InternalRow]) => {
+      // best-first total order: compare(a, b) < 0 ⇔ a outranks b
+      val best = GenerateOrdering.generate(orderLocal, childOutput)
+      val keyProj = UnsafeProjection.create(keysLocal, childOutput)
+      // min-heap head = WORST kept row (reverse of best-first)
+      val heapCmp = new java.util.Comparator[UnsafeRow] {
+        def compare(a: UnsafeRow, b: UnsafeRow): Int = best.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      // most children emit UnsafeRow directly; convert defensively when a
+      // child emits another InternalRow shape (both paths reuse buffers —
+      // retention still copies)
+      val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
+      while (it.hasNext) {
+        val row = it.next() match {
+          case u: UnsafeRow => u
+          case r            => toUnsafe(r)
+        }
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, heapCmp)
+          heaps.put(key.copy(), heap) // key buffer is reused — copy
+        }
+        if (heap.size() < kLocal) heap.add(row.copy()) // row buffer reused — copy
+        else if (best.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+      }
+      val result = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      val bestFirst = new java.util.Comparator[UnsafeRow] {
+        def compare(a: UnsafeRow, b: UnsafeRow): Int = best.compare(a, b)
+      }
+      heaps.forEach { (_, h) =>
+        val arr = h.toArray(new Array[UnsafeRow](h.size()))
+        java.util.Arrays.sort(arr, bestFirst) // k elements — emit best-first
+        arr.foreach(result += _)
+      }
+      result.iterator: Iterator[InternalRow]
+    }
+    child.execute().mapPartitions(f, preservesPartitioning = true)
+  }
+}
+
+object TopKPerKey {
+  /** Public entry: top-`k` rows per `keyCols` group under `order`
+    * ((column, descending) pairs — include a unique tie-break). Installs
+    * the planner strategy idempotently on the session's public
+    * `experimental.extraStrategies` hook (works on ANY session, including
+    * the harness's extension-less one — the ev09 pattern).
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[TopKPerKeyStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new TopKPerKeyStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$n' in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val keyExprs = keyCols.map(attr)
+    val sortOrders = order.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    org.apache.spark.sql.graft.ColumnShim.ofRows(spark,
+      TopKPerKeyNode(keyExprs, sortOrders, k, analyzed))
+  }
+}

@@ -1654,7 +1654,35 @@ object Relational {
     """SELECT l_returnflag AS flag, count(*) AS n
       |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin
 
+  /** Native heap-based per-key top-k ([[graft.plans.TopKPerKey]] — the
+    * custom LogicalPlan + SparkStrategy + SparkPlan extension point):
+    * top-2 orders per customer by (price DESC, orderkey). Where the
+    * window form sorts every row of every partition, the custom exec
+    * keeps a bounded k-row heap per key above the SAME single hash
+    * exchange — O(n log k) and O(keys·k) memory, the shape that survives
+    * million-row hot keys at 100 TB. PlanSpec asserts the custom exec
+    * node, the lone exchange, and the absence of Sort/Window below it;
+    * the oracle is the standard row_number formulation.
+    */
+  private def q59(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.perKey(
+      Tables(spark, dir).orders
+        .where(col("o_custkey") % 7 === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keyCols = Seq("o_custkey"),
+      order = Seq(("o_totalprice", true), ("o_orderkey", false)),
+      k = 2)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  private val q59Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders WHERE o_custkey % 7 = 1) t
+      |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q59_native_topk"      -> QueryDef(q59, Some(q59Sql), benchmark = true),
     "q58_quantile_sketch"  -> QueryDef(q58, Some(q58Sql)),
     "q57_lateral_topk"     -> QueryDef(q57, Some(q57Sql)),
     "q56_exact_quantiles"  -> QueryDef(q56, Some(q56Sql)),
