@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Reference semantics pinned here (SURVEY §2 O3-O5, §2.10):
   *  - tokenize: split on runs of whitespace (`WorkerNode.java:43`,
-  *    `text.trim().split("\\s+")`)
+  *    `text.trim().split("\\s+")`) — the class is SPELLED OUT as
+  *    `[\t\n\x0B\f\r ]` (== Java `\s`) on both the engine and the DuckDB
+  *    oracle side, because RE2's `\s` EXCLUDES `\x0B` while Java's
+  *    includes it: with a bare `\s+` the two engines silently diverge on
+  *    vertical-tab input (ADVICE r7)
   *  - normalize: lower-case then strip `\W` (ASCII-classed, so `don't` →
   *    `dont`, `co-op` → `coop`) — `WorkerNode.java:45`
   *  - filter: drop tokens empty after normalization (`WorkerNode.java:46`)
@@ -19,9 +23,10 @@ object TextFunctions {
   /** Whitespace tokenization of a text column → array<string>.
     * `split` on a trimmed string; a fully-blank input yields a single empty
     * token (same as Java's `"".split("\\s+")`), removed downstream by
-    * [[isNonEmptyToken]].
+    * [[isNonEmptyToken]]. The whitespace class is written out (see object
+    * doc) so the DuckDB oracles can pin the identical RE2 class.
     */
-  def tokenize(text: Column): Column = split(trim(text), "\\s+")
+  def tokenize(text: Column): Column = split(trim(text), "[\\t\\n\\x0B\\f\\r ]+")
 
   /** Reference normalization: lower-case + strip non-word chars.
     * Java `\W` == `[^a-zA-Z0-9_]` (ASCII) by default; Spark's
@@ -40,16 +45,18 @@ object TextFunctions {
   /** Whitespace token count; 0 for blank/empty strings. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+      .otherwise(size(split(trim(text), "[\\t\\n\\x0B\\f\\r ]+")).cast("long"))
 
   /** BPE-ish subword count: alphanumeric runs + each non-space symbol counts
     * as a token (a cheap proxy for byte-pair tokenizers; deterministic and
-    * engine-portable).
+    * engine-portable). Whitespace class spelled out for the same RE2/Java
+    * `\s`-vs-VT reason as [[tokenize]].
     */
   def subwordCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(
-        size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        size(regexp_extract_all(text,
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\t\\n\\x0B\\f\\r ]"), lit(0)))
           .cast("long"))
 
   /** GPT-2-style pretokenizer segmentation → array<string>. The classic

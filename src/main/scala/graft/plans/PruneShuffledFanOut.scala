@@ -49,6 +49,10 @@ case class PruneShuffledFanOut(spark: SparkSession) extends Rule[LogicalPlan] {
     case w: Window => w.copy(child = strip(w.child))
     case e: Except => e.copy(left = strip(e.left), right = strip(e.right))
     case i: Intersect => i.copy(left = strip(i.left), right = strip(i.right))
+    // the repo's custom top-k node shuffles on its keys exactly like an
+    // Aggregate — a round-robin fan-out feeding it is the same wasted
+    // double exchange (round-7 verdict: q59 carried it)
+    case t: TopKPerKeyNode => t.copy(child = strip(t.child))
   }
 
   /** Walk down through cheap narrow ops; if the first non-trivial node is a

@@ -1217,7 +1217,10 @@ object Events {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-15, Window.currentRow)
     Tables(spark, dir).events
-      .where(col("event_type") === "purchase")
+      // value IS NOT NULL on BOTH engine sides: collect_list silently
+      // drops NULLs while the oracle's list() keeps them (ADVICE r7) —
+      // without the filter a null-valued purchase diverges the engines
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
       .select(col("event_id"), col("user_id"), col("value"),
         collect_list(col("value")).over(w).as("hist"))
       .select(col("event_id"), col("user_id"), col("value"),
@@ -1233,7 +1236,7 @@ object Events {
       |  SELECT event_id, user_id, value,
       |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS hist
-      |  FROM events WHERE event_type = 'purchase') t
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL) t
       |ORDER BY event_id""".stripMargin
 
   /** Trailing median/MAD anomaly flags: each error event is scored against
@@ -1253,7 +1256,8 @@ object Events {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-20, -1)
     Tables(spark, dir).events
-      .where(col("event_type") === "error")
+      // same NULL contract as ewmaSmooth (collect_list vs list())
+      .where(col("event_type") === "error" && col("value").isNotNull)
       .select(col("event_id"), col("user_id"), col("value"),
         array_sort(collect_list(col("value")).over(w)).as("hist"))
       .withColumn("n", size(col("hist")))
@@ -1277,7 +1281,7 @@ object Events {
       |  SELECT event_id, user_id, value,
       |    list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) AS hist
-      |  FROM events WHERE event_type = 'error'),
+      |  FROM events WHERE event_type = 'error' AND value IS NOT NULL),
       |m AS (
       |  SELECT event_id, user_id, value, hist, len(hist) AS n,
       |    CASE WHEN len(hist) % 2 = 1 THEN hist[(len(hist) + 1) // 2]
@@ -1365,14 +1369,14 @@ object Events {
       |ORDER BY event_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
-    "ev34_linear_interp"   -> QueryDef(linearInterp, Some(linearInterpSql)),
+    "ev34_linear_interp"   -> QueryDef(linearInterp, Some(linearInterpSql), benchmark = true),
     "ev32_ewma_smooth"     -> QueryDef(ewmaSmooth, Some(ewmaSmoothSql)),
     "ev33_mad_outliers"    -> QueryDef(madOutliers, Some(madOutliersSql)),
     "ev20_merge_upsert"    -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
     "ev21_agg_state_merge" -> QueryDef(aggStateMerge, Some(aggStateMergeSql)),
     "gr02_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
     "gr03_shortest_path"   -> QueryDef(shortestPath, Some(shortestPathSql)),
-    "gr05_components"      -> QueryDef(components, Some(componentsSql)),
+    "gr05_components"      -> QueryDef(components, Some(componentsSql), benchmark = true),
     "ev23_ohlc_bars"       -> QueryDef(ohlcBars, Some(ohlcBarsSql)),
     "ev24_cdc_latest"      -> QueryDef(cdcLatest, Some(cdcLatestSql)),
     "ev25_variant_props"   -> QueryDef(variantProps, Some(variantPropsSql)),

@@ -1685,7 +1685,7 @@ object Relational {
     "q59_native_topk"      -> QueryDef(q59, Some(q59Sql), benchmark = true),
     "q58_quantile_sketch"  -> QueryDef(q58, Some(q58Sql)),
     "q57_lateral_topk"     -> QueryDef(q57, Some(q57Sql)),
-    "q56_exact_quantiles"  -> QueryDef(q56, Some(q56Sql)),
+    "q56_exact_quantiles"  -> QueryDef(q56, Some(q56Sql), benchmark = true),
     "q49_exists_subqueries" -> QueryDef(q49, Some(q49Sql)),
     "q45_unpivot"          -> QueryDef(q45, Some(q45Sql)),
     "q46_stats_moments"    -> QueryDef(q46, Some(q46Sql)),

@@ -36,7 +36,7 @@ object StreamQueries {
   private val streamWordcountSql =
     """SELECT word, count(*) AS cnt FROM (
       |  SELECT lower(regexp_replace(w, '\W', '', 'g')) AS word FROM (
-      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |    SELECT unnest(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS w
       |    FROM documents) t1) t2
       |WHERE length(word) > 0
       |GROUP BY word ORDER BY cnt ASC, word ASC""".stripMargin
@@ -288,7 +288,7 @@ object StreamQueries {
       |FROM (
       |  SELECT source,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      |         ELSE len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) END AS n_tokens
       |  FROM documents) t
       |GROUP BY source ORDER BY source""".stripMargin
 
@@ -757,8 +757,12 @@ object StreamQueries {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // value IS NOT NULL on BOTH sides: as[TsValueEvent] throws on a
+      // NULL value and the oracle's ordered list() would keep it (ADVICE
+      // r7 — the fixture schema permits null-valued events, cf. ev34)
       val src = StreamOps.nanosToTs(
         StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+        .where(col("value").isNotNull)
       StreamOps.runToMemory(spark, StreamOps.orderedEwma(src),
           s"graft_stream_ewma_${System.nanoTime()}",
           mode = org.apache.spark.sql.streaming.OutputMode.Append)
@@ -776,11 +780,11 @@ object StreamQueries {
       |  list_reduce(list_prepend(0.0::DOUBLE, l),
       |              (acc, x) -> acc * 0.7::DOUBLE + 0.3::DOUBLE * x) AS ewma
       |FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
-      |      FROM events GROUP BY user_id) t
+      |      FROM events WHERE value IS NOT NULL GROUP BY user_id) t
       |ORDER BY user_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
-    "st20_stream_ewma"       -> QueryDef(streamEwma, Some(streamEwmaSql)),
+    "st20_stream_ewma"       -> QueryDef(streamEwma, Some(streamEwmaSql), benchmark = true),
     "st18_state_reader"      -> QueryDef(stateReader, Some(stateReaderSql)),
     "st19_restart_exactly_once" -> QueryDef(streamRestart, Some(streamRestartSql)),
     "st12_late_data_drop"    -> QueryDef(streamLateData, Some(streamLateDataSql)),

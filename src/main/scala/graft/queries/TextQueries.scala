@@ -20,7 +20,7 @@ object TextQueries {
   private val wordcountSql =
     """SELECT word, count(*) AS cnt FROM (
       |  SELECT lower(regexp_replace(w, '\W', '', 'g')) AS word FROM (
-      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |    SELECT unnest(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS w
       |    FROM documents) t1) t2
       |WHERE length(word) > 0
       |GROUP BY word ORDER BY cnt ASC, word ASC""".stripMargin
@@ -43,7 +43,7 @@ object TextQueries {
   private val dedupJaccardSql =
     """WITH tok AS (
       |  SELECT doc_id, tok FROM (
-      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
       |    FROM documents) t WHERE length(tok) > 0),
       |capped AS (
       |  SELECT doc_id, tok FROM tok
@@ -115,7 +115,7 @@ object TextQueries {
   }
 
   private def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(trim(lower(col("text"))), "[\\t\\n\\x0B\\f\\r ]+"), t => length(t) > 0)
     val d = Tables(spark, dir).documents.select(col("source"), toks.as("toks"))
     val (rWc, rMwl, rAlpha, rStop) = gopherRuleCols(col("toks"))
     val rules = d.select(col("source"),
@@ -132,7 +132,7 @@ object TextQueries {
       .orderBy(col("source"))
   }
   private val gopherRulesSql = {
-    val toks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+    val toks = "list_filter(string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+'), x -> len(x) > 0)"
     s"""WITH f AS (
        |  SELECT source, toks, len(toks) AS nw,
        |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
@@ -169,7 +169,7 @@ object TextQueries {
     */
   private def fullPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(trim(lower(col("text"))), "[\\t\\n\\x0B\\f\\r ]+"), t => length(t) > 0)
     val (rWc, rMwl, rAlpha, rStop) = gopherRuleCols(toks)
     // materialized once (ckpt): the HOF-heavy rule filter feeds BOTH the
     // span-dedup input and the source join-back — without the cut the
@@ -179,7 +179,7 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("text")))
     val dd = Dedup.dedupSpans(kept.select(col("doc_id"), col("text")), segLen = 120)
       .where(col("n_kept") > 0)
-    val outToks = filter(split(trim(col("text_dedup")), "\\s+"), t => length(t) > 0)
+    val outToks = filter(split(trim(col("text_dedup")), "[\\t\\n\\x0B\\f\\r ]+"), t => length(t) > 0)
     dd.join(kept.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), size(outToks).as("n_toks"),
         length(col("text_dedup")).as("n_chars"))
@@ -190,7 +190,7 @@ object TextQueries {
       .orderBy(col("source"))
   }
   private val fullPipelineSql = {
-    val toks = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+    val toks = "list_filter(string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+'), x -> len(x) > 0)"
     s"""WITH en AS (
        |  SELECT doc_id, source, text, $toks AS toks FROM documents WHERE lang = 'en'),
        |g AS (
@@ -220,7 +220,7 @@ object TextQueries {
        |fin AS (
        |  SELECT g.source, rec.td FROM rec JOIN g USING (doc_id) WHERE rec.n_kept > 0)
        |SELECT source, count(*) AS n_docs,
-       |  CAST(sum(len(list_filter(string_split_regex(trim(td), '\\s+'), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+       |  CAST(sum(len(list_filter(string_split_regex(trim(td), '[\\t\\n\\x0B\\f\\r ]+'), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
        |  CAST(sum(len(td)) AS BIGINT) AS total_chars
        |FROM fin GROUP BY source ORDER BY source""".stripMargin
   }
@@ -272,7 +272,7 @@ object TextQueries {
       |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |           ELSE list_transform(generate_series(1, len(toks) - 2),
       |                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS g
-      |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+') AS toks
       |          FROM documents) d) t
       |  WHERE length(g) > 0),
       |capped AS (
@@ -308,7 +308,7 @@ object TextQueries {
   private val dedupMinhashSql =
     """WITH tok AS (
       |  SELECT doc_id, tok FROM (
-      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
       |    FROM documents) t WHERE length(tok) > 0),
       |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
       |pairs AS (
@@ -339,7 +339,7 @@ object TextQueries {
         |      (h, c) -> (xor(h::UBIGINT, c::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
         |                % 18446744073709551616::HUGEINT)""".stripMargin
     s"""WITH tok AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')) AS tok
        |  FROM documents),
        |th AS (
        |  SELECT doc_id,
@@ -423,7 +423,7 @@ object TextQueries {
   private val dedupIncrementalSql =
     """WITH tok AS (
       |  SELECT doc_id, tok FROM (
-      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
       |    FROM documents) t WHERE length(tok) > 0),
       |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
       |pairs AS (
@@ -456,20 +456,20 @@ object TextQueries {
     """SELECT doc_id,
       |  length(text) AS n_chars,
       |  CASE WHEN length(trim(text)) = 0 THEN 0
-      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |       ELSE len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) END AS n_tokens,
       |  CASE WHEN length(trim(text)) = 0 THEN 0
-      |       ELSE len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) END AS n_subwords,
+      |       ELSE len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\t\n\x0B\f\r ]')) END AS n_subwords,
       |  CASE WHEN length(text) = 0 THEN 0.0
       |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"-]', '', 'g')) AS DOUBLE)
       |            / CAST(length(text) AS DOUBLE) END AS punct_ratio,
-      |  CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) = 0 THEN 0.0
-      |       ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |  CASE WHEN len(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) = 0 THEN 0.0
+      |       ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+'),
       |              x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-      |            / CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) END AS stopword_ratio,
+      |            / CAST(len(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS DOUBLE) END AS stopword_ratio,
       |  CASE WHEN length(trim(text)) = 0 THEN 0.0
-      |       ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |       ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'),
       |              x -> length(x))) AS DOUBLE)
-      |            / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS mean_token_len
+      |            / CAST(len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) AS DOUBLE) END AS mean_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Quality score (composite heuristic) per doc, grouped into histogram
@@ -484,7 +484,7 @@ object TextQueries {
       .orderBy(col("source"))
   private val textQualitySql = {
     val punct = "CAST(length(regexp_replace(text, '[^.,;:!?''\"-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
-    val toks  = "string_split_regex(trim(lower(text)), '\\s+')"
+    val toks  = "string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')"
     val stopr = s"CAST(len(list_filter($toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
     s"""SELECT source, count(*) AS n_docs,
        |  CAST(sum(CAST(q AS DECIMAL(12,6))) AS DOUBLE) AS sum_quality
@@ -522,7 +522,7 @@ object TextQueries {
       .orderBy(col("labeled_lang"), col("guessed_lang"))
   }
   private val langidSql = {
-    val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    val toks = "string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')"
     def score(ws: Seq[String]) =
       s"len(list_filter($toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
     val scores = langStopwords.toSeq.sortBy(_._1)
@@ -570,7 +570,7 @@ object TextQueries {
     """WITH toks AS (
       |  SELECT doc_id, source, tok FROM (
       |    SELECT doc_id, source,
-      |      lower(regexp_replace(unnest(string_split_regex(trim(text), '\s+')), '\W', '', 'g')) AS tok
+      |      lower(regexp_replace(unnest(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')), '\W', '', 'g')) AS tok
       |    FROM documents) t WHERE length(tok) > 0),
       |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
       |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY source, tok)
@@ -792,7 +792,7 @@ object TextQueries {
        |  FROM (
        |    SELECT doc_id, toks,
        |      list_filter(toks, x -> NOT lower(x) IN ($stopwordInList)) AS kept
-       |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |    FROM (SELECT doc_id, string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+') AS toks
        |          FROM documents) d) f) s
        |ORDER BY doc_id""".stripMargin
 
@@ -889,7 +889,7 @@ object TextQueries {
   private val countMinSql =
     s"""WITH toks AS (
        |  SELECT lower(regexp_replace(w, '\\W', '', 'g')) AS tok FROM (
-       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    SELECT unnest(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) AS w
        |    FROM documents) t1),
        |counts AS (
        |  SELECT tok, count(*) AS cnt FROM toks
@@ -939,7 +939,7 @@ object TextQueries {
        |         WHEN ((fp % 100) + 100) % 100 < 90 THEN 'val'
        |         ELSE 'test' END AS split,
        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+       |         ELSE len(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) END AS BIGINT)
        |      AS n_tokens
        |  FROM (
        |    SELECT source, text, $fnvSignSql AS fp
@@ -975,7 +975,7 @@ object TextQueries {
     """WITH per_source AS (
       |  SELECT source, count(*) AS n_docs,
       |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+      |         ELSE len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) END) AS BIGINT)
       |      AS n_tokens
       |  FROM documents GROUP BY source),
       |w AS (
@@ -1081,7 +1081,7 @@ object TextQueries {
     """WITH toks AS (
       |  SELECT doc_id, tok FROM (
       |    SELECT doc_id,
-      |      lower(regexp_replace(unnest(string_split_regex(trim(text), '\s+')), '\W', '', 'g')) AS tok
+      |      lower(regexp_replace(unnest(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')), '\W', '', 'g')) AS tok
       |    FROM documents) t WHERE length(tok) > 0),
       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
       |g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
@@ -1131,7 +1131,7 @@ object TextQueries {
       |  FROM (
       |    SELECT doc_id, source,
       |      CASE WHEN length(trim(text)) = 0 THEN 0
-      |           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      |           ELSE len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) END AS n_tokens
       |    FROM documents) t) p
       |GROUP BY source, batch_id ORDER BY source, batch_id""".stripMargin
 
@@ -1157,7 +1157,7 @@ object TextQueries {
   private val dupClustersSql =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, tok FROM (
-      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
       |    FROM documents) t WHERE length(tok) > 0),
       |capped AS (
       |  SELECT doc_id, tok FROM tok
@@ -1216,11 +1216,11 @@ object TextQueries {
   }
   private val clusterKeepBestSql = {
     val punct = "CAST(length(regexp_replace(text, '[^.,;:!?''\"-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
-    val toks  = "string_split_regex(trim(lower(text)), '\\s+')"
+    val toks  = "string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')"
     val stopr = s"CAST(len(list_filter($toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
     s"""WITH RECURSIVE tok AS (
        |  SELECT doc_id, tok FROM (
-       |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')) AS tok
        |    FROM documents) t WHERE length(tok) > 0),
        |capped AS (
        |  SELECT doc_id, tok FROM tok
@@ -1247,7 +1247,7 @@ object TextQueries {
        |      + greatest(0.0, 1.0 - ($punct) * 5.0) * 0.3
        |      + (CASE WHEN ($stopr) > 0.02 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS q,
        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+       |         ELSE len(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) END AS BIGINT) AS n_tokens
        |  FROM documents),
        |j AS (
        |  SELECT l.cluster_id, s.doc_id, s.q, s.n_tokens,
@@ -1295,11 +1295,11 @@ object TextQueries {
   }
   private val budgetSelectSql = {
     val punct = "CAST(length(regexp_replace(text, '[^.,;:!?''\"-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
-    val toks  = "string_split_regex(trim(lower(text)), '\\s+')"
+    val toks  = "string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')"
     val stopr = s"CAST(len(list_filter($toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
     s"""WITH s AS (SELECT doc_id, source,
        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       |       ELSE len(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) END AS BIGINT) AS n_tokens,
        |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
        |    + greatest(0.0, 1.0 - ($punct) * 5.0) * 0.3
        |    + (CASE WHEN ($stopr) > 0.02 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS q
@@ -1341,7 +1341,7 @@ object TextQueries {
   }
   private val bigramsSql =
     """WITH cl AS (
-      |  SELECT list_filter(list_transform(string_split_regex(trim(text), '\s+'),
+      |  SELECT list_filter(list_transform(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'),
       |           t -> lower(regexp_replace(t, '\W', '', 'g'))),
       |         t -> length(t) > 0) AS l
       |  FROM documents),
@@ -1456,7 +1456,7 @@ object TextQueries {
       |           ELSE list_transform(generate_series(1, len(toks) - 4),
       |                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
       |                                 toks[i+3], toks[i+4])) END) AS g
-      |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+') AS toks
       |          FROM documents) d) t
       |  WHERE length(g) > 0)
       |SELECT c.doc_id, count(*) AS n_shared_grams
@@ -1488,7 +1488,7 @@ object TextQueries {
       |           ELSE list_transform(generate_series(1, len(toks) - 3),
       |                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
       |                                 toks[i+3])) END) AS g
-      |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+') AS toks
       |          FROM documents) d) t
       |  WHERE length(g) > 0)
       |SELECT c.doc_id, count(*) AS n_shared_grams
@@ -1517,7 +1517,7 @@ object TextQueries {
   private val rarityScoreSql =
     """WITH toks AS (
       |  SELECT DISTINCT doc_id, tok FROM (
-      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
       |    FROM documents) t WHERE length(tok) > 0),
       |dfc AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
       |SELECT doc_id, count(*) AS n_distinct_tokens,
@@ -1551,7 +1551,7 @@ object TextQueries {
   private val repetitionSql =
     """WITH tc AS (
       |  SELECT doc_id, tok, count(*) AS c FROM (
-      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
       |    FROM documents) t
       |  WHERE length(tok) > 0 GROUP BY doc_id, tok)
       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
@@ -1633,7 +1633,7 @@ object TextQueries {
   private val frequentTokensSql =
     """WITH tok AS (
       |  SELECT t FROM (
-      |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+      |    SELECT unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS t
       |    FROM documents) x WHERE length(t) > 0)
       |SELECT t AS tok, count(*) AS cnt FROM tok GROUP BY t
       |HAVING count(*) > 0.01 * (SELECT count(*) FROM tok)
@@ -1684,7 +1684,7 @@ object TextQueries {
   private val winnowingPairsSql =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |    list_filter(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+'),
       |                t -> length(t) > 0) AS toks
       |  FROM documents),
       |grams0 AS (
@@ -1779,6 +1779,16 @@ object TextQueries {
     * one combinable rollup — no document text past the first explode,
     * nothing driver-side.
     */
+  /** The bigram cache of the PREVIOUS bigramLmScore invocation. The
+    * query hands its (lazy) result to the caller, so it cannot unpersist
+    * its own cache before the caller's action runs; instead each
+    * invocation releases its predecessor's blocks, bounding residency
+    * across a multi-query sweep to ONE cached plan (ADVICE r7: the
+    * caches otherwise accumulate for the session).
+    */
+  private val lastBigramCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
     val fpScale = 1L << 20
     val toks = Tables(spark, dir).documents
@@ -1795,6 +1805,8 @@ object TextQueries {
         "transform(sequence(1, size(ts) - 1), " +
           "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastBigramCache.getAndSet(docBg)
+    if (prev != null && (prev ne docBg)) prev.unpersist(blocking = false)
     val c2 = docBg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
@@ -1812,7 +1824,7 @@ object TextQueries {
   private val bigramLmScoreSql =
     """WITH tok AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |    list_filter(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+'),
       |                t -> length(t) > 0) AS ts
       |  FROM documents),
       |bgs AS (
@@ -1876,7 +1888,7 @@ object TextQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
-    "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql)),
+    "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql), benchmark = true),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),
     "tx25_pretokenize"       -> QueryDef(pretokenStats, Some(pretokenStatsSql)),
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),

@@ -372,8 +372,10 @@ class PlanSpec extends SparkSpec {
     // RoundRobinPartitioning exchange whose output only gets re-exchanged
     // is a wasted full shuffle of the scan (round-5 verdict, What's wrong
     // #2 — dd07/q17 carried the double exchange).
+    // q59: the consumer is the CUSTOM TopKPerKeyNode — the rule must
+    // recognize it like any built-in shuffle consumer (round-7 verdict #1)
     for (name <- Seq("q17_avg_subquery", "dd07_dup_clusters",
-        "q01_pricing_summary", "q16_group_having")) {
+        "q01_pricing_summary", "q16_group_having", "q59_native_topk")) {
       val p = planOf(name)
       assert(!p.contains("RoundRobinPartitioning"), s"$name still fans out:\n$p")
     }
