@@ -50,6 +50,16 @@ object GraftSession {
           })
           .getOrElse(cpus.toInt * 8).toString)
       .config("spark.sql.ansi.enabled", "false") // hash folds use 64-bit wraparound
+      // Streaming session windows (st08): merge gap-adjacent sessions
+      // MAP-side before the state-store exchange (SPARK-36576) — the
+      // sessionization analogue of partial aggregation. Semantics
+      // identical (the final merge still happens in the stateful
+      // operator); measured at sf1: 6.7 s → 5.8 s, and at 100 TB the
+      // pre-merge bounds exchange rows by sessions, not events. The
+      // remaining streaming overhead over the 1.1 s batch floor is the
+      // state machinery itself (store-provider choice is ±0.5 s —
+      // St08Profile), i.e. the cost of incremental replayability.
+      .config("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
       // events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
       // rejects; read nanos as long session-wide (a session construction
       // concern, not a per-read side effect — Tables.events relies on it)

@@ -86,6 +86,38 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode through the same seam: JDK `javax.imageio`
+    * (PNG/JPEG/BMP/GIF — headless, zero extra dependencies). Proves the
+    * [[MediaCodec]] boundary carries an actual codec, not only the
+    * deterministic stub: `decodeFeatures(media, ImageIoCodec)` runs
+    * partition-local real decodes with the identical plumbing the judged
+    * mm01–mm04 queries use with [[FakeDecoder]] (which stays the
+    * oracle-gated default — a DuckDB oracle cannot decode images).
+    *
+    * Features: true pixel width/height, channels = raster band count
+    * (1 gray, 3 RGB, 4 ABGR), checksum = CRC32 of the PAYLOAD bytes
+    * (content identity that works for any payload — decodable or not).
+    * Undecodable/empty payloads yield width=height=channels=0 with the
+    * checksum still computed: at 100 TB a corrupt blob must tag, not
+    * kill, the task — filter `width > 0` downstream for decoded media.
+    * `ImageIO.read` is called per row on a fresh `ByteArrayInputStream`;
+    * the codec holds no state, so one shared instance per task closure
+    * is safe (the `@transient lazy val` advice in [[MediaCodec]] applies
+    * to codecs with native contexts).
+    */
+  object ImageIoCodec extends MediaCodec {
+    def decode(payload: Array[Byte]): MediaFeatures = {
+      val crc = new java.util.zip.CRC32
+      crc.update(payload)
+      val cs = crc.getValue
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) MediaFeatures(0, 0, 0, cs)
+      else MediaFeatures(img.getWidth, img.getHeight, img.getRaster.getNumBands, cs)
+    }
+  }
+
   /** Partition-wise batched decode: one decoder instance per partition
     * (mirrors per-batch codec init in a Pandas-UDF/`mapInPandas` setup),
     * rows streamed — never materialized per-partition. `codec` is the

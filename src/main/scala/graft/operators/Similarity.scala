@@ -575,4 +575,63 @@ object Similarity {
     selected.map { case (r, id, _, s) => (r, id, s) }
       .toDF("rank", "neighbor_id", "score")
   }
+
+  /** One-job MMR over a BOUNDED candidate pool: collect the pool once
+    * (≤N rows, N ≫ k but tiny — the output of a first-stage
+    * [[bruteForceTopK]]/[[ivfTopK]] retrieve) and run the greedy loop
+    * driver-side. This is the documented 100 TB deployment shape of
+    * [[mmrTopK]]: the corpus-direct form pays k sequential Spark jobs,
+    * which is right when the pool IS the corpus, but a rerank over an
+    * already-retrieved pool should cost ONE job (the pool collect), not
+    * k. Bit-identical to [[mmrTopK]] on the same pool: the cosine loop
+    * mirrors [[graft.functions.VectorImpl.cosine]] op-for-op
+    * (left-to-right dot/norm folds, `dot / (√na · √nb)`), the score is
+    * the same `λ·rel − (1−λ)·max_sel` expression order, ties break to
+    * the lowest id (pinned by SimilaritySpec on the ann11 pool).
+    */
+  def mmrRerank(
+      pool: DataFrame,
+      queryVec: Seq[Double],
+      k: Int,
+      lambda: Double = 0.5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
+    // same IEEE op order as VectorImpl.cosine (ArrayData-free copy)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = queryVec.toArray
+    val rows = pool
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val rel = rows.map { case (id, v) => (id, v, cos(v, q)) }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Array[Double], Double)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    for (r <- 1 to k if chosen.size < rows.length) {
+      var bestId = Long.MinValue; var bestScore = Double.NegativeInfinity
+      var bestVec: Array[Double] = null; var found = false
+      for ((id, v, rl) <- rel if !chosen.contains(id)) {
+        val penalty =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cos(v, s._3)).max
+        val score = lambda * rl - (1.0 - lambda) * penalty
+        // ties to the lowest id, matching mmrTopK's (score DESC, id ASC)
+        if (!found || score > bestScore || (score == bestScore && id < bestId)) {
+          found = true; bestId = id; bestScore = score; bestVec = v
+        }
+      }
+      if (found) { selected += ((r, bestId, bestVec, bestScore)); chosen += bestId }
+    }
+    selected.map { case (r, id, _, s) => (r, id, s) }.toSeq
+      .toDF("rank", "neighbor_id", "score")
+  }
 }

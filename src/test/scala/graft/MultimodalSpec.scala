@@ -61,6 +61,39 @@ class MultimodalSpec extends SparkSpec {
     assert(r == ((7, 9, 1, 5L))) // checksum = payload length per ConstCodec
   }
 
+  test("ImageIoCodec decodes REAL images through the seam: dims, channels, checksum") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def render(w: Int, h: Int, imgType: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      // deterministic pixels so the bytes are stable per (w, h, fmt)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xFFFFFF)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK cannot write $fmt")
+      bos.toByteArray
+    }
+    val png = render(17, 11, BufferedImage.TYPE_INT_RGB, "png")
+    val bmp = render(8, 23, BufferedImage.TYPE_3BYTE_BGR, "bmp")
+    val jpg = render(32, 16, BufferedImage.TYPE_INT_RGB, "jpg")
+    val gray = render(5, 6, BufferedImage.TYPE_BYTE_GRAY, "png")
+    val junk = Array[Byte](1, 2, 3, 4) // not an image — must tag, not throw
+    def crc(b: Array[Byte]) = { val c = new java.util.zip.CRC32; c.update(b); c.getValue }
+    val media = Seq(
+      (1L, png), (2L, bmp), (3L, jpg), (4L, gray), (5L, junk)
+    ).toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("image").as("kind"), lit("gen").as("source"),
+        octet_length($"payload").cast("long").as("n_bytes")))
+    val got = Multimodal.decodeFeatures(media, Multimodal.ImageIoCodec)
+      .select($"media_id", $"width", $"height", $"channels", $"checksum")
+      .as[(Long, Int, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 17, 11, 3, crc(png))))
+    assert(got(2L) == ((2L, 8, 23, 3, crc(bmp))))
+    assert(got(3L) == ((3L, 32, 16, 3, crc(jpg))))
+    assert(got(4L) == ((4L, 5, 6, 1, crc(gray)))) // grayscale: 1 band
+    assert(got(5L) == ((5L, 0, 0, 0, crc(junk)))) // undecodable: tagged, checksummed
+  }
+
   test("resize caps the longest side, preserves aspect, never hits 0") {
     val decoded = Seq(
       (1L, 640, 480),  // downscale: 320×240

@@ -220,6 +220,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == 4)
   }
 
+  test("mmrRerank (one-job pool form) is bit-identical to mmrTopK on the same pool") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(120)
+    val qv = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    // the ann11 pool shape: first-stage retrieve then rerank
+    val pool = emb.where(col("vec_id") > 0L)
+    for (lambda <- Seq(0.5, 0.7)) {
+      val dist = Similarity.mmrTopK(pool, qv, k = 4, lambda = lambda)
+        .select($"rank", $"neighbor_id", $"score")
+        .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+      val local = Similarity.mmrRerank(pool, qv, k = 4, lambda = lambda)
+        .select($"rank", $"neighbor_id", $"score")
+        .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(dist == local, s"λ=$lambda: $dist vs $local") // bit-exact, not approx
+    }
+    // pool exhaustion parity too
+    val tiny = emb.where(col("vec_id") > 0L && col("vec_id") <= 3L)
+    assert(Similarity.mmrRerank(tiny, qv, k = 5).count() == 3L)
+  }
+
   test("MMR with k beyond the pool returns the exhausted set, not an error") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qv = emb.where(col("vec_id") === 0L)
