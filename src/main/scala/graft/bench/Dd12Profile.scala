@@ -41,7 +41,8 @@ object Dd12Profile {
       val nVariants = variants.count()
       val candidates = variants.as("a").join(variants.as("b"),
           col("a.v") === col("b.v") && col("a.id") < col("b.id"))
-        .select(col("a.id"), col("b.id"), col("a.s").as("sa"), col("b.s").as("sb"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.s").as("sa"), col("b.s").as("sb"))
       val tJoin = time {
         candidates.write.format("noop").mode("overwrite").save()
       }
@@ -52,6 +53,20 @@ object Dd12Profile {
       println(f"[dd12profile] $dir: rows=$n variants=$nVariants candidates=$nCand " +
         f"true_pairs=$nTrue join_only=$tJoin%.2f s full=$tFull%.2f s " +
         f"verify_share=${(tFull - tJoin) / tFull * 100}%.0f%%")
+      // A/B: the pre-rewrite verify shape (levenshtein in Filter AND
+      // Project — two evaluations per raw candidate — then distinct)
+      // vs the shipped distinct-then-verify shape, median of 3
+      val oldDf = candidates
+        .where(levenshtein(col("sa"), col("sb")) <= 1)
+        .select(col("id_a"), col("id_b"), col("sa").as("name_a"),
+          col("sb").as("name_b"), levenshtein(col("sa"), col("sb")).as("d"))
+        .distinct()
+      def med3(f: => Unit): Double = {
+        time(f); Seq.fill(3)(time(f)).sorted.apply(1)
+      }
+      val tOld = med3(oldDf.write.format("noop").mode("overwrite").save())
+      val tNew = med3(full.fn(spark, dir).write.format("noop").mode("overwrite").save())
+      println(f"[dd12profile] $dir: verify A/B old=$tOld%.2f s new=$tNew%.2f s")
     }
     spark.stop()
   }

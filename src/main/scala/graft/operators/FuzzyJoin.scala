@@ -44,22 +44,26 @@ object FuzzyJoin {
       .select(col(idCol).as("id"), col(strCol).as("s"),
         explode(deletionVariants(col(strCol))).as("v0"))
       .select(col("id"), col("s"), xxhash64(col("v0")).as("v"))
-    // Deduplicate candidates BEFORE the verify, not after: a true pair is
-    // admitted once per shared variant (up to len+1 times), so the
-    // post-verify distinct paid levenshtein on every duplicate — and the
-    // old filter-then-project shape evaluated it TWICE per candidate
-    // (Filter and Project don't CSE across operators). Same exchange
-    // count (the distinct's shuffle moved up, minus the d column), ~3×
-    // fewer edit-distance evaluations: the sf1 attribution run
-    // (Dd12Profile) measured the verify stage at 71% of dd12's wall with
-    // candidate volume scaling exactly linearly — the verify, not FastSS
-    // blocking, is the term worth the rewrite.
+    // Verify order, A/B-measured at sf1 (graft.bench.Dd12Profile):
+    // FILTER FIRST, distinct after — 6.98 s vs 8.93 s for
+    // distinct-then-verify. The inverted shape looked attractive (one
+    // levenshtein per DISTINCT pair instead of two per raw candidate —
+    // Filter and Project re-evaluate the expression), but a ≤1-edit
+    // levenshtein over ~20-char strings is ~10² cheap ops while the
+    // distinct is a full-width EXCHANGE: filtering 9.8M raw candidates
+    // down to the ~2.6M true pairs BEFORE that exchange moves strictly
+    // fewer bytes, and distinct's own partial aggregation dedups
+    // map-side besides. Candidate volume itself is LINEAR in rows
+    // (measured exactly 10× for 10× rows — FastSS block density is a
+    // property of the name space, not the row count), so no block cap
+    // is needed.
     variants.as("a").join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.s").as("name_a"), col("b.s").as("name_b"))
+      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("d"))
       .distinct()
-      .withColumn("d", levenshtein(col("name_a"), col("name_b")))
-      .where(col("d") <= 1)
   }
 }
