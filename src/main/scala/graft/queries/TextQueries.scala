@@ -1886,7 +1886,94 @@ object TextQueries {
        |FROM pr GROUP BY pair ORDER BY cnt DESC, pair""".stripMargin
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-bigram feature profile resembles a
+    * TARGET domain (here lang = 'en') relative to the raw corpus, and
+    * keep the top 100 — the data-mixture primitive that upweights
+    * in-domain text without a trained classifier. Feature space: word
+    * bigrams hashed into B = 1024 buckets (`fnv64` → pmod, the paper's
+    * hashed n-gram features; fnv64 is the repo's cross-engine-pinned
+    * hash, mirrored in the oracle by `fnvFoldSql`). Bucket affinity is
+    * the add-one-smoothed target/raw count ratio in 2²⁰-tick FIXED-POINT
+    * (integer-only end to end, so scores are bit-identical across
+    * engines and partitionings — the tx27 convention; a production run
+    * would emit float log-ratios from the same two count tables). The
+    * global rate normalizer (Tr+V)/(Tt+V) is dropped as doc-independent:
+    * it rescales every score equally and cannot change the ranking.
+    * Target ⊆ raw ⟹ ct ≤ cr per bucket ⟹ w_fp ≤ 2²⁰ and every
+    * intermediate stays far inside BIGINT.
+    *
+    * Scale shape: one corpus exchange (the (doc, bucket) rollup,
+    * map-side combined), two B-BOUNDED count rollups off it, the ≤B-row
+    * weight table BROADCAST back onto the doc side, one combinable
+    * per-doc sum, global top-100 via TakeOrderedAndProject — no driver
+    * loop, nothing quadratic, document text never crosses an exchange.
+    */
+  private def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val fpScale = 1L << 20
+    val nBuckets = 1024L
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        filter(TextFunctions.tokenize(lower(col("text"))),
+          t => length(t) > 0).as("ts"))
+      .where(size(col("ts")) >= 2)
+    val docBuckets = toks
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.HashExprs.fnv64(col("bg")), lit(nBuckets)).as("bkt"))
+      .groupBy(col("doc_id"), col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val cr = docBuckets.groupBy(col("bkt")).agg(sum(col("c")).as("cr"))
+    val ct = docBuckets.where(col("lang") === "en")
+      .groupBy(col("bkt")).agg(sum(col("c")).as("ct"))
+    val w = cr.join(ct, Seq("bkt"), "left")
+      .select(col("bkt"),
+        expr(s"((coalesce(ct, 0L) + 1L) * ${fpScale}L) div (cr + 1L)").as("w_fp"))
+    docBuckets.join(broadcast(w), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("w_fp")).as("score_fp"), sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("score_fp div n_bigrams").as("affinity_fp"))
+      .orderBy(col("affinity_fp").desc, col("doc_id"))
+      .limit(100)
+  }
+  private val dsirSelectSql = {
+    val fnvFold = fnvFoldSql("bg")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+'),
+       |                t -> length(t) > 0) AS ts
+       |  FROM documents),
+       |bgs AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(ts)),
+       |                          i -> ts[i] || ' ' || ts[i + 1])) AS bg
+       |  FROM tok WHERE len(ts) >= 2),
+       |hb AS (
+       |  SELECT doc_id, lang, $fnvFold AS h FROM bgs),
+       |db AS (
+       |  SELECT doc_id, lang,
+       |    ((($fnvSignSql) % 1024) + 1024) % 1024 AS bkt, count(*) AS c
+       |  FROM hb GROUP BY 1, 2, 3),
+       |cr AS (SELECT bkt, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY 1),
+       |ct AS (SELECT bkt, CAST(sum(c) AS BIGINT) AS ct
+       |       FROM db WHERE lang = 'en' GROUP BY 1),
+       |w AS (
+       |  SELECT cr.bkt, ((coalesce(ct, 0) + 1) * 1048576) // (cr + 1) AS w_fp
+       |  FROM cr LEFT JOIN ct ON cr.bkt = ct.bkt),
+       |s AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(c * w_fp) AS BIGINT) AS score_fp
+       |  FROM db JOIN w USING (bkt) GROUP BY 1)
+       |SELECT doc_id, n_bigrams, score_fp // n_bigrams AS affinity_fp
+       |FROM s ORDER BY affinity_fp DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "tx28_dsir_select"       -> QueryDef(dsirSelect, Some(dsirSelectSql), benchmark = true),
     "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
     "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql), benchmark = true),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),

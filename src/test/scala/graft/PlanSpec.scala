@@ -366,6 +366,18 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 1, p)
   }
 
+  test("tx28: DSIR bucket weights broadcast back; rollups partial; top-100 TakeOrdered") {
+    val p = planOf("tx28_dsir_select")
+    // the ≤1024-row weight table must broadcast onto the doc side, never
+    // shuffle the corpus against it
+    assert(p.contains("BroadcastHashJoin"), p)
+    // global top-100 must be a bounded TakeOrderedAndProject, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // every count rollup aggregates map-side before its exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("fan-out pruning: no round-robin exchange feeds a shuffle consumer") {
     // PruneShuffledFanOut must remove the fixture fan-out repartition when
     // the first operation over the scan is itself shuffle-inducing: a
