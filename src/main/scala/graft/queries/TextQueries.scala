@@ -496,6 +496,55 @@ object TextQueries {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Per-source quantile quality pruning (the FineWeb/DCLM curation
+    * step): within EACH source, rank documents by the tx02 composite
+    * quality score and drop the bottom quartile — per-domain thresholds,
+    * not a global cutoff, so a uniformly-low domain isn't wiped out and
+    * a uniformly-high one still sheds its worst tail. Rank order
+    * (q, doc_id) is total, so `percent_rank` = (rank−1)/(n−1) is the
+    * same exact double in both engines; kept = pr ≥ 0.25. Report per
+    * source: docs, kept, and the kept quality mass (DECIMAL(12,6)-summed
+    * then cast, the tx02 float-parity convention).
+    *
+    * Scale shape: ONE hash exchange on source + an in-partition sort
+    * (the window), then a combinable rollup. At 100 TB with giant
+    * sources, swap the exact window for a per-source quantile THRESHOLD
+    * (q58's mergeable GK sketch or percentile_approx, ≤|sources| rows
+    * broadcast back) and a map-side `q ≥ threshold` filter — the exact
+    * window form here doubles as that variant's oracle.
+    */
+  private def qualityPrune(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pr") >= 0.25, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("pr") >= 0.25, col("q").cast("decimal(12,6)")))
+          .cast("double").as("kept_quality"))
+      .orderBy(col("source"))
+  }
+  private val qualityPruneSql = {
+    val punct = "CAST(length(regexp_replace(text, '[^.,;:!?''\"-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val toks  = "string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')"
+    val stopr = s"CAST(len(list_filter($toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN pr >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN pr >= 0.25 THEN CAST(q AS DECIMAL(12,6)) END) AS DOUBLE) AS kept_quality
+       |FROM (
+       |  SELECT source, doc_id, q,
+       |    percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+       |  FROM (SELECT source, doc_id,
+       |    round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
+       |      + greatest(0.0, 1.0 - ($punct) * 5.0) * 0.3
+       |      + (CASE WHEN ($stopr) > 0.02 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS q
+       |  FROM documents) s) t
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** N-gram-heuristic language ID: score = stopword hits per language,
     * winner = (max score, then lexicographically greatest code) — a
     * deterministic total order, mirrored in the oracle CASE chain.
@@ -1974,6 +2023,7 @@ object TextQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "tx28_dsir_select"       -> QueryDef(dsirSelect, Some(dsirSelectSql), benchmark = true),
+    "tx29_quality_prune"     -> QueryDef(qualityPrune, Some(qualityPruneSql)),
     "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
     "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql), benchmark = true),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),

@@ -366,6 +366,16 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 1, p)
   }
 
+  test("tx29: per-source prune is ONE source exchange + window; rollup partial") {
+    val p = planOf("tx29_quality_prune")
+    // the window and the per-source rollup share the SAME hashpartitioning
+    // on source — one corpus exchange total (plus the final tiny sort)
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tx28: DSIR bucket weights broadcast back; rollups partial; top-100 TakeOrdered") {
     val p = planOf("tx28_dsir_select")
     // the ≤1024-row weight table must broadcast onto the doc side, never
