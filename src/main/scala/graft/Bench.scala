@@ -35,8 +35,8 @@ object Bench {
       // benign, but a judged bench log should carry no engine errors).
       val tracker = spark.sparkContext.statusTracker
       val drainDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while ((tracker.getActiveStageIds.nonEmpty ||
-          tracker.getActiveJobIds.nonEmpty) &&
+      while ((tracker.getActiveStageIds().nonEmpty ||
+          tracker.getActiveJobIds().nonEmpty) &&
           System.nanoTime() < drainDeadline)
         Thread.sleep(10)
       // collect the previous query's garbage outside the timed window so a

@@ -1838,10 +1838,23 @@ object TextQueries {
   private def persistSwap(
       slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
       df: DataFrame): DataFrame = {
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = slot.getAndSet(cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
-    cached
+    val prev = slot.get()
+    if (prev != null &&
+        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
+      // same plan as the resident cache (repeat invocation on the same
+      // dir): REUSE it. persist-then-unpersist would silently drop the
+      // cache — CacheManager dedupes the persist to the existing entry,
+      // and unpersisting the predecessor removes that same entry. The
+      // re-persist below is a no-op while cached and re-registers if an
+      // external clearCache dropped it.
+      prev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    } else {
+      val cached =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val old = slot.getAndSet(cached)
+      if (old != null && (old ne cached)) old.unpersist(blocking = false)
+      cached
+    }
   }
   private val lastBigramCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
@@ -2041,9 +2054,188 @@ object TextQueries {
        |FROM s ORDER BY affinity_fp DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  /** Weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007): every document gets priority
+    * q = u / w with u a deterministic per-doc uniform in [0, 2⁶²) and
+    * w its weight (here character count — the token-proportional
+    * sampling the DSIR resampling step (tx28 scores, this op draws)
+    * calls for); the k SMALLEST priorities are the sample, so inclusion
+    * probability rises with w, heavy documents are near-certain picks,
+    * and the same seed always draws the same sample — the property that
+    * makes a 100 TB training-mix draw reproducible and auditable.
+    *
+    * Cross-engine determinism: u is the repo's pinned fnv64 over a
+    * salted doc_id, and q = cast(u as double) / w is ONE IEEE-754
+    * division — correctly rounded and therefore bit-identical in Spark
+    * and DuckDB (unlike ln/pow, which the classic Efraimidis–Srivastava
+    * exponential-race formulation would need and which carry no
+    * cross-engine rounding guarantee). q itself stays out of the output;
+    * (doc_id) breaks the (measure-zero) double ties.
+    *
+    * Scale shape: the priority is a map-side expression over the scan
+    * (no exchange), and the global smallest-k is TakeOrderedAndProject —
+    * a per-partition k-heap plus a driver merge of partitions × k rows.
+    * Nothing shuffles; document text never leaves the scan stage.
+    */
+  private def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    val uSpan = 1L << 62
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("n_chars"),
+        pmod(graft.functions.HashExprs.fnv64(
+          concat(lit("ps#"), col("doc_id").cast("string"))), lit(uSpan)).as("u"))
+      .orderBy((col("u").cast("double") / col("n_chars").cast("double")).asc,
+        col("doc_id"))
+      .limit(k)
+  }
+  private val prioritySampleSql = {
+    val fnvFold = fnvFoldSql("'ps#' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    greatest(length(text), 1) AS n_chars,
+       |    ((($fnvSignSql) % 4611686018427387904) + 4611686018427387904)
+       |      % 4611686018427387904 AS u
+       |  FROM (SELECT doc_id, source, text, $fnvFold AS h FROM documents) f)
+       |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, u
+       |FROM d ORDER BY CAST(u AS DOUBLE) / n_chars, doc_id LIMIT 200""".stripMargin
+  }
+
+  /** The swap-tracked vocab cache for [[bpeTrain]] (see [[persistSwap]]). */
+  private val lastBpeCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016; the loop tx26's
+    * pair-count step feeds): three greedy merge rounds over the corpus's
+    * pretoken vocabulary, each round counting adjacent-symbol pairs
+    * weighted by pretoken frequency, merging the (cnt DESC, pair ASC)
+    * winner everywhere, and recounting. Output: the three learned merges
+    * (stage merge1..merge3) plus the post-merge top-20 pair table (stage
+    * zfinal) — the final rows pin the whole replace chain cross-engine,
+    * not just the selections.
+    *
+    * Two published tricks carry the scale argument:
+    * 1. Train on the DISTINCT pretoken vocabulary, not the corpus: one
+    *    map-side-combined (pretoken, freq) rollup touches the documents;
+    *    every merge round after that is vocabulary-sized (thousands of
+    *    rows at any corpus scale), so 3 rounds or 30 000 cost the same
+    *    corpus I/O. The rollup is persisted ([[persistSwap]]) so round
+    *    r's recount does not rescan documents.
+    * 2. GPT-2's byte-to-unicode remap for whitespace-safe symbols: the
+    *    pretokens keep their leading spaces (that IS the GPT-2 contract),
+    *    so space/tab/newline/VT/FF/CR are remapped to the exact chars
+    *    GPT-2's byte_encoder assigns (256+byte: Ġ=chr(288), ĉ, Ċ, ċ, Č,
+    *    č) before symbolization.
+    *
+    * A word's symbol sequence is rendered " a  b  c " — every symbol
+    * OWNS its surrounding spaces — so merging pair (a, b) is ONE literal
+    * left-to-right `replace(s, ' a  b ', ' ab ')`: non-overlapping
+    * scan-forward replacement (identical semantics in Spark and DuckDB,
+    * neither rescans the inserted text) is exactly greedy BPE, and
+    * adjacent matches cannot share a boundary character. Each round
+    * sends ONE (pair, cnt) row to the driver — the learned model
+    * parameter, the IVF-centroid/MMR convention — and the merge is
+    * applied as a literal, so no per-row driver work exists anywhere.
+    * Reference: the scatter/gather loop (`MasterNode.java:59-210`) is
+    * the same shape — per-round global reduce, broadcast of the
+    * round's result — with the pair table in place of word counts.
+    */
+  private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val nMerges = 3
+    val wsFrom = " \t\n\u000B\u000C\r"
+    val wsTo = "ĠĉĊċČč"
+    val vocab = persistSwap(lastBpeCache, Tables(spark, dir).documents
+      .select(explode(TextFunctions.pretokenize(col("text"))).as("p0"))
+      .select(translate(col("p0"), wsFrom, wsTo).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("freq"))
+      .where(length(col("p")) >= 2))
+    var reps = vocab.select(
+      concat(lit(" "),
+        array_join(expr(
+          "transform(sequence(1, length(p)), i -> substring(p, i, 1))"), "  "),
+        lit(" ")).as("s"),
+      col("freq"))
+    def pairCounts(r: DataFrame): DataFrame = r
+      .select(split(trim(col("s")), "  ").as("sy"), col("freq"))
+      .where(size(col("sy")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(sy) - 1), " +
+          "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pair"),
+        col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (it <- 1 to nMerges) {
+      val top = pairCounts(reps)
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()(0)
+      val (pair, cnt) = (top.getString(0), top.getLong(1))
+      merges += ((s"merge$it", pair, cnt))
+      val Array(a, b) = pair.split(" ", 2)
+      reps = reps.select(
+        replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+        col("freq"))
+    }
+    import spark.implicits._
+    val learned = merges.result().toDF("stage", "pair", "cnt")
+    val fin = pairCounts(reps)
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+      .select(lit("zfinal").as("stage"), col("pair"), col("cnt"))
+    learned.union(fin).orderBy(col("stage"), col("cnt").desc, col("pair"))
+  }
+  private val bpeTrainSql = {
+    val pat =
+      """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\x0B\f\r ]+|[\t\n\x0B\f\r ]+"""
+    // chr(256+byte): GPT-2 byte_encoder for the six whitespace bytes
+    val wsFromSql = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    val wsToSql =
+      "chr(288) || chr(265) || chr(266) || chr(267) || chr(268) || chr(269)"
+    def pc(src: String): String =
+      s"""SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(list_transform(range(1, len(sy)),
+         |                               i -> sy[i] || ' ' || sy[i + 1])) AS pair,
+         |    freq
+         |  FROM (SELECT string_split(trim(s), '  ') AS sy, freq FROM $src)
+         |  WHERE len(sy) >= 2)
+         |GROUP BY pair""".stripMargin
+    def merged(src: String, m: String): String =
+      s"""SELECT replace(s,
+         |    ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+         |    ' ' || replace(pair, ' ', '') || ' ') AS s, freq
+         |FROM $src CROSS JOIN $m""".stripMargin
+    s"""WITH pt AS (
+       |  SELECT unnest(regexp_extract_all(text, '$pat')) AS p0 FROM documents),
+       |w AS (
+       |  SELECT translate(p0, $wsFromSql, $wsToSql) AS p, count(*) AS freq
+       |  FROM pt GROUP BY 1),
+       |s0 AS (
+       |  SELECT ' ' || array_to_string(
+       |      list_transform(range(1, length(p) + 1), i -> substring(p, i, 1)),
+       |      '  ') || ' ' AS s, freq
+       |  FROM w WHERE length(p) >= 2),
+       |pc1 AS (${pc("s0")}),
+       |m1 AS (SELECT pair, cnt FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
+       |s1 AS (${merged("s0", "m1")}),
+       |pc2 AS (${pc("s1")}),
+       |m2 AS (SELECT pair, cnt FROM pc2 ORDER BY cnt DESC, pair LIMIT 1),
+       |s2 AS (${merged("s1", "m2")}),
+       |pc3 AS (${pc("s2")}),
+       |m3 AS (SELECT pair, cnt FROM pc3 ORDER BY cnt DESC, pair LIMIT 1),
+       |s3 AS (${merged("s2", "m3")}),
+       |pcf AS (${pc("s3")})
+       |SELECT 'merge1' AS stage, pair, cnt FROM m1
+       |UNION ALL SELECT 'merge2', pair, cnt FROM m2
+       |UNION ALL SELECT 'merge3', pair, cnt FROM m3
+       |UNION ALL SELECT * FROM (
+       |  SELECT 'zfinal' AS stage, pair, cnt FROM pcf
+       |  ORDER BY cnt DESC, pair LIMIT 20)
+       |ORDER BY stage, cnt DESC, pair""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "tx28_dsir_select"       -> QueryDef(dsirSelect, Some(dsirSelectSql), benchmark = true),
     "tx29_quality_prune"     -> QueryDef(qualityPrune, Some(qualityPruneSql)),
+    "tx30_priority_sample"   -> QueryDef(prioritySample, Some(prioritySampleSql), benchmark = true),
+    "tx31_bpe_train"         -> QueryDef(bpeTrain, Some(bpeTrainSql), benchmark = true),
     "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
     "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql), benchmark = true),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{HashImpl, TextFunctions}
+
+/** Semantic pins for the round-8 training-pipeline additions: the BPE
+  * training loop (tx31) is recomputed by an independent, deliberately-naive
+  * in-test reference (code-point vectors + an explicit greedy left-to-right
+  * array walk — NOT the engine's double-space string-replace trick, so the
+  * representation trick itself is what gets proven), and the priority
+  * sample (tx30) against a driver-side recompute of every document's
+  * priority. The oracle gate separately proves cross-engine bit-parity.
+  */
+class BpeSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wsFrom = " \t\n\u000B\u000C\r"
+  private val wsTo = "ĠĉĊċČč"
+
+  /** UTF-8 binary string order — what both engines' ORDER BY uses; Java's
+    * natural String order is UTF-16 and diverges above the BMP.
+    */
+  private val u8: Ordering[String] = (a: String, b: String) =>
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  /** (cnt DESC, pair ASC) — the engine's merge-selection total order. */
+  private val pairOrd: Ordering[(String, Long)] =
+    Ordering.by[(String, Long), Long](_._2).reverse.orElseBy(_._1)(u8)
+
+  test("tx31: three merges + final pair table match a naive greedy BPE recompute") {
+    // pretokenization itself is spec'd elsewhere (tx25) — reuse it, then
+    // hand everything downstream to plain Scala
+    val vocab: Map[Vector[String], Long] = spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .select(explode(TextFunctions.pretokenize(col("text"))).as("p"))
+      .as[String].collect()
+      .map(p => p.map(c => wsFrom.indexOf(c) match {
+        case -1 => c
+        case i  => wsTo.charAt(i)
+      }))
+      .filter(p => p.codePointCount(0, p.length) >= 2)
+      .map { p =>
+        // symbols = code points (what substring(p, i, 1) yields engine-side)
+        p.codePoints().toArray.toVector
+          .map(cp => new String(Character.toChars(cp)))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+    def pairCounts(ws: Map[Vector[String], Long]): Map[String, Long] =
+      ws.toSeq.flatMap { case (syms, n) =>
+        syms.indices.dropRight(1).map(i => s"${syms(i)} ${syms(i + 1)}" -> n)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+    def mergeGreedy(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+
+    var ws = vocab
+    val expected = (1 to 3).map { it =>
+      val (pair, cnt) = pairCounts(ws).toSeq.min(pairOrd)
+      val Array(a, b) = pair.split(" ", 2)
+      ws = ws.toSeq.map { case (s, n) => mergeGreedy(s, a, b) -> n }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (s"merge$it", pair, cnt)
+    }
+    val expectedFinal = pairCounts(ws).toSeq.sorted(pairOrd).take(20)
+      .map { case (p, c) => ("zfinal", p, c) }
+
+    val got = SparkEntry.allDefs("tx31_bpe_train").fn(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.filter(_._1.startsWith("merge")).sortBy(_._1) === expected)
+    assert(got.filter(_._1 == "zfinal")
+      .sortBy(t => (t._2, t._3))(Ordering.Tuple2(u8, Ordering.Long))
+      === expectedFinal.sortBy(t => (t._2, t._3))(Ordering.Tuple2(u8, Ordering.Long)))
+  }
+
+  test("tx30: the sample is exactly the 200 smallest u/w priorities") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      val u = java.lang.Math.floorMod(
+        HashImpl.fnv64(UTF8String.fromString("ps#" + id)), 1L << 62)
+      val w = math.max(text.codePointCount(0, text.length).toLong, 1L)
+      (u.toDouble / w.toDouble, id)
+    }.sorted.take(200).map(_._2).toSeq
+
+    val got = SparkEntry.allDefs("tx30_priority_sample").fn(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("tx30: heavier documents are sampled preferentially") {
+    // inclusion probability must rise with weight: the sampled docs'
+    // mean length should exceed the corpus mean by a wide margin
+    val corpusMean = spark.read.parquet(s"$sf0001/documents.parquet")
+      .agg(avg(length(col("text")))).as[Double].head()
+    val sampleMean = SparkEntry.allDefs("tx30_priority_sample").fn(spark, sf0001)
+      .agg(avg(col("n_chars"))).as[Double].head()
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+}

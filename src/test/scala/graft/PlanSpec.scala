@@ -388,6 +388,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tx30: priority sample is a zero-exchange scan + TakeOrderedAndProject") {
+    val p = planOf("tx30_priority_sample")
+    // the priority is a map-side expression: global smallest-k must be a
+    // bounded per-partition heap + driver merge, with NO exchange anywhere
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    // only the three referenced columns leave the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+  }
+
+  test("tx31: BPE training scans the corpus once; recounts are vocab-sized") {
+    val p = planOf("tx31_bpe_train")
+    // the (pretoken, freq) rollup is the ONLY corpus pass — every merge
+    // round re-reads the persisted vocab, not documents: no parquet scan
+    // may appear ABOVE the InMemoryRelation (the one below it is the
+    // cached rollup's own build plan, echoed by explain)
+    assert(p.contains("InMemoryRelation"), p)
+    assert(!p.split("InMemoryRelation")(0).contains("Scan parquet"), p)
+    // pair recounts aggregate map-side below their exchange
+    assert(p.contains("partial_sum"), p)
+    // final top-20 is bounded, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("fan-out pruning: no round-robin exchange feeds a shuffle consumer") {
     // PruneShuffledFanOut must remove the fixture fan-out repartition when
     // the first operation over the scan is itself shuffle-inducing: a
