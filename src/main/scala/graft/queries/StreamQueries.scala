@@ -783,7 +783,54 @@ object StreamQueries {
       |      FROM events WHERE value IS NOT NULL GROUP BY user_id) t
       |ORDER BY user_id""".stripMargin
 
+  /** STREAMING weighted sample (the incremental form of tx30, same
+    * Duffield-Lund-Thorup priorities, SAME ORACLE TEXT): map-side
+    * priority computation on the stream, u-sharded into 32 keys whose
+    * `transformWithState` state is each shard's current smallest-200 —
+    * ≤ 32 × 200 rows of state however long the stream runs — then one
+    * bounded batch-side reduce (distinct + global smallest-200) over the
+    * sink. Correct under any batching: eviction from shard state is
+    * monotone, so every globally-sampled row's emission survives in the
+    * sink, and re-emitted survivors are value-identical (argument in
+    * [[StreamOps.ShardTopKProcessor]]'s scaladoc). At 100 TB this is the
+    * reservoir-style always-on sampler: the draw is available at every
+    * instant, deterministic, and replay-stable, where the batch tx30
+    * would rescan the corpus per draw.
+    */
+  private def streamSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    // transformWithState requires the RocksDB provider (multiple column
+    // families) — set/restore around the run, the st20 pattern
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val uSpan = 1L << 62
+      val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
+        .select(col("doc_id"), col("source"),
+          greatest(length(col("text")).cast("long"), lit(1L)).as("n_chars"),
+          pmod(graft.functions.HashExprs.fnv64(
+            concat(lit("ps#"), col("doc_id").cast("string"))), lit(uSpan)).as("u"))
+        .withColumn("prio", col("u").cast("double") / col("n_chars").cast("double"))
+        .withColumn("shard", pmod(col("u"), lit(32L)).cast("int"))
+      StreamOps.runToMemory(spark, StreamOps.shardTopK(src, 200),
+          s"graft_stream_sample_${System.nanoTime()}",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append)
+        .dropDuplicates("doc_id")
+        .orderBy(col("prio").asc, col("doc_id"))
+        .limit(200)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("u"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "st21_stream_sample"     -> QueryDef(streamSample, Some(TextQueries.prioritySampleSql)),
     "st20_stream_ewma"       -> QueryDef(streamEwma, Some(streamEwmaSql), benchmark = true),
     "st18_state_reader"      -> QueryDef(stateReader, Some(stateReaderSql)),
     "st19_restart_exactly_once" -> QueryDef(streamRestart, Some(streamRestartSql)),

@@ -2090,7 +2090,7 @@ object TextQueries {
         col("doc_id"))
       .limit(k)
   }
-  private val prioritySampleSql = {
+  private[queries] val prioritySampleSql = {
     val fnvFold = fnvFoldSql("'ps#' || CAST(doc_id AS VARCHAR)")
     s"""WITH d AS (
        |  SELECT doc_id, source,

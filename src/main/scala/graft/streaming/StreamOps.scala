@@ -207,6 +207,57 @@ object StreamOps {
       .toDF()
   }
 
+  final case class DocPrioRow(
+      shard: Int, doc_id: Long, source: String, n_chars: Long,
+      u: Long, prio: Double)
+  final case class TopKState(rows: Seq[DocPrioRow])
+
+  /** Per-shard bounded smallest-k state for the STREAMING priority sample
+    * (st21; the incremental form of tx30). State per shard is the current
+    * k best (prio ASC, doc_id ASC) rows — ≤ shards × k rows total,
+    * independent of stream length. Each batch emits the shard's updated
+    * top-k; the caller's final distinct + global smallest-k over the sink
+    * is correct under ANY batching because eviction is monotone: a row in
+    * the global top-k has fewer than k better rows in its shard, so it is
+    * never evicted after arrival and its emission (from its arrival
+    * batch) is always present in the sink, while re-emitted survivors are
+    * value-identical and collapse in the distinct.
+    */
+  final class ShardTopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, DocPrioRow, DocPrioRow] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[TopKState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TopKState](
+        "topk", E.product[TopKState], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Int, rows: Iterator[DocPrioRow],
+        timerValues: TimerValues): Iterator[DocPrioRow] = {
+      val prev = if (st.exists()) st.get().rows else Seq.empty
+      val merged = (prev ++ rows)
+        .sortBy(r => (r.prio, r.doc_id)).take(k)
+      if (merged.isEmpty) Iterator.empty
+      else { st.update(TopKState(merged)); merged.iterator }
+    }
+  }
+
+  /** Keyed smallest-k via `transformWithState` over pre-sharded priority
+    * rows (expects columns shard/doc_id/source/n_chars/u/prio).
+    */
+  def shardTopK(docs: DataFrame, k: Int)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    docs.select(col("shard"), col("doc_id"), col("source"), col("n_chars"),
+        col("u"), col("prio"))
+      .as[DocPrioRow]
+      .groupByKey(_.shard)
+      .transformWithState(new ShardTopKProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Micro-batch executed plan of each completed `runToMemory` query,
     * keyed by memory-table name. A streaming query's visible
     * `queryExecution` is just the collected-result scan; the stateful

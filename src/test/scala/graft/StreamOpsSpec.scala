@@ -127,4 +127,47 @@ class StreamOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("shardTopK: multi-batch stream sample equals the batch smallest-k") {
+    // the st21 correctness claim: distinct + global smallest-k over the
+    // APPEND sink equals a one-shot batch top-k, under arbitrary
+    // batching — including a final batch that touches only one shard
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 3
+      // (shard, doc_id, source, n_chars, u, prio): two shards, priorities
+      // chosen so later batches evict earlier winners in shard 0 only
+      val rows = Seq(
+        (0, 1L, "a", 10L, 100L, 10.0), (0, 2L, "a", 10L, 200L, 20.0),
+        (1, 3L, "b", 10L, 300L, 30.0), (0, 4L, "a", 10L, 400L, 40.0),
+        (1, 5L, "b", 10L, 500L, 5.0), (0, 6L, "a", 10L, 600L, 6.0),
+        (0, 7L, "a", 10L, 700L, 7.0), (1, 8L, "b", 10L, 800L, 80.0),
+        (0, 9L, "a", 10L, 900L, 1.0))
+      val mem = MemoryStream[(Int, Long, String, Long, Long, Double)]
+      val df = mem.toDF().toDF("shard", "doc_id", "source", "n_chars", "u", "prio")
+      val q = StreamOps.shardTopK(df, k)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("shard_topk_test").start()
+      Seq(rows.slice(0, 4), rows.slice(4, 8), rows.slice(8, 9)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("shard_topk_test")
+        .dropDuplicates("doc_id")
+        .orderBy(col("prio").asc, col("doc_id")).limit(k)
+        .select("doc_id").as[Long].collect().toSeq
+      val expected = rows.sortBy(r => (r._6, r._2)).take(k).map(_._2)
+      assert(got == expected, s"got $got, expected $expected")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }
