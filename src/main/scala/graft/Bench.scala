@@ -39,6 +39,12 @@ object Bench {
           tracker.getActiveJobIds().nonEmpty) &&
           System.nanoTime() < drainDeadline)
         Thread.sleep(10)
+      // drop the swap-tracked rollup caches (tx27/tx28/tx31): a timed run
+      // must pay its own corpus pass, not ride the previous run's resident
+      // cache (the persists are for intra-query fan-out, not inter-run
+      // memoization; dd09/dd10's persisted INDEX is the operator's own
+      // semantics and is deliberately left alone)
+      graft.queries.TextQueries.releaseCaches()
       // collect the previous query's garbage outside the timed window so a
       // heap-heavy query doesn't bill its GC debt to whoever runs next
       System.gc()

@@ -830,7 +830,7 @@ object StreamQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "st21_stream_sample"     -> QueryDef(streamSample, Some(TextQueries.prioritySampleSql)),
+    "st21_stream_sample"     -> QueryDef(streamSample, Some(TextQueries.prioritySampleSql), benchmark = true),
     "st20_stream_ewma"       -> QueryDef(streamEwma, Some(streamEwmaSql), benchmark = true),
     "st18_state_reader"      -> QueryDef(stateReader, Some(stateReaderSql)),
     "st19_restart_exactly_once" -> QueryDef(streamRestart, Some(streamRestartSql)),

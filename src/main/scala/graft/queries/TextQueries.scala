@@ -1861,6 +1861,18 @@ object TextQueries {
   private val lastDsirCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Release every swap-tracked cache (tx27/tx28/tx31). The persists
+    * exist for INTRA-query reuse (one corpus pass feeding several
+    * consumers); a timed benchmark must not let run N+1 ride run N's
+    * resident rollup, so [[graft.Bench]] calls this before each timed
+    * run — the measured number is the cold cost a fresh query pays.
+    */
+  def releaseCaches(): Unit =
+    Seq(lastBigramCache, lastDsirCache, lastBpeCache).foreach { slot =>
+      val prev = slot.getAndSet(null)
+      if (prev != null) prev.unpersist(blocking = false)
+    }
+
   private def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
     val fpScale = 1L << 20
     val toks = Tables(spark, dir).documents
