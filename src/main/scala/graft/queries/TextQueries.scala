@@ -2177,15 +2177,22 @@ object TextQueries {
         col("freq"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
     val merges = Seq.newBuilder[(String, String, Long)]
-    for (it <- 1 to nMerges) {
-      val top = pairCounts(reps)
-        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()(0)
-      val (pair, cnt) = (top.getString(0), top.getLong(1))
-      merges += ((s"merge$it", pair, cnt))
-      val Array(a, b) = pair.split(" ", 2)
-      reps = reps.select(
-        replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
-        col("freq"))
+    var exhausted = false
+    for (it <- 1 to nMerges if !exhausted) {
+      // a corpus can run out of pairs before nMerges (every word fully
+      // merged): stop cleanly rather than throw on the empty top-1
+      pairCounts(reps)
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect().headOption match {
+        case None => exhausted = true
+        case Some(top) =>
+          val (pair, cnt) = (top.getString(0), top.getLong(1))
+          merges += ((s"merge$it", pair, cnt))
+          val Array(a, b) = pair.split(" ", 2)
+          reps = reps.select(
+            replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+            col("freq"))
+      }
     }
     import spark.implicits._
     val learned = merges.result().toDF("stage", "pair", "cnt")
