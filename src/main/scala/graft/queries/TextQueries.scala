@@ -2153,8 +2153,26 @@ object TextQueries {
     * the same shape — per-round global reduce, broadcast of the
     * round's result — with the pair table in place of word counts.
     */
-  private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val nMerges = 3
+  /** Adjacent-symbol pair counts of a symbol-sequence DataFrame (column
+    * `s` in the per-symbol-owned-spaces rendering, column `freq`).
+    */
+  private def bpeSymPairCounts(r: DataFrame): DataFrame = r
+    .select(split(trim(col("s")), "  ").as("sy"), col("freq"))
+    .where(size(col("sy")) >= 2)
+    .select(explode(expr(
+      "transform(sequence(1, size(sy) - 1), " +
+        "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pair"),
+      col("freq"))
+    .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+
+  /** The shared BPE merge chain behind tx31 (training) and tx32
+    * (encoding): the learned merges and the vocabulary's symbol-sequence
+    * DataFrame AFTER each round (index 0 = pre-merge characters). May
+    * return fewer than nMerges rounds when the corpus runs out of pairs
+    * (every word fully merged) — callers see exactly the rounds learned.
+    */
+  private def bpeChain(spark: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(String, String, Long)], Seq[DataFrame]) = {
     val wsFrom = " \t\n\u000B\u000C\r"
     val wsTo = "ĠĉĊċČč"
     val vocab = persistSwap(lastBpeCache, Tables(spark, dir).documents
@@ -2168,20 +2186,14 @@ object TextQueries {
           "transform(sequence(1, length(p)), i -> substring(p, i, 1))"), "  "),
         lit(" ")).as("s"),
       col("freq"))
-    def pairCounts(r: DataFrame): DataFrame = r
-      .select(split(trim(col("s")), "  ").as("sy"), col("freq"))
-      .where(size(col("sy")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(sy) - 1), " +
-          "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pair"),
-        col("freq"))
-      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+    val stages = Seq.newBuilder[DataFrame]
+    stages += reps
     val merges = Seq.newBuilder[(String, String, Long)]
     var exhausted = false
     for (it <- 1 to nMerges if !exhausted) {
       // a corpus can run out of pairs before nMerges (every word fully
       // merged): stop cleanly rather than throw on the empty top-1
-      pairCounts(reps)
+      bpeSymPairCounts(reps)
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .collect().headOption match {
         case None => exhausted = true
@@ -2192,16 +2204,46 @@ object TextQueries {
           reps = reps.select(
             replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
             col("freq"))
+          stages += reps
       }
     }
+    (merges.result(), stages.result())
+  }
+
+  private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (learnedMerges, stages) = bpeChain(spark, dir, nMerges = 3)
     import spark.implicits._
-    val learned = merges.result().toDF("stage", "pair", "cnt")
-    val fin = pairCounts(reps)
+    val learned = learnedMerges.toDF("stage", "pair", "cnt")
+    val fin = bpeSymPairCounts(stages.last)
       .orderBy(col("cnt").desc, col("pair")).limit(20)
       .select(lit("zfinal").as("stage"), col("pair"), col("cnt"))
     learned.union(fin).orderBy(col("stage"), col("cnt").desc, col("pair"))
   }
-  private val bpeTrainSql = {
+  /** BPE ENCODE / compression audit (tx32; the apply side of tx31's
+    * training — at 100 TB the encode pass is what actually runs over the
+    * corpus): re-derives the same merge chain, then reports the corpus's
+    * total symbol count after each round — round 0 is the raw character
+    * count, each following row carries the merge applied and the symbol
+    * count it left, so the output IS the tokenizer's compression curve.
+    * Every count is a vocabulary-sized aggregate (sum of per-word symbol
+    * count × word frequency — encoding distinct words once and weighting
+    * by frequency is the same vocab trick training uses); the corpus is
+    * scanned once, by the shared persisted rollup.
+    */
+  private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (learnedMerges, stages) = bpeChain(spark, dir, nMerges = 3)
+    val stageDfs = stages.zipWithIndex.map { case (st, i) =>
+      st.agg(coalesce(
+          sum(size(split(trim(col("s")), "  ")).cast("long") * col("freq")),
+          lit(0L)).as("n_symbols"))
+        .select(lit(i).as("round"),
+          lit(if (i == 0) "" else learnedMerges(i - 1)._2).as("pair"),
+          col("n_symbols"))
+    }
+    stageDfs.reduce(_ union _).orderBy(col("round"))
+  }
+
+  private val (bpeTrainSql, bpeEncodeSql) = {
     val pat =
       """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\x0B\f\r ]+|[\t\n\x0B\f\r ]+"""
     // chr(256+byte): GPT-2 byte_encoder for the six whitespace bytes
@@ -2221,33 +2263,48 @@ object TextQueries {
          |    ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
          |    ' ' || replace(pair, ' ', '') || ' ') AS s, freq
          |FROM $src CROSS JOIN $m""".stripMargin
-    s"""WITH pt AS (
-       |  SELECT unnest(regexp_extract_all(text, '$pat')) AS p0 FROM documents),
-       |w AS (
-       |  SELECT translate(p0, $wsFromSql, $wsToSql) AS p, count(*) AS freq
-       |  FROM pt GROUP BY 1),
-       |s0 AS (
-       |  SELECT ' ' || array_to_string(
-       |      list_transform(range(1, length(p) + 1), i -> substring(p, i, 1)),
-       |      '  ') || ' ' AS s, freq
-       |  FROM w WHERE length(p) >= 2),
-       |pc1 AS (${pc("s0")}),
-       |m1 AS (SELECT pair, cnt FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
-       |s1 AS (${merged("s0", "m1")}),
-       |pc2 AS (${pc("s1")}),
-       |m2 AS (SELECT pair, cnt FROM pc2 ORDER BY cnt DESC, pair LIMIT 1),
-       |s2 AS (${merged("s1", "m2")}),
-       |pc3 AS (${pc("s2")}),
-       |m3 AS (SELECT pair, cnt FROM pc3 ORDER BY cnt DESC, pair LIMIT 1),
-       |s3 AS (${merged("s2", "m3")}),
-       |pcf AS (${pc("s3")})
-       |SELECT 'merge1' AS stage, pair, cnt FROM m1
-       |UNION ALL SELECT 'merge2', pair, cnt FROM m2
-       |UNION ALL SELECT 'merge3', pair, cnt FROM m3
-       |UNION ALL SELECT * FROM (
-       |  SELECT 'zfinal' AS stage, pair, cnt FROM pcf
-       |  ORDER BY cnt DESC, pair LIMIT 20)
-       |ORDER BY stage, cnt DESC, pair""".stripMargin
+    // the chain CTEs are shared verbatim by the train (tx31) and encode
+    // (tx32) oracles — one definition, two final selects
+    val ctes =
+      s"""WITH pt AS (
+         |  SELECT unnest(regexp_extract_all(text, '$pat')) AS p0 FROM documents),
+         |w AS (
+         |  SELECT translate(p0, $wsFromSql, $wsToSql) AS p, count(*) AS freq
+         |  FROM pt GROUP BY 1),
+         |s0 AS (
+         |  SELECT ' ' || array_to_string(
+         |      list_transform(range(1, length(p) + 1), i -> substring(p, i, 1)),
+         |      '  ') || ' ' AS s, freq
+         |  FROM w WHERE length(p) >= 2),
+         |pc1 AS (${pc("s0")}),
+         |m1 AS (SELECT pair, cnt FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
+         |s1 AS (${merged("s0", "m1")}),
+         |pc2 AS (${pc("s1")}),
+         |m2 AS (SELECT pair, cnt FROM pc2 ORDER BY cnt DESC, pair LIMIT 1),
+         |s2 AS (${merged("s1", "m2")}),
+         |pc3 AS (${pc("s2")}),
+         |m3 AS (SELECT pair, cnt FROM pc3 ORDER BY cnt DESC, pair LIMIT 1),
+         |s3 AS (${merged("s2", "m3")})""".stripMargin
+    def nsym(src: String): String =
+      s"(SELECT CAST(coalesce(sum(len(string_split(trim(s), '  ')) * freq), 0) AS BIGINT) FROM $src)"
+    val train =
+      s"""$ctes,
+         |pcf AS (${pc("s3")})
+         |SELECT 'merge1' AS stage, pair, cnt FROM m1
+         |UNION ALL SELECT 'merge2', pair, cnt FROM m2
+         |UNION ALL SELECT 'merge3', pair, cnt FROM m3
+         |UNION ALL SELECT * FROM (
+         |  SELECT 'zfinal' AS stage, pair, cnt FROM pcf
+         |  ORDER BY cnt DESC, pair LIMIT 20)
+         |ORDER BY stage, cnt DESC, pair""".stripMargin
+    val encode =
+      s"""$ctes
+         |SELECT 0 AS round, '' AS pair, ${nsym("s0")} AS n_symbols
+         |UNION ALL SELECT 1, (SELECT pair FROM m1), ${nsym("s1")}
+         |UNION ALL SELECT 2, (SELECT pair FROM m2), ${nsym("s2")}
+         |UNION ALL SELECT 3, (SELECT pair FROM m3), ${nsym("s3")}
+         |ORDER BY round""".stripMargin
+    (train, encode)
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -2255,6 +2312,7 @@ object TextQueries {
     "tx29_quality_prune"     -> QueryDef(qualityPrune, Some(qualityPruneSql)),
     "tx30_priority_sample"   -> QueryDef(prioritySample, Some(prioritySampleSql), benchmark = true),
     "tx31_bpe_train"         -> QueryDef(bpeTrain, Some(bpeTrainSql), benchmark = true),
+    "tx32_bpe_encode"        -> QueryDef(bpeEncode, Some(bpeEncodeSql)),
     "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
     "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql), benchmark = true),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),

@@ -28,50 +28,55 @@ class BpeSampleSpec extends SparkSpec {
   private val pairOrd: Ordering[(String, Long)] =
     Ordering.by[(String, Long), Long](_._2).reverse.orElseBy(_._1)(u8)
 
-  test("tx31: three merges + final pair table match a naive greedy BPE recompute") {
-    // pretokenization itself is spec'd elsewhere (tx25) — reuse it, then
-    // hand everything downstream to plain Scala
-    val vocab: Map[Vector[String], Long] = spark.read
-      .parquet(s"$sf0001/documents.parquet")
-      .select(explode(TextFunctions.pretokenize(col("text"))).as("p"))
-      .as[String].collect()
-      .map(p => p.map(c => wsFrom.indexOf(c) match {
-        case -1 => c
-        case i  => wsTo.charAt(i)
-      }))
-      .filter(p => p.codePointCount(0, p.length) >= 2)
-      .map { p =>
-        // symbols = code points (what substring(p, i, 1) yields engine-side)
-        p.codePoints().toArray.toVector
-          .map(cp => new String(Character.toChars(cp)))
-      }
-      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+  /** Naive reference vocabulary: pretokenization itself is spec'd
+    * elsewhere (tx25) — reuse it, then hand everything downstream to
+    * plain Scala. Symbols = code points (what substring(p, i, 1) yields
+    * engine-side).
+    */
+  private def naiveVocab: Map[Vector[String], Long] = spark.read
+    .parquet(s"$sf0001/documents.parquet")
+    .select(explode(TextFunctions.pretokenize(col("text"))).as("p"))
+    .as[String].collect()
+    .map(p => p.map(c => wsFrom.indexOf(c) match {
+      case -1 => c
+      case i  => wsTo.charAt(i)
+    }))
+    .filter(p => p.codePointCount(0, p.length) >= 2)
+    .map(p => p.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp))))
+    .groupBy(identity).view.mapValues(_.length.toLong).toMap
 
-    def pairCounts(ws: Map[Vector[String], Long]): Map[String, Long] =
-      ws.toSeq.flatMap { case (syms, n) =>
-        syms.indices.dropRight(1).map(i => s"${syms(i)} ${syms(i + 1)}" -> n)
-      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+  private def pairCountsOf(ws: Map[Vector[String], Long]): Map[String, Long] =
+    ws.toSeq.flatMap { case (syms, n) =>
+      syms.indices.dropRight(1).map(i => s"${syms(i)} ${syms(i + 1)}" -> n)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
 
-    def mergeGreedy(syms: Vector[String], a: String, b: String): Vector[String] = {
-      val out = Vector.newBuilder[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.result()
+  /** Explicit greedy left-to-right array-walk merge — deliberately NOT
+    * the engine's double-space string-replace trick, so the
+    * representation trick itself is what the tests prove.
+    */
+  private def mergeGreedyWalk(
+      syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
     }
+    out.result()
+  }
 
-    var ws = vocab
+  test("tx31: three merges + final pair table match a naive greedy BPE recompute") {
+    var ws = naiveVocab
     val expected = (1 to 3).map { it =>
-      val (pair, cnt) = pairCounts(ws).toSeq.min(pairOrd)
+      val (pair, cnt) = pairCountsOf(ws).toSeq.min(pairOrd)
       val Array(a, b) = pair.split(" ", 2)
-      ws = ws.toSeq.map { case (s, n) => mergeGreedy(s, a, b) -> n }
+      ws = ws.toSeq.map { case (s, n) => mergeGreedyWalk(s, a, b) -> n }
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       (s"merge$it", pair, cnt)
     }
-    val expectedFinal = pairCounts(ws).toSeq.sorted(pairOrd).take(20)
+    val expectedFinal = pairCountsOf(ws).toSeq.sorted(pairOrd).take(20)
       .map { case (p, c) => ("zfinal", p, c) }
 
     val got = SparkEntry.allDefs("tx31_bpe_train").fn(spark, sf0001)
@@ -80,6 +85,31 @@ class BpeSampleSpec extends SparkSpec {
     assert(got.filter(_._1 == "zfinal")
       .sortBy(t => (t._2, t._3))(Ordering.Tuple2(u8, Ordering.Long))
       === expectedFinal.sortBy(t => (t._2, t._3))(Ordering.Tuple2(u8, Ordering.Long)))
+  }
+
+  test("tx32: the compression curve equals the naive recompute, strictly decreasing") {
+    // independent per-round symbol totals from the same naive chain
+    val vocab0 = naiveVocab
+    def symTotal(ws: Map[Vector[String], Long]): Long =
+      ws.map { case (s, n) => s.length * n }.sum
+    var ws = vocab0
+    val expected = Seq.newBuilder[(Int, String, Long)]
+    expected += ((0, "", symTotal(ws)))
+    (1 to 3).foreach { i =>
+      val (pair, _) = pairCountsOf(ws).toSeq.min(pairOrd)
+      val Array(a, b) = pair.split(" ", 2)
+      ws = ws.toSeq.map { case (s, n) => mergeGreedyWalk(s, a, b) -> n }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      expected += ((i, pair, symTotal(ws)))
+    }
+    val got = SparkEntry.allDefs("tx32_bpe_encode").fn(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got === expected.result())
+    // each merge must strictly shrink the corpus
+    got.sliding(2).foreach { case Seq(p, n) =>
+      assert(n._3 < p._3, s"round ${n._1} did not shrink: ${p._3} -> ${n._3}")
+    }
   }
 
   test("tx30: the sample is exactly the 200 smallest u/w priorities") {

@@ -15,6 +15,21 @@ class EdgeCasesSpec extends SparkSpec {
   private def emptyDocs =
     Seq.empty[(Long, String)].toDF("doc_id", "text")
 
+  test("tx30/tx31 on an empty corpus return empty, not errors") {
+    // an empty crawl batch through the full judged queries: the BPE
+    // loop must stop on its empty top-1 (not throw), the sampler must
+    // return an empty draw
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.allDefs("tx30_priority_sample").fn(spark, dir).count() == 0)
+    assert(SparkEntry.allDefs("tx31_bpe_train").fn(spark, dir).count() == 0)
+    // the compression curve of nothing: exactly the round-0 row, 0 symbols
+    val enc = SparkEntry.allDefs("tx32_bpe_encode").fn(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((0, "", 0L)))
+  }
+
   test("dedup operators on an empty corpus return empty, not errors") {
     assert(Dedup.exact(emptyDocs).count() == 0)
     assert(Dedup.exactByHash(emptyDocs).count() == 0)
