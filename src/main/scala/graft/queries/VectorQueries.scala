@@ -429,7 +429,53 @@ object VectorQueries {
       |  FROM scored) t
       |WHERE rank <= 5 ORDER BY q_doc, rank""".stripMargin
 
+  /** IVF recall audit (ann12) — the evaluation primitive every ANN
+    * deployment runs before trusting an index: recall@k of the IVF
+    * search (ann05's exact configuration) against the brute-force
+    * ground truth, per query. At 100 TB this runs over a sampled query
+    * set while the index serves traffic — here the judged query IS the
+    * audit, so a recall regression in the index machinery flips a
+    * hash gate, not just a dashboard. Integer outputs only (hit counts,
+    * not ratios) keep the gate bit-exact.
+    *
+    * Scale shape: both sides reuse the operators' own plans (queries
+    * broadcast, corpus never shuffles); the audit join moves only
+    * (query_id, neighbor_id) pairs — 10 x 3 rows here, sample-sized
+    * always.
+    */
+  private def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.where(col("vec_id") < 10)
+    val approx = Similarity.ivfTopK(queries, emb, k = 3,
+        nCells = ivfCells, nProbe = 6, trainRounds = ivfRounds)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), lit(3L).as("k"), col("n_hits"))
+      .orderBy(col("query_id"))
+  }
+  private val annIvfRecallSql: String =
+    s"""WITH approx AS (SELECT query_id, neighbor_id FROM ($annIvfSql) a),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 10) t
+       |  WHERE rank <= 3)
+       |SELECT e.query_id, CAST(3 AS BIGINT) AS k,
+       |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ann12_ivf_recall"      -> QueryDef(annIvfRecall, Some(annIvfRecallSql)),
     "ann11_mmr_topk"        -> QueryDef(annMmr, Some(annMmrSql)),
     "ann10_maxsim"          -> QueryDef(annMaxSim, Some(annMaxSimSql)),
     "ann09_radius_search"   -> QueryDef(annRadius, Some(annRadiusSql)),

@@ -413,6 +413,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("st21: the micro-batch plan is map-side priorities + ONE stateful exchange") {
+    // the streaming sampler's real plan lives in the micro-batch
+    // IncrementalExecution, captured by runToMemory
+    SparkEntry.queries("st21_stream_sample")(spark, sf0001).collect()
+    import scala.jdk.CollectionConverters._
+    val plans = graft.streaming.StreamOps.lastStreamingPlans.asScala
+      .filter(_._1.startsWith("graft_stream_sample"))
+    assert(plans.nonEmpty, "no captured micro-batch plan for st21")
+    val p = plans.values.last
+    assert(p.contains("TransformWithState"), p)
+    // exactly one exchange: the stateful operator's required hash
+    // partitioning — priorities are computed map-side over the scan
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("REQUIRED_BY_STATEFUL_OPERATOR"), p)
+  }
+
   test("fan-out pruning: no round-robin exchange feeds a shuffle consumer") {
     // PruneShuffledFanOut must remove the fixture fan-out repartition when
     // the first operation over the scan is itself shuffle-inducing: a
