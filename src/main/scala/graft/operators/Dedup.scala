@@ -353,6 +353,52 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** STREAMING form of [[dedupAgainstIndex]] (st22): the same banded
+    * candidate join and exact-Jaccard verify, restructured so every join
+    * is STREAM-STATIC and therefore stateless. The batch form fetches the
+    * batch token sets with a second join back to the sketched batch —
+    * on a stream that is a stream-stream self-join (watermarked state);
+    * instead the token set travels WITH the exploded bucket entries into
+    * the candidate join. The trade is wider candidate rows (one token-set
+    * array per surviving candidate) for zero streaming state — the right
+    * side of the trade for an always-on dedup gate, and the index side
+    * still never re-tokenizes or shuffles (bucketed on its join keys).
+    */
+  def dedupAgainstIndexStreaming(
+      batch: DataFrame,
+      indexBuckets: DataFrame,
+      indexDocs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sketched = batch
+      .select(col(idCol).as("batch_id"),
+        HashExprs.minhashBuckets(
+          array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
+          bands, rowsPerBand).as("qbk"),
+        tokenHashSet(col(textCol)).as("qtoks"))
+    val b = sketched
+      .select(col("batch_id"), col("qbk"), col("qtoks"),
+        posexplode_outer(col("qbk")))
+      .withColumnRenamed("pos", "qband")
+      .withColumnRenamed("col", "qbucket")
+    b.join(indexBuckets, col("qbucket") === col("bucket"))
+      .where(HashExprs.firstEqIndex(col("qbk"), col("bk")) === col("qband"))
+      .select(col("batch_id"), col("qtoks"), col("doc_id").as("corpus_id"))
+      .join(indexDocs.select(col("doc_id").as("corpus_id"),
+        col("n_tok").as("nb"), col("toks")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        HashExprs.sortedIntersectSize(col("qtoks"), col("toks")).as("n_common"),
+        size(col("qtoks")).as("na"), col("nb"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** 64-bit SimHash from per-token FNV-1a (code points): bit b of the
     * fingerprint is the sign of Σ_tokens (±1 by token-hash bit b). One
     * native codegen'd loop per row ([[graft.functions.SimHash64]]). FNV is

@@ -829,7 +829,32 @@ object StreamQueries {
     }
   }
 
+  /** STREAMING incremental near-dedup against the dd09 persisted LSH
+    * index (the streaming form of dd10, SAME ORACLE TEXT): the arriving
+    * batch streams through sketch → banded candidate join → exact-Jaccard
+    * verify with every join STREAM-STATIC and therefore stateless
+    * ([[graft.operators.Dedup.dedupAgainstIndexStreaming]] — the token
+    * set rides the candidate join instead of a stream-stream re-join).
+    * The always-on contamination/dup gate a training-data intake runs:
+    * the index is built once, every arriving document is checked with
+    * zero streaming state and no corpus re-tokenization.
+    */
+  private def streamIndexDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val (buckets, docsT) =
+      TextQueries.dd09EnsureIndex(spark, dir, force = false)
+    val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
+      .where(col("doc_id") >= 400)
+    val matches = graft.operators.Dedup.dedupAgainstIndexStreaming(
+      src, spark.table(buckets), spark.table(docsT), threshold = 0.8)
+    StreamOps.runToMemory(spark, matches,
+        s"graft_stream_idx_dedup_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "st22_stream_index_dedup" -> QueryDef(streamIndexDedup, Some(TextQueries.dedupIncrementalSql)),
     "st21_stream_sample"     -> QueryDef(streamSample, Some(TextQueries.prioritySampleSql), benchmark = true),
     "st20_stream_ewma"       -> QueryDef(streamEwma, Some(streamEwmaSql), benchmark = true),
     "st18_state_reader"      -> QueryDef(stateReader, Some(stateReaderSql)),

@@ -391,7 +391,7 @@ object TextQueries {
     * that matters: the build shuffle is paid once and amortized over every
     * subsequent batch.
     */
-  private def dd09EnsureIndex(spark: SparkSession, dir: String, force: Boolean): (String, String) = {
+  private[queries] def dd09EnsureIndex(spark: SparkSession, dir: String, force: Boolean): (String, String) = {
     val (table, path) = dd09Tables(dir)
     if (force || !spark.catalog.tableExists(s"${table}_docs") ||
         !spark.catalog.tableExists(s"${table}_buckets")) {
@@ -420,7 +420,7 @@ object TextQueries {
     */
   private def dedupIncrementalLookup(spark: SparkSession, dir: String): DataFrame =
     dd09Lookup(spark, dir, force = false)
-  private val dedupIncrementalSql =
+  private[queries] val dedupIncrementalSql =
     """WITH tok AS (
       |  SELECT doc_id, tok FROM (
       |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
