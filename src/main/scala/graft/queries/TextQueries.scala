@@ -1868,7 +1868,8 @@ object TextQueries {
     * run — the measured number is the cold cost a fresh query pays.
     */
   def releaseCaches(): Unit =
-    Seq(lastBigramCache, lastDsirCache, lastBpeCache).foreach { slot =>
+    Seq(lastBigramCache, lastDsirCache, lastBpeCache, lastCcnetCache)
+      .foreach { slot =>
       val prev = slot.getAndSet(null)
       if (prev != null) prev.unpersist(blocking = false)
     }
@@ -2307,12 +2308,123 @@ object TextQueries {
     (train, encode)
   }
 
+  /** The swap-tracked bigram cache for [[ccnetBuckets]]. */
+  private val lastCcnetCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** CCNet perplexity bucketing (Wenzek et al. 2020 — the deployment
+    * shape tx27's in-domain scorer stops short of): train the add-one
+    * bigram LM on a CLEAN REFERENCE subset only (lang = 'en', standing
+    * in for CCNet's Wikipedia), score EVERY document against it —
+    * cross-domain, so unseen bigrams take the smoothed floor
+    * S/(c1+V) (seen context) or S/V (unseen context) instead of
+    * silently dropping — and split the corpus into head/middle/tail
+    * perplexity terciles, the buckets CCNet publishes and mixture
+    * builders consume.
+    *
+    * The tercile assignment is EXACT and scale-correct without a global
+    * sort (the q56 histogram-crossing move): scores are 2²⁰-tick
+    * fixed-point integers, so the rank of a doc is cum(count of higher
+    * scores) — a domain-bounded rollup (≤ |distinct scores| rows ever
+    * sort) — plus its row_number among equal scores (windows partitioned
+    * BY score, parallel). bucket = (rank−1)·3 div N. Integer-only end to
+    * end; ties broken by doc_id, so the gate is bit-exact.
+    */
+  private def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fpScale = 1L << 20
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        filter(TextFunctions.tokenize(lower(col("text"))),
+          t => length(t) > 0).as("ts"))
+    // one corpus explode feeds the ref-side count tables AND the
+    // all-docs scoring join (the tx27/tx28 persist convention)
+    val docBg = persistSwap(lastCcnetCache,
+      toks.where(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bg")))
+    val c2 = docBg.where(col("lang") === "en")
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val v = c2.select(countDistinct(substring_index(col("bg"), " ", -1)).as("v"))
+    val probs = c2.crossJoin(broadcast(v))
+      .join(c1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("bg"), expr(s"((c2 + 1) * $fpScale) div (c1 + v)").as("p_fp"))
+    val scored = docBg
+      .join(probs, Seq("bg"), "left")
+      .join(c1.select(col("w1"), col("c1").as("c1w")),
+        substring_index(col("bg"), " ", 1) === col("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("p_fp"),
+          expr(s"$fpScale div (coalesce(c1w, 0L) + v)")).as("p"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("nb"), sum(col("p")).as("sum_fp"))
+      .select(col("doc_id"), col("lang"), expr("sum_fp div nb").as("mean_fp"))
+    val n = scored.select(count(lit(1)).as("n"))
+    val cum = scored.groupBy(col("mean_fp")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("mean_fp").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    scored
+      .join(cum.select(col("mean_fp"), col("cum_before")), "mean_fp")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("mean_fp")).orderBy(col("doc_id"))))
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("mean_fp"),
+        expr("((cum_before + rn - 1) * 3) div n").as("bucket"))
+      .groupBy(col("bucket"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("mean_fp")).as("min_fp"), max(col("mean_fp")).as("max_fp"))
+      .orderBy(col("bucket"), col("lang"))
+  }
+  private val ccnetBucketsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+'),
+      |                t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |bgs AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, len(ts)),
+      |                          i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      |  FROM tok WHERE len(ts) >= 2),
+      |c2 AS (SELECT bg, count(*) AS c2 FROM bgs WHERE lang = 'en' GROUP BY bg),
+      |c1 AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM c2),
+      |probs AS (
+      |  SELECT bg, ((c2 + 1) * 1048576) // (c1 + v) AS p_fp
+      |  FROM c2 CROSS JOIN v JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+      |sb AS (
+      |  SELECT b.doc_id, b.lang,
+      |    coalesce(p.p_fp,
+      |             1048576 // (coalesce(c.c1, 0) + (SELECT v FROM v))) AS p
+      |  FROM bgs b
+      |  LEFT JOIN probs p ON b.bg = p.bg
+      |  LEFT JOIN c1 c ON split_part(b.bg, ' ', 1) = c.w1),
+      |scored AS (
+      |  SELECT doc_id, lang, CAST(sum(p) AS BIGINT) // count(*) AS mean_fp
+      |  FROM sb GROUP BY doc_id, lang),
+      |ranked AS (
+      |  SELECT lang, mean_fp,
+      |    ((row_number() OVER (ORDER BY mean_fp DESC, doc_id) - 1) * 3)
+      |      // (SELECT count(*) FROM scored) AS bucket
+      |  FROM scored)
+      |SELECT bucket, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(mean_fp) AS min_fp, max(mean_fp) AS max_fp
+      |FROM ranked GROUP BY 1, 2 ORDER BY bucket, lang""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "tx28_dsir_select"       -> QueryDef(dsirSelect, Some(dsirSelectSql), benchmark = true),
     "tx29_quality_prune"     -> QueryDef(qualityPrune, Some(qualityPruneSql)),
     "tx30_priority_sample"   -> QueryDef(prioritySample, Some(prioritySampleSql), benchmark = true),
     "tx31_bpe_train"         -> QueryDef(bpeTrain, Some(bpeTrainSql), benchmark = true),
     "tx32_bpe_encode"        -> QueryDef(bpeEncode, Some(bpeEncodeSql)),
+    "tx33_ccnet_buckets"     -> QueryDef(ccnetBuckets, Some(ccnetBucketsSql)),
     "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
     "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql), benchmark = true),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),
