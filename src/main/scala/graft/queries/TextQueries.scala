@@ -2418,6 +2418,71 @@ object TextQueries {
       |  min(mean_fp) AS min_fp, max(mean_fp) AS max_fp
       |FROM ranked GROUP BY 1, 2 ORDER BY bucket, lang""".stripMargin
 
+  /** Leakage-safe train/val split (tx34) — the split bug real pipelines
+    * ship: hashing DOCUMENTS into splits puts near-duplicates on both
+    * sides and the val set silently scores memorization. The fix is to
+    * split by NEAR-DUP CLUSTER: every document inherits its cluster
+    * representative's deterministic draw (fnv64 of the cluster id,
+    * 90/10), so a near-dup pair cannot straddle train/val BY
+    * CONSTRUCTION — the spec pins it on the pair graph directly.
+    * Composes the judged parts: exact-Jaccard pairs (dd02) → connected
+    * components (dd07) → the tx22-style deterministic assignment, with
+    * the output the per-split accounting a dataset card reports.
+    *
+    * Scale shape: everything is the dd07 star-contraction machinery plus
+    * one map-side hash over the label table; the rollup moves two rows.
+    */
+  private def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val clusters = Dedup.dupClusters(
+      Dedup.jaccardPairs(docs, threshold = 0.8, maxDf = 400L),
+      docs, pairsDistinct = true)
+    clusters
+      .select(col("doc_id"), col("cluster_id"),
+        when(pmod(graft.functions.HashExprs.fnv64(
+            concat(lit("split#"), col("cluster_id").cast("string"))),
+          lit(10L)) < 9, "train").otherwise("val").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+  private val leakageSafeSplitSql = {
+    val fnvFold = fnvFoldSql("'split#' || CAST(cluster_id AS VARCHAR)")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')) AS tok
+       |    FROM documents) t WHERE length(tok) > 0),
+       |capped AS (
+       |  SELECT doc_id, tok FROM tok
+       |  WHERE tok IN (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 400)),
+       |sizes AS (SELECT doc_id, count(*) AS n_tok FROM capped GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |    FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) p
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8),
+       |bidir AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT b.dst, reach.r FROM reach JOIN bidir b ON b.src = reach.id),
+       |clusters AS (
+       |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |assigned AS (
+       |  SELECT doc_id, cluster_id,
+       |    CASE WHEN ((($fnvSignSql) % 10) + 10) % 10 < 9
+       |         THEN 'train' ELSE 'val' END AS split
+       |  FROM (SELECT doc_id, cluster_id, $fnvFold AS h FROM clusters) f)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+       |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "tx28_dsir_select"       -> QueryDef(dsirSelect, Some(dsirSelectSql), benchmark = true),
     "tx29_quality_prune"     -> QueryDef(qualityPrune, Some(qualityPruneSql)),
@@ -2425,6 +2490,7 @@ object TextQueries {
     "tx31_bpe_train"         -> QueryDef(bpeTrain, Some(bpeTrainSql), benchmark = true),
     "tx32_bpe_encode"        -> QueryDef(bpeEncode, Some(bpeEncodeSql)),
     "tx33_ccnet_buckets"     -> QueryDef(ccnetBuckets, Some(ccnetBucketsSql)),
+    "tx34_leakage_safe_split" -> QueryDef(leakageSafeSplit, Some(leakageSafeSplitSql)),
     "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
     "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql), benchmark = true),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),

@@ -127,6 +127,28 @@ class BpeSampleSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("tx34: no near-dup pair straddles train/val") {
+    // the property the operator exists for, pinned on the PAIR GRAPH
+    // directly (not via the cluster labels it is built from)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val clusters = graft.operators.Dedup.dupClusters(
+      graft.operators.Dedup.jaccardPairs(docs, threshold = 0.8, maxDf = 400L),
+      docs, pairsDistinct = true)
+    val split = clusters.select(col("doc_id"),
+      when(pmod(graft.functions.HashExprs.fnv64(
+          concat(lit("split#"), col("cluster_id").cast("string"))),
+        lit(10L)) < 9, "train").otherwise("val").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.operators.Dedup.jaccardPairs(docs, threshold = 0.8, maxDf = 400L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a, $b) straddles: ${split(a)} vs ${split(b)}")
+    }
+    // and both splits are actually populated
+    assert(split.values.toSet == Set("train", "val"))
+  }
+
   test("tx30: heavier documents are sampled preferentially") {
     // inclusion probability must rise with weight: the sampled docs'
     // mean length should exceed the corpus mean by a wide margin
