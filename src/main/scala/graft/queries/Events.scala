@@ -1368,8 +1368,85 @@ object Events {
       |WHERE event_type = 'error' AND pa IS NOT NULL AND na IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  /** Time-weighted average value per (event_type, hour) — TWAP, the
+    * piecewise-constant integral the OHLC (ev23) / gap-fill (ev10) /
+    * interpolation (ev34) family was missing: each event's value is HELD
+    * over [t, next event's t) within its own (user, type) series (the
+    * per-user state-timeline semantics), the held interval is split at
+    * hour boundaries, and each hour's TWAP is Σ value·dur / Σ dur across
+    * all users' pieces — "what was the average held value this hour",
+    * robust to irregular event spacing where a plain AVG over-weights
+    * bursts.
+    *
+    * Determinism: durations are exact epoch-µs BIGINTs, values become
+    * integer CENTS (round(value·100) — exact for the 2-decimal domain;
+    * both engines compute the identical double product and round), the
+    * integral accumulates as BIGINT cents·µs (order-free), and the
+    * reported TWAP is the integral's INTEGER division by the covered
+    * duration — cents precision, bit-exact, no decimal→double rounding
+    * anywhere (a DECIMAL(38) integral cast to DOUBLE diverged between
+    * engines by 1 ulp once sums crossed 2⁵³ — the first formulation's
+    * measured failure at sf0.1). Headroom: cents·µs·rows stays far
+    * inside BIGINT for any realistic hour (≈10¹⁷ at sf1); an engine
+    * pushing that bound accumulates in DECIMAL(38,0) instead. Scale shape:
+    * the only exchange is the (user, type) window partition — series
+    * cardinality = users × types, so parallelism grows with the data
+    * (a 5-series key would serialize; the per-user timeline is both the
+    * right semantics and the right partitioning); hour pieces explode at
+    * most (hours spanned) rows per event, bounded by the fixture's
+    * 30-day span; the rollup is map-side combinable.
+    */
+  private def twap(spark: SparkSession, dir: String): DataFrame = {
+    val H = 3600000000L
+    val ev = Tables(spark, dir).events
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t"), col("value"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t"), col("event_id"))
+    ev.withColumn("nxt", lead(col("t"), 1).over(w))
+      .where(col("nxt").isNotNull && col("nxt") > col("t"))
+      .select(col("event_type"), col("value"), col("t"), col("nxt"),
+        explode(expr(s"sequence(t div ${H}L, (nxt - 1) div ${H}L)")).as("h"))
+      .select(col("event_type"), col("value"), col("h"),
+        (least(col("nxt"), (col("h") + 1) * H) -
+          greatest(col("t"), col("h") * H)).as("dur"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(round(col("value") * 100).cast("long") * col("dur")).as("w_sum"),
+        sum(col("dur")).as("dur_us"))
+      .select(col("event_type"),
+        timestamp_micros(col("h") * H).as("hour_start"),
+        col("dur_us"),
+        expr("w_sum div dur_us").as("twap_cents"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+  private val twapSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t, value
+      |  FROM events WHERE value IS NOT NULL),
+      |held AS (
+      |  SELECT event_type, value, t,
+      |    lead(t) OVER (PARTITION BY user_id, event_type
+      |                  ORDER BY t, event_id) AS nxt
+      |  FROM ev),
+      |pieces AS (
+      |  SELECT event_type, value, t, nxt,
+      |    unnest(generate_series(t // 3600000000, (nxt - 1) // 3600000000)) AS h
+      |  FROM held WHERE nxt IS NOT NULL AND nxt > t),
+      |durs AS (
+      |  SELECT event_type, h, value,
+      |    least(nxt, (h + 1) * 3600000000) - greatest(t, h * 3600000000) AS dur
+      |  FROM pieces)
+      |SELECT event_type, make_timestamp(h * 3600000000) AS hour_start,
+      |  CAST(sum(dur) AS BIGINT) AS dur_us,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT) * dur) AS BIGINT)
+      |    // CAST(sum(dur) AS BIGINT) AS twap_cents
+      |FROM durs GROUP BY event_type, h
+      |ORDER BY event_type, hour_start""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ev34_linear_interp"   -> QueryDef(linearInterp, Some(linearInterpSql), benchmark = true),
+    "ev35_twap"            -> QueryDef(twap, Some(twapSql)),
     "ev32_ewma_smooth"     -> QueryDef(ewmaSmooth, Some(ewmaSmoothSql)),
     "ev33_mad_outliers"    -> QueryDef(madOutliers, Some(madOutliersSql)),
     "ev20_merge_upsert"    -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
