@@ -25,6 +25,39 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** k-core: the maximal subgraph where every node keeps degree ≥ k,
+    * found by the standard peeling fixed point — drop under-degree
+    * nodes, recompute degrees among survivors, repeat. `rounds` is a
+    * FIXED count (both the engine and the oracle run exactly this many
+    * peels, so the gate is deterministic whether or not the graph has
+    * converged; GraphSpec asserts the fixture converges well inside it).
+    * Returns (node, core_degree) over the surviving subgraph.
+    *
+    * Scale shape per round: one map-side-combinable degree aggregate and
+    * one edge⋈survivor semi-join pair; the edge set only ever SHRINKS,
+    * and each round's result is lineage-cut ([[Dedup.ckpt]]) so the plan
+    * stays round-sized instead of growing a join tower. Peeling rounds
+    * needed in practice ≈ core diameter, not n.
+    */
+  def kCore(
+      spark: SparkSession,
+      edges: DataFrame, // bidirectional (src, dst), Long
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var e = Dedup.ckpt(edges.select(col("src"), col("dst")))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("node"))
+      e = Dedup.ckpt(e
+        .join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst")))
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("node"), col("core_degree"))
+  }
+
   /** PageRank over a directed edge list `(src, dst)` for a fixed number of
     * iterations. Every node appearing as a src or dst gets a rank; dangling
     * nodes (no out-edges) leak their mass — the convention of the original

@@ -1444,9 +1444,47 @@ object Events {
       |FROM durs GROUP BY event_type, h
       |ORDER BY event_type, hour_start""".stripMargin
 
+  /** 3-core of the co-purchase graph ([[Graph.kCore]], 8 fixed peeling
+    * rounds — GraphSpec asserts the fixture converges well inside 8, so
+    * the judged rows ARE the true core): the standard "dense cohesion"
+    * graph analytic completing the family (gr01 rank, gr02 triangles,
+    * gr03 distance, gr04 recursion, gr05 components). The oracle unrolls
+    * the same 8 peels as CTE rounds; both sides run the identical count,
+    * so the gate is deterministic by construction.
+    */
+  private def kCoreQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.kCore(spark, edges, k = 3, rounds = 8)
+      .orderBy(col("node"))
+  }
+  private val kCoreSql = {
+    // MATERIALIZED: each round references its predecessor three times —
+    // inlined CTEs would re-expand the tower into 3^8 base-table scans
+    def round(i: Int): String =
+      s"""k$i AS MATERIALIZED (
+         |  SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= 3),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)""".stripMargin
+    val rounds = (1 to 8).map(round).mkString(",\n")
+    s"""WITH p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
+       |             user_id AS u
+       |           FROM events WHERE event_type = 'purchase'),
+       |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
+       |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u),
+       |e0 AS MATERIALIZED (
+       |  SELECT src, dst FROM pairs
+       |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+       |$rounds
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM e8 GROUP BY src ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ev34_linear_interp"   -> QueryDef(linearInterp, Some(linearInterpSql), benchmark = true),
     "ev35_twap"            -> QueryDef(twap, Some(twapSql)),
+    "gr06_kcore"           -> QueryDef(kCoreQ, Some(kCoreSql)),
     "ev32_ewma_smooth"     -> QueryDef(ewmaSmooth, Some(ewmaSmoothSql)),
     "ev33_mad_outliers"    -> QueryDef(madOutliers, Some(madOutliersSql)),
     "ev20_merge_upsert"    -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
