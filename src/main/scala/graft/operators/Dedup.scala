@@ -639,7 +639,7 @@ object Dedup {
     ckptPinIdx += 1
   }
 
-  private[graft] def ckpt(df: DataFrame): DataFrame = {
+  private[graft] def ckpt(df: DataFrame, eager: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpoint.dir") match {
       case Some(dir) =>
@@ -649,12 +649,15 @@ object Dedup {
         if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint()
-      // lazy: the caller's next action (the per-round stats aggregate)
-      // both computes the round and caches its blocks — one job instead of
-      // a materialize-then-aggregate pair per round
+      // lazy by default: callers with a per-round ACTION (dd07's stats
+      // aggregate) get compute+cache in one job. Loops with NO per-round
+      // action (kCore) must pass eager = true — a final single action
+      // over a tower of LAZY local checkpoints evaluates each round's
+      // broadcast-build against the still-unmaterialized predecessor
+      // chain (measured: gr06 at sf1 took 48 s lazy vs ~15 s eager).
       case None =>
         pinPlan(df.queryExecution.executedPlan)
-        df.localCheckpoint(eager = false)
+        df.localCheckpoint(eager = eager)
     }
   }
 

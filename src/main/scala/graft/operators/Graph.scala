@@ -39,20 +39,76 @@ object Graph {
     * stays round-sized instead of growing a join tower. Peeling rounds
     * needed in practice ≈ core diameter, not n.
     */
+  /** Release hook for the previous [[kCore]] invocation's final edge
+    * snapshot (swap-run on the next call, and by [[releaseCaches]]
+    * between bench runs).
+    */
+  private val lastKcoreRelease =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
+
+  /** Drop every cache [[kCore]] left resident (the final round's edge
+    * snapshot). [[graft.Bench]] calls this between timed runs.
+    */
+  def releaseCaches(): Unit = {
+    val prev = lastKcoreRelease.getAndSet(null)
+    if (prev != null) prev()
+  }
+
+  /** Eager local checkpoint + a handle that unpersists its cached RDD.
+    * localCheckpoint is the only snapshot that TRUNCATES the logical plan
+    * (a persist-based round keeps the full tower in the analyzed plan and
+    * ANALYSIS itself goes exponential — measured as a >10 min hang at
+    * sf1); but its cached blocks have no DataFrame-level release, so the
+    * underlying RDD is captured for explicit unpersist once the next
+    * round lands.
+    */
+  private def snapshot(df: DataFrame): (DataFrame, () => Unit) = {
+    val d = df.localCheckpoint(eager = true)
+    val rdds = d.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    (d, () => rdds.foreach(_.unpersist(false)))
+  }
+
   def kCore(
       spark: SparkSession,
       edges: DataFrame, // bidirectional (src, dst), Long
       k: Int,
       rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
-    var e = Dedup.ckpt(edges.select(col("src"), col("dst")))
-    for (_ <- 1 to rounds) {
+    // per-round EAGER localCheckpoint + CHAINED release: the checkpoint
+    // truncates each round's logical plan (uncut, each round references
+    // its predecessor twice and both analysis and evaluation go
+    // exponential — measured: >560 s evaluation timeout lazily-cut and a
+    // >10 min ANALYSIS hang with persist-only rounds), and the explicit
+    // RDD release keeps at most TWO edge snapshots resident (lazy
+    // checkpoints accumulated all `rounds` snapshots across bench runs
+    // and degraded 12 s -> 52 s by run 3 under storage churn).
+    var (e, release) = snapshot(edges.select(col("src"), col("dst")))
+    for (i <- 1 to rounds) {
+      // keep is node-bounded (one row per surviving node) — broadcast it
+      // so BOTH survivor filters are map-side and the edge set never
+      // crosses an exchange inside a round; both filters reference the
+      // IDENTICAL broadcast subplan so it builds once per round
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("src").as("node"))
-      e = Dedup.ckpt(e
-        .join(keep.select(col("node").as("src")), "src")
-        .join(keep.select(col("node").as("dst")), "dst")
-        .select(col("src"), col("dst")))
+      val kb = broadcast(keep)
+      val filtered = e
+        .join(kb, col("src") === col("node")).drop("node")
+        .join(kb, col("dst") === col("node")).drop("node")
+        .select(col("src"), col("dst"))
+      if (i < rounds) {
+        val (next, nextRelease) = snapshot(filtered)
+        release()
+        e = next; release = nextRelease
+      } else {
+        // final round stays lazy over the last snapshot; hand its
+        // release to the swap slot so the NEXT invocation (or the bench
+        // harness) frees it
+        val prev = lastKcoreRelease.getAndSet(release)
+        if (prev != null) prev()
+        e = filtered
+      }
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("node"), col("core_degree"))

@@ -1483,8 +1483,8 @@ object Events {
 
   val defs: Map[String, QueryDef] = Map(
     "ev34_linear_interp"   -> QueryDef(linearInterp, Some(linearInterpSql), benchmark = true),
-    "ev35_twap"            -> QueryDef(twap, Some(twapSql)),
-    "gr06_kcore"           -> QueryDef(kCoreQ, Some(kCoreSql)),
+    "ev35_twap"            -> QueryDef(twap, Some(twapSql), benchmark = true),
+    "gr06_kcore"           -> QueryDef(kCoreQ, Some(kCoreSql), benchmark = true),
     "ev32_ewma_smooth"     -> QueryDef(ewmaSmooth, Some(ewmaSmoothSql)),
     "ev33_mad_outliers"    -> QueryDef(madOutliers, Some(madOutliersSql)),
     "ev20_merge_upsert"    -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
