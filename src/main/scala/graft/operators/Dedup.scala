@@ -317,30 +317,26 @@ object Dedup {
     * map-side). Only ids and bucket arrays cross the candidate join; token
     * sets move once per deduplicated candidate.
     */
-  def dedupAgainstIndex(
-      batch: DataFrame,
-      indexBuckets: DataFrame,
-      indexDocs: DataFrame,
-      threshold: Double,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
-    val sketched = batch
-      .select(col(idCol).as("batch_id"),
-        HashExprs.minhashBuckets(
-          array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
-          bands, rowsPerBand).as("qbk"),
-        tokenHashSet(col(textCol)).as("qtoks"))
-    val b = sketched
-      .select(col("batch_id"), col("qbk"), posexplode_outer(col("qbk")))
-      .withColumnRenamed("pos", "qband")
-      .withColumnRenamed("col", "qbucket")
-    val candidates = b.join(indexBuckets, col("qbucket") === col("bucket"))
-      .where(HashExprs.firstEqIndex(col("qbk"), col("bk")) === col("qband"))
-      .select(col("batch_id"), col("doc_id").as("corpus_id"))
-    candidates
-      .join(sketched.select(col("batch_id"), col("qtoks")), "batch_id")
+  /** The batch side's sketch projection, shared by both index-lookup
+    * forms: (batch_id, LSH bucket array, verification token set).
+    */
+  private def sketchBatch(
+      batch: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    batch.select(col(idCol).as("batch_id"),
+      HashExprs.minhashBuckets(
+        array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
+        bands, rowsPerBand).as("qbk"),
+      tokenHashSet(col(textCol)).as("qtoks"))
+
+  /** The exact-Jaccard verify tail, shared by both index-lookup forms:
+    * candidates arrive as (batch_id, qtoks, corpus_id), corpus token
+    * sets come from the stored `_docs` table, and pairs ≥ threshold
+    * survive as (batch_id, corpus_id, jaccard).
+    */
+  private def verifyExactJaccard(
+      cands: DataFrame, indexDocs: DataFrame, threshold: Double): DataFrame =
+    cands
       .join(indexDocs.select(col("doc_id").as("corpus_id"),
         col("n_tok").as("nb"), col("toks")), "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
@@ -351,6 +347,27 @@ object Dedup {
           (col("na") + col("nb") - col("n_common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+
+  def dedupAgainstIndex(
+      batch: DataFrame,
+      indexBuckets: DataFrame,
+      indexDocs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sketched = sketchBatch(batch, idCol, textCol, bands, rowsPerBand)
+    val b = sketched
+      .select(col("batch_id"), col("qbk"), posexplode_outer(col("qbk")))
+      .withColumnRenamed("pos", "qband")
+      .withColumnRenamed("col", "qbucket")
+    val candidates = b.join(indexBuckets, col("qbucket") === col("bucket"))
+      .where(HashExprs.firstEqIndex(col("qbk"), col("bk")) === col("qband"))
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
+    verifyExactJaccard(
+      candidates.join(sketched.select(col("batch_id"), col("qtoks")), "batch_id"),
+      indexDocs, threshold)
   }
 
   /** STREAMING form of [[dedupAgainstIndex]] (st22): the same banded
@@ -373,30 +390,15 @@ object Dedup {
       textCol: String = "text",
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val sketched = batch
-      .select(col(idCol).as("batch_id"),
-        HashExprs.minhashBuckets(
-          array_distinct(TextFunctions.tokenize(lower(col(textCol)))),
-          bands, rowsPerBand).as("qbk"),
-        tokenHashSet(col(textCol)).as("qtoks"))
-    val b = sketched
+    val b = sketchBatch(batch, idCol, textCol, bands, rowsPerBand)
       .select(col("batch_id"), col("qbk"), col("qtoks"),
         posexplode_outer(col("qbk")))
       .withColumnRenamed("pos", "qband")
       .withColumnRenamed("col", "qbucket")
-    b.join(indexBuckets, col("qbucket") === col("bucket"))
+    val candidates = b.join(indexBuckets, col("qbucket") === col("bucket"))
       .where(HashExprs.firstEqIndex(col("qbk"), col("bk")) === col("qband"))
       .select(col("batch_id"), col("qtoks"), col("doc_id").as("corpus_id"))
-      .join(indexDocs.select(col("doc_id").as("corpus_id"),
-        col("n_tok").as("nb"), col("toks")), "corpus_id")
-      .select(col("batch_id"), col("corpus_id"),
-        HashExprs.sortedIntersectSize(col("qtoks"), col("toks")).as("n_common"),
-        size(col("qtoks")).as("na"), col("nb"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("na") + col("nb") - col("n_common")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+    verifyExactJaccard(candidates, indexDocs, threshold)
   }
 
   /** 64-bit SimHash from per-token FNV-1a (code points): bit b of the
@@ -639,7 +641,7 @@ object Dedup {
     ckptPinIdx += 1
   }
 
-  private[graft] def ckpt(df: DataFrame, eager: Boolean = false): DataFrame = {
+  private[graft] def ckpt(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpoint.dir") match {
       case Some(dir) =>
@@ -649,15 +651,14 @@ object Dedup {
         if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
           spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint()
-      // lazy by default: callers with a per-round ACTION (dd07's stats
-      // aggregate) get compute+cache in one job. Loops with NO per-round
-      // action (kCore) must pass eager = true — a final single action
-      // over a tower of LAZY local checkpoints evaluates each round's
-      // broadcast-build against the still-unmaterialized predecessor
-      // chain (measured: gr06 at sf1 took 48 s lazy vs ~15 s eager).
+      // lazy: the caller's next action (the per-round stats aggregate)
+      // both computes the round and caches its blocks — one job instead of
+      // a materialize-then-aggregate pair per round. Loops with NO
+      // per-round action need eager snapshots AND explicit block release —
+      // that shape lives in Graph.kCore's `snapshot` helper, not here.
       case None =>
         pinPlan(df.queryExecution.executedPlan)
-        df.localCheckpoint(eager = eager)
+        df.localCheckpoint(eager = false)
     }
   }
 

@@ -1868,7 +1868,8 @@ object TextQueries {
     * run — the measured number is the cold cost a fresh query pays.
     */
   def releaseCaches(): Unit =
-    Seq(lastBigramCache, lastDsirCache, lastBpeCache, lastCcnetCache)
+    Seq(lastBigramCache, lastDsirCache, lastBpeCache, lastCcnetCache,
+        lastCcnetScoredCache)
       .foreach { slot =>
       val prev = slot.getAndSet(null)
       if (prev != null) prev.unpersist(blocking = false)
@@ -2298,18 +2299,33 @@ object TextQueries {
          |  SELECT 'zfinal' AS stage, pair, cnt FROM pcf
          |  ORDER BY cnt DESC, pair LIMIT 20)
          |ORDER BY stage, cnt DESC, pair""".stripMargin
+    // rounds 1..3 are emitted ONLY when that round's merge exists —
+    // the engine stops at pair exhaustion and emits realized rounds
+    // (review finding: an unconditional UNION reported a bogus 0-symbol
+    // round 3 — and 4 rows vs the engine's 1 — on corpora that exhaust
+    // early, e.g. a corpus whose only repeated pretoken is 'ab')
     val encode =
       s"""$ctes
          |SELECT 0 AS round, '' AS pair, ${nsym("s0")} AS n_symbols
          |UNION ALL SELECT 1, (SELECT pair FROM m1), ${nsym("s1")}
+         |  WHERE EXISTS (SELECT 1 FROM m1)
          |UNION ALL SELECT 2, (SELECT pair FROM m2), ${nsym("s2")}
+         |  WHERE EXISTS (SELECT 1 FROM m2)
          |UNION ALL SELECT 3, (SELECT pair FROM m3), ${nsym("s3")}
+         |  WHERE EXISTS (SELECT 1 FROM m3)
          |ORDER BY round""".stripMargin
     (train, encode)
   }
 
   /** The swap-tracked bigram cache for [[ccnetBuckets]]. */
   private val lastCcnetCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  /** The swap-tracked per-doc score cache for [[ccnetBuckets]] — `scored`
+    * feeds the histogram AND the rank join, and its input is the
+    * corpus-bigram-scale scoring join (review finding: un-persisted it
+    * evaluated three times per query).
+    */
+  private val lastCcnetScoredCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** CCNet perplexity bucketing (Wenzek et al. 2020 — the deployment
@@ -2363,12 +2379,15 @@ object TextQueries {
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("nb"), sum(col("p")).as("sum_fp"))
       .select(col("doc_id"), col("lang"), expr("sum_fp div nb").as("mean_fp"))
-    val n = scored.select(count(lit(1)).as("n"))
-    val cum = scored.groupBy(col("mean_fp")).agg(count(lit(1)).as("cnt"))
+    val scoredC = persistSwap(lastCcnetScoredCache, scored)
+    val cum = scoredC.groupBy(col("mean_fp")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum_before",
         coalesce(sum(col("cnt")).over(Window.orderBy(col("mean_fp").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    scored
+    // N derives from the (domain-bounded) histogram for free — no third
+    // pass over the scoring join
+    val n = cum.select(sum(col("cnt")).as("n"))
+    scoredC
       .join(cum.select(col("mean_fp"), col("cum_before")), "mean_fp")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("mean_fp")).orderBy(col("doc_id"))))

@@ -35,27 +35,19 @@ class GraphSpec extends SparkSpec {
   }
 
   test("kCore: peeling cascades, and the fixture converges inside the 8 rounds") {
-    // 4-clique (nodes 1-4) + a pendant chain 5-6 hanging off node 1:
-    // round 1 drops 6 (deg 1) and 5 (deg 2); the 3-core is exactly the
-    // clique with in-core degree 3. Node 5's removal depends on 6's NOT
-    // being counted — i.e. peeling must cascade, not just filter once.
+    // 4-clique (1-4) + a tail 5-6-7 with (1,5),(2,5): node 5 starts at
+    // degree 3 and falls below k only AFTER round 1 peels 6 (degree 2) —
+    // a single filter pass would wrongly keep it, so this fixture proves
+    // the CASCADE, not just the degree filter. The 3-core is exactly the
+    // clique, every member at in-core degree 3.
     val cliq = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
-    val pairs = (cliq ++ Seq((1L, 5L), (5L, 6L))).toDF("src", "dst")
+    val pairs = (cliq ++ Seq((1L, 5L), (2L, 5L), (5L, 6L), (6L, 7L)))
+      .toDF("src", "dst")
     val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
     val core = Graph.kCore(spark, edges, k = 3, rounds = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
-
-    // wait — with only one filter pass, node 5 (degree 2 < 3) goes in
-    // round 1 regardless; make the cascade REAL: chain 5-6-7 plus edges
-    // (1,5),(2,5) so 5 has degree 3 until 6 is peeled
-    val pairs2 = (cliq ++ Seq((1L, 5L), (2L, 5L), (5L, 6L), (6L, 7L)))
-      .toDF("src", "dst")
-    val edges2 = pairs2.union(pairs2.select($"dst".as("src"), $"src".as("dst")))
-    val core2 = Graph.kCore(spark, edges2, k = 3, rounds = 8)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
-      s"node 5 must fall only AFTER 6 is peeled; got $core2")
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"node 5 must fall only AFTER 6 is peeled; got $core")
 
     // judged-graph convergence: one more round changes nothing, so the
     // gated 8-round output IS the true 3-core
