@@ -30,6 +30,25 @@ class EdgeCasesSpec extends SparkSpec {
     assert(enc.toSeq == Seq((0, "", 0L)))
   }
 
+  test("tx31/tx32 stop at pair exhaustion with only realized rounds") {
+    // a corpus whose only repeated content is 'ab' exhausts BPE pairs
+    // after two merges; the training rows and the compression curve must
+    // both report exactly the realized rounds (the oracle mirrors this
+    // with per-round EXISTS guards — review finding r8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_exh").toString
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(1)
+      .withColumn("text", lit("ab ab ab"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val train = SparkEntry.allDefs("tx31_bpe_train").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(train.count(_._1.startsWith("merge")) == 2,
+      s"expected 2 realized merges, got ${train.toSeq}")
+    val enc = SparkEntry.allDefs("tx32_bpe_encode").fn(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(enc == Seq((0, "", 8L), (1, "a b", 5L), (2, "Ġ ab", 3L)), enc.toString)
+  }
+
   test("dedup operators on an empty corpus return empty, not errors") {
     assert(Dedup.exact(emptyDocs).count() == 0)
     assert(Dedup.exactByHash(emptyDocs).count() == 0)
