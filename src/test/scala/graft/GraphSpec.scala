@@ -66,6 +66,59 @@ class GraphSpec extends SparkSpec {
     assert(r8 == r9, "fixture graph should converge within 8 peels")
   }
 
+  test("kCore peel: survivor join broadcasts under the size gate, sort-merges above it") {
+    val cliq = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val pairs = cliq.toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    // under the gate (4 survivors × 16 B ≪ 10 MB default): both survivor
+    // filters must be broadcast joins — the edge set crosses no exchange
+    val under = Graph.peelOnce(spark, edges, 3, nKeep = 4L)
+      .queryExecution.executedPlan.toString
+    assert(under.contains("BroadcastHashJoin"), under)
+    assert(!under.contains("SortMergeJoin"), under)
+    // above the gate (survivor count × 16 B over the threshold): a forced
+    // broadcast would collect a cluster-sized node set to the driver —
+    // the round must degrade to a sort-merge join instead
+    val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val over = Graph.peelOnce(spark, edges, 3, nKeep = 1000L)
+        .queryExecution.executedPlan.toString
+      assert(over.contains("SortMergeJoin"), over)
+      assert(!over.contains("BroadcastHashJoin"), over)
+      // a DISABLED threshold (-1) must also never broadcast, whatever the count
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val disabled = Graph.peelOnce(spark, edges, 3, nKeep = 1L)
+        .queryExecution.executedPlan.toString
+      assert(!disabled.contains("BroadcastHashJoin"), disabled)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+    // both shapes produce the identical 3-core rows
+    val core = Graph.kCore(spark, edges, k = 3, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core)
+    val savedThresh2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = Graph.kCore(spark, edges, k = 3, rounds = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(shuffled == core, s"shuffle-path peel diverged: $shuffled")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh2)
+  }
+
+  test("kCore converges early: identity rounds are skipped with identical output") {
+    // the 4-clique IS its own 3-core: the stats probe sees no node fall in
+    // round 1 and must stop immediately — rounds=100 must not run 100 jobs
+    val cliq = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val pairs = cliq.toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val core = Graph.kCore(spark, edges, k = 3, rounds = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jobsRun = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobsBefore
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core)
+    assert(jobsRun < 20, s"a converged graph must not pay 100 rounds of jobs (ran $jobsRun)")
+  }
+
   test("gr05 composition: components + sizes on two disjoint cliques and a path") {
     // clique {1,2,3}, path 10-11, isolated-by-derivation nodes absent
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
