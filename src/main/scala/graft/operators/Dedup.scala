@@ -76,6 +76,66 @@ object Dedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** ANY-LENGTH exact substring dedup — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better", public)
+    * standard that [[dedupSpans]]'s fixed 120-char grid approximates: a
+    * repeated token span of ANY length ≥ k is removed wherever it is not
+    * the corpus-wide first occurrence. Their single-machine form builds a
+    * corpus suffix array; the Spark-native form here reaches the same
+    * spans through overlapping token k-grams, which is exactly how a
+    * length-L ≥ k repeat manifests: L−k+1 consecutive duplicated k-grams.
+    *
+    * Shape: (1) per-doc overlapping k-gram hashes — one codegen'd map, no
+    * shuffle, O(n·k) char work per doc; (2) corpus-wide first-occurrence
+    * winner per gram hash via `min(struct(id, pos))` — partial-aggregable,
+    * so the ONE wide exchange carries ≤ one candidate per distinct gram
+    * hash per partition, 16 B keys (the [[exactByHash]] posture; same
+    * 64-bit collision odds); (3) duplicate positions rejoin their doc —
+    * keyed by doc id, O(dup grams); (4) run-merging and token removal are
+    * ROW-LOCAL higher-order expressions: token i is removed iff some
+    * duplicate gram at p covers it (p ≤ i ≤ p+k−1), which unions
+    * overlapping runs for free. Removal cost is O(n·d) per doc (d = its
+    * dup-gram count) — bounded by the document, never the corpus; docs
+    * with no duplicated gram pay only the map and the winner exchange.
+    *
+    * Semantics notes, both deliberate: the kept FIRST occurrence is in
+    * (id, pos) order (Lee et al. keep an arbitrary one); and tandem /
+    * overlapping self-repeats erode into the kept occurrence's tail
+    * (its tokens past position k−1 are covered by following duplicate
+    * grams) — the conservative direction: strictly more removed, a
+    * repeated span never survives twice. Returns one row per input doc:
+    * (doc_id, n_tokens, n_removed, text_dedup) — docs shorter than k
+    * tokens pass through untouched.
+    */
+  def dedupSubstrings(
+      docs: DataFrame,
+      k: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, "gram width k must be at least 2")
+    val tk = filter(TextFunctions.tokenize(col(textCol)), t => length(t) > 0)
+    val base = docs.select(col(idCol).as("doc_id"), tk.as("tk"))
+    val grams = base.where(size(col("tk")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - k),
+          p => xxhash64(concat_ws(" ", slice(col("tk"), p + 1, lit(k)))))))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "gh")
+    val firsts = grams.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("w"))
+    val dupPs = grams.join(firsts, "gh")
+      .where(!(col("doc_id") === col("w.doc_id") && col("p") === col("w.p")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("dup_ps"))
+    val dp = coalesce(col("dup_ps"), array().cast("array<int>"))
+    val kept = filter(col("tk"),
+      (t, i) => !exists(dp, p => p <= i && i <= p + (k - 1)))
+    base.join(dupPs, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", kept).as("text_dedup"))
+  }
+
   /** Distinct whitespace tokens per doc, with a document-frequency cap.
     * The DF cap (`maxDf`) is prefix-filtering for the inverted-index join:
     * ubiquitous tokens (Zipf head — the same skew the reference's log-scale

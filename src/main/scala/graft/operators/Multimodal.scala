@@ -39,8 +39,16 @@ object Multimodal {
         col("source").as("source"),
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
 
-  /** Decoded per-media features — the codec output contract. */
-  final case class MediaFeatures(width: Int, height: Int, channels: Int, checksum: Long)
+  /** Decoded per-media features — the codec output contract. `pixelSum`
+    * is a fold over the DECODED raster (sum of every sample in every
+    * band), 0 when the payload didn't decode: it proves the codec read
+    * actual pixel content, not just the header, and for synthetic
+    * constant-fill images it is exactly `w*h*(r+g+b)` — the property the
+    * mm07 oracle recomputes in SQL.
+    */
+  final case class MediaFeatures(
+      width: Int, height: Int, channels: Int, checksum: Long,
+      pixelSum: Long = 0L)
 
   /** The codec SEAM: [[decodeFeatures]] accepts any implementation, so a
     * real JNI/library codec (none exists in this environment — documented
@@ -96,9 +104,12 @@ object Multimodal {
     *
     * Features: true pixel width/height, channels = raster band count
     * (1 gray, 3 RGB, 4 ABGR), checksum = CRC32 of the PAYLOAD bytes
-    * (content identity that works for any payload — decodable or not).
-    * Undecodable/empty payloads yield width=height=channels=0 with the
-    * checksum still computed: at 100 TB a corrupt blob must tag, not
+    * (content identity that works for any payload — decodable or not),
+    * pixelSum = sum of every raster sample across all bands (the
+    * decoded-content fold the mm07 gate checks against its synthetic
+    * images' known fill). Undecodable/empty payloads yield
+    * width=height=channels=0, pixelSum=0 with the checksum still
+    * computed: at 100 TB a corrupt blob must tag, not
     * kill, the task — filter `width > 0` downstream for decoded media.
     * `ImageIO.read` is called per row on a fresh `ByteArrayInputStream`;
     * the codec holds no state, so one shared instance per task closure
@@ -114,7 +125,27 @@ object Multimodal {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case _: java.io.IOException => null }
       if (img == null) MediaFeatures(0, 0, 0, cs)
-      else MediaFeatures(img.getWidth, img.getHeight, img.getRaster.getNumBands, cs)
+      else {
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        // band-order-independent pixel fold (BGR vs RGB readback sums the
+        // same); row-buffered getSamples keeps it O(pixels) without a
+        // per-sample JNI-style call in the inner loop
+        var sum = 0L
+        val rowBuf = new Array[Int](w)
+        var b = 0
+        while (b < bands) {
+          var y = 0
+          while (y < h) {
+            raster.getSamples(0, y, w, 1, b, rowBuf)
+            var x = 0
+            while (x < w) { sum += rowBuf(x); x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        MediaFeatures(w, h, bands, cs, sum)
+      }
     }
   }
 
@@ -130,7 +161,8 @@ object Multimodal {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("channels", IntegerType, nullable = false),
-      StructField("checksum", LongType, nullable = false)))
+      StructField("checksum", LongType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { it =>
@@ -142,7 +174,49 @@ object Multimodal {
           val payload = if (r.isNullAt(1)) Array.emptyByteArray
                         else r.getAs[Array[Byte]](1)
           val f       = codec.decode(payload)
-          Row(id, payload.length.toLong, f.width, f.height, f.channels, f.checksum)
+          Row(id, payload.length.toLong, f.width, f.height, f.channels,
+            f.checksum, f.pixelSum)
+        }
+      }(enc)
+  }
+
+  /** Deterministic synthetic PNG table: one real PNG per input id, filled
+    * with a constant RGB derived from the id by pure integer arithmetic —
+    * width `(id % 37) + 4`, height `(id % 23) + 4`,
+    * (r,g,b) = `(id % 256, (id*7) % 256, (id*13) % 256)`. Every derived
+    * quantity (dimensions, channels=3, and the decoded raster's sample sum
+    * `w*h*(r+g+b)`) is therefore SQL-computable from the id alone, which
+    * is what lets mm07 put the REAL `javax.imageio` decode
+    * ([[ImageIoCodec]]) behind a DuckDB oracle that cannot decode images.
+    * Encoding is partition-local `ImageIO.write` (PNG is lossless, so the
+    * decoded raster is bit-equal to the fill); payload bytes never touch
+    * the driver and no shuffle is introduced — the generator is a map.
+    */
+  def syntheticPngs(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col("media_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = (math.floorMod(id, 37L) + 4L).toInt
+          val h = (math.floorMod(id, 23L) + 4L).toInt
+          val rgb = ((math.floorMod(id, 256L).toInt << 16)
+            | (math.floorMod(id * 7L, 256L).toInt << 8)
+            | math.floorMod(id * 13L, 256L).toInt)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          Row(id, baos.toByteArray)
         }
       }(enc)
   }

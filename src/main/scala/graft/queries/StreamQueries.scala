@@ -854,7 +854,7 @@ object StreamQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "st22_stream_index_dedup" -> QueryDef(streamIndexDedup, Some(TextQueries.dedupIncrementalSql)),
+    "st22_stream_index_dedup" -> QueryDef(streamIndexDedup, Some(TextQueries.dedupIncrementalSql), benchmark = true),
     "st21_stream_sample"     -> QueryDef(streamSample, Some(TextQueries.prioritySampleSql), benchmark = true),
     "st20_stream_ewma"       -> QueryDef(streamEwma, Some(streamEwmaSql), benchmark = true),
     "st18_state_reader"      -> QueryDef(stateReader, Some(stateReaderSql)),

@@ -255,6 +255,53 @@ object TextQueries {
       |  coalesce(r.text_dedup, '') AS text_dedup
       |FROM documents d LEFT JOIN rec r USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Any-length exact substring dedup ([[Dedup.dedupSubstrings]] — the
+    * Lee et al. 2022 suffix-array standard re-reached through overlapping
+    * token 10-grams + corpus-wide first-occurrence winners + row-local
+    * run-merged removal; dd11's winner-agg machinery over a sliding
+    * window instead of a fixed grid). The oracle mirrors every step on
+    * the gram STRINGS (the engine's xxhash64 keys are its 100 TB shuffle
+    * posture — winners agree absent 64-bit collisions, dd11 precedent):
+    * a wrong winner, a mis-covered token, or an unmerged run changes
+    * `text_dedup` and hash-mismatches.
+    */
+  private def dedupSubstringsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstrings(Tables(spark, dir).documents, k = 10)
+      .orderBy(col("doc_id"))
+  private val dedupSubstringsSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'),
+      |                x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |ix AS (
+      |  SELECT doc_id, tk, CAST(unnest(range(0, len(tk) - 9)) AS INT) AS p
+      |  FROM toks WHERE len(tk) >= 10),
+      |grams AS (
+      |  SELECT doc_id, p, array_to_string(tk[p+1:p+10], ' ') AS g FROM ix),
+      |firsts AS (
+      |  SELECT doc_id, p,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+      |  FROM grams),
+      |remidx AS (
+      |  SELECT DISTINCT doc_id, CAST(unnest(range(p, p + 10)) AS INT) AS i
+      |  FROM firsts WHERE rn > 1),
+      |remset AS (
+      |  SELECT doc_id, list(i) AS rs FROM remidx GROUP BY doc_id),
+      |out AS (
+      |  SELECT t.doc_id, len(t.tk) AS n_tokens,
+      |    coalesce(len(r.rs), 0) AS n_removed,
+      |    coalesce(array_to_string(
+      |      list_filter(
+      |        list_transform(generate_series(1, len(t.tk)),
+      |          ii -> CASE WHEN r.rs IS NOT NULL AND list_contains(r.rs, ii - 1)
+      |                     THEN NULL ELSE t.tk[ii] END),
+      |        x -> x IS NOT NULL), ' '), '') AS text_dedup
+      |  FROM toks t LEFT JOIN remset r USING (doc_id))
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_removed AS BIGINT) AS n_removed, text_dedup
+      |FROM out ORDER BY doc_id""".stripMargin
+
   /** Word-trigram (n-gram) Jaccard near-dup pairs — same inverted-index
     * engine as dd02 but shingled on 3-word n-grams, which are sensitive to
     * word ORDER (token-set Jaccard is not): reordered near-copies score
@@ -798,6 +845,40 @@ object TextQueries {
       |      CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
       |      CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height
       |    FROM documents) d) s
+      |ORDER BY media_id""".stripMargin
+
+  /** REAL image decode, correctness-gated (mm07): one deterministic
+    * constant-fill PNG per doc ([[Multimodal.syntheticPngs]] — real
+    * `ImageIO.write` encode, partition-local), decoded back through the
+    * REAL `javax.imageio` codec ([[Multimodal.ImageIoCodec]]) via the
+    * same judged `decodeFeatures` plumbing mm01 uses with the stub. The
+    * gate folds the decoded raster itself: width/height/channels plus
+    * `pixel_sum` (every sample in every band), which for a w×h constant
+    * (r,g,b) fill is exactly `w*h*(r+g+b)` — all four recomputed by the
+    * oracle from `doc_id` arithmetic alone, since a DuckDB oracle cannot
+    * decode PNGs. PNG is lossless, so a single wrong pixel, band, or
+    * dimension anywhere in the encode→decode loop flips the hash.
+    * Scale shape: generate + decode are one fused partition-local map —
+    * payload bytes never cross an exchange and never touch the driver;
+    * the only exchange is the output sort.
+    */
+  private def realDecode(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir).documents.where(col("doc_id") < 200)
+      .select(col("doc_id").as("media_id"))
+    Multimodal.decodeFeatures(Multimodal.syntheticPngs(ids), Multimodal.ImageIoCodec)
+      .select(col("media_id"), col("width"), col("height"), col("channels"),
+        col("pixel_sum"))
+      .orderBy(col("media_id"))
+  }
+  private val realDecodeSql =
+    """SELECT doc_id AS media_id,
+      |  CAST((doc_id % 37) + 4 AS INT) AS width,
+      |  CAST((doc_id % 23) + 4 AS INT) AS height,
+      |  3 AS channels,
+      |  CAST(((doc_id % 37) + 4) * ((doc_id % 23) + 4)
+      |    * ((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256))
+      |    AS BIGINT) AS pixel_sum
+      |FROM documents WHERE doc_id < 200
       |ORDER BY media_id""".stripMargin
 
   /** DuckDB FNV-1a fold of column/expression `c` → HUGEINT in [0, 2⁶⁴)
@@ -2507,9 +2588,9 @@ object TextQueries {
     "tx29_quality_prune"     -> QueryDef(qualityPrune, Some(qualityPruneSql)),
     "tx30_priority_sample"   -> QueryDef(prioritySample, Some(prioritySampleSql), benchmark = true),
     "tx31_bpe_train"         -> QueryDef(bpeTrain, Some(bpeTrainSql), benchmark = true),
-    "tx32_bpe_encode"        -> QueryDef(bpeEncode, Some(bpeEncodeSql)),
-    "tx33_ccnet_buckets"     -> QueryDef(ccnetBuckets, Some(ccnetBucketsSql)),
-    "tx34_leakage_safe_split" -> QueryDef(leakageSafeSplit, Some(leakageSafeSplitSql)),
+    "tx32_bpe_encode"        -> QueryDef(bpeEncode, Some(bpeEncodeSql), benchmark = true),
+    "tx33_ccnet_buckets"     -> QueryDef(ccnetBuckets, Some(ccnetBucketsSql), benchmark = true),
+    "tx34_leakage_safe_split" -> QueryDef(leakageSafeSplit, Some(leakageSafeSplitSql), benchmark = true),
     "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
     "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql), benchmark = true),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),
@@ -2526,6 +2607,7 @@ object TextQueries {
     "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
     "dd11_span_dedup"        -> QueryDef(dedupSpansQ, Some(dedupSpansSql), benchmark = true),
+    "dd16_substring_dedup"   -> QueryDef(dedupSubstringsQ, Some(dedupSubstringsSql), benchmark = true),
     "tx16_gopher_rules"      -> QueryDef(gopherRules, Some(gopherRulesSql)),
     "dd12_fuzzy_name_join"   -> QueryDef(fuzzyNameJoin, Some(fuzzyNameJoinSql), benchmark = true),
     "tx17_full_pipeline"     -> QueryDef(fullPipeline, Some(fullPipelineSql), benchmark = true),
@@ -2540,6 +2622,7 @@ object TextQueries {
     "mm04_sample_frames"     -> QueryDef(sampleFramesQ, Some(sampleFramesSql)),
     "mm05_payload_dedup"     -> QueryDef(mediaDedup, Some(mediaDedupSql)),
     "mm06_aspect_buckets"    -> QueryDef(aspectBucketsQ, Some(aspectBucketsSql)),
+    "mm07_real_decode"       -> QueryDef(realDecode, Some(realDecodeSql)),
     "tx20_bigrams"           -> QueryDef(bigrams, Some(bigramsSql)),
     "tx21_budget_select"     -> QueryDef(budgetSelect, Some(budgetSelectSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),

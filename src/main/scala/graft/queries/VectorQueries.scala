@@ -475,7 +475,7 @@ object VectorQueries {
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
-    "ann12_ivf_recall"      -> QueryDef(annIvfRecall, Some(annIvfRecallSql)),
+    "ann12_ivf_recall"      -> QueryDef(annIvfRecall, Some(annIvfRecallSql), benchmark = true),
     "ann11_mmr_topk"        -> QueryDef(annMmr, Some(annMmrSql)),
     "ann10_maxsim"          -> QueryDef(annMaxSim, Some(annMaxSimSql)),
     "ann09_radius_search"   -> QueryDef(annRadius, Some(annRadiusSql)),

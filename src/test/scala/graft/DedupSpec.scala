@@ -225,6 +225,53 @@ class DedupSpec extends SparkSpec {
       (4L, 0L, "")))              // empty doc survives as empty, not lost
   }
 
+  test("substring dedup: any-length repeats removed at non-first sites, runs merged") {
+    // k=3. doc 1 owns "a b c d e" (a 5-token repeat = 3 consecutive dup
+    // 3-grams in any copy); doc 2 embeds the same 5 tokens mid-document —
+    // the overlapping dup grams at p=2,3,4 must merge into ONE removed run
+    // covering exactly tokens 2..6; doc 3 is shorter than k and untouched
+    // even though its tokens appear inside doc 1's repeat.
+    val d = Seq(
+      (1L, "a b c d e x1 x2"),
+      (2L, "y1 y2 a b c d e z1 z2"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupSubstrings(d, k = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 7L, 0L, "a b c d e x1 x2"),      // first occurrence: untouched
+      (2L, 9L, 5L, "y1 y2 z1 z2"),          // interior repeat excised whole
+      (3L, 2L, 0L, "a b")))                 // sub-k doc passes through
+  }
+
+  test("substring dedup: within-doc tandem repeat keeps exactly one head") {
+    // "w w w w w w" with k=3: grams at p=1..3 duplicate p=0, covering
+    // tokens 1..5 — one token survives (the conservative erosion the
+    // scaladoc documents), and the doc is not dropped.
+    val d = Seq((1L, "w w w w w w"), (2L, "p q r")).toDF("doc_id", "text")
+    val r = Dedup.dedupSubstrings(d, k = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 6L, 5L, "w"), (2L, 3L, 0L, "p q r")))
+  }
+
+  test("substring dedup is invariant under input order and partitioning") {
+    val docs = (0L until 40L).map { i =>
+      // every third doc shares a long boilerplate prefix
+      val body = if (i % 3 == 0) "the quick brown fox jumps over the lazy dog again and again"
+                 else s"unique u$i v$i w$i x$i y$i z$i a$i b$i c$i d$i"
+      (i, s"$body tail$i")
+    }
+    val a = Dedup.dedupSubstrings(docs.toDF("doc_id", "text"), k = 5)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val b = Dedup.dedupSubstrings(
+        docs.reverse.toDF("doc_id", "text").repartition(7), k = 5)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // the shared 12-token span survives only in doc 0
+    val hit = a.filter(r => r._1 % 3 == 0)
+    assert(hit.head._3 == 0L && hit.tail.forall(_._3 > 0L))
+  }
+
   test("fuzzy join finds substitution/insertion/deletion pairs, rejects distance-2") {
     import graft.operators.FuzzyJoin
     val d = Seq(

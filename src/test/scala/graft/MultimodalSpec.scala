@@ -94,6 +94,24 @@ class MultimodalSpec extends SparkSpec {
     assert(got(5L) == ((5L, 0, 0, 0, crc(junk)))) // undecodable: tagged, checksummed
   }
 
+  test("syntheticPngs → ImageIoCodec: decoded raster fold matches the known fill") {
+    // the mm07 loop in miniature: encode a real PNG per id, decode it with
+    // the real codec, and check the pixel fold equals w*h*(r+g+b) — the
+    // exact identity the DuckDB oracle recomputes from id arithmetic
+    val idVals = Seq(0L, 1L, 41L, 199L, 255L, 1234L)
+    val got = Multimodal.decodeFeatures(
+        Multimodal.syntheticPngs(idVals.toDF("media_id")),
+        Multimodal.ImageIoCodec)
+      .select($"media_id", $"width", $"height", $"channels", $"pixel_sum")
+      .as[(Long, Int, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    for (id <- idVals) {
+      val w = (id % 37 + 4).toInt
+      val h = (id % 23 + 4).toInt
+      val fill = (id % 256) + (id * 7 % 256) + (id * 13 % 256)
+      assert(got(id) == ((id, w, h, 3, w.toLong * h * fill)), s"id=$id")
+    }
+  }
+
   test("resize caps the longest side, preserves aspect, never hits 0") {
     val decoded = Seq(
       (1L, 640, 480),  // downscale: 320×240
