@@ -69,7 +69,10 @@ object Graph {
     if (prev != null) prev()
   }
 
-  /** Eager local checkpoint + a handle that unpersists its cached RDD.
+  /** Eager per-round snapshot + a handle that releases its blocks:
+    * reliable `checkpoint()` when `spark.graft.checkpoint.dir` is set
+    * (the cluster posture — ReliableCheckpointSpec proves result parity),
+    * else eager localCheckpoint.
     * localCheckpoint is the only snapshot that TRUNCATES the logical plan
     * (a persist-based round keeps the full tower in the analyzed plan and
     * ANALYSIS itself goes exponential — measured as a >10 min hang at
@@ -78,11 +81,23 @@ object Graph {
     * round lands.
     */
   private def snapshot(df: DataFrame): (DataFrame, () => Unit) = {
-    val d = df.localCheckpoint(eager = true)
-    val rdds = d.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(dir) =>
+        // the cluster posture (same dispatch as Dedup.ckpt): reliable
+        // checkpoint files survive executor loss over a multi-round job;
+        // nothing to release — durability is the point. setCheckpointDir
+        // appends a UUID dir, so compare by substring (Dedup.ckpt note).
+        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+          spark.sparkContext.setCheckpointDir(dir)
+        (df.checkpoint(), () => ())
+      case None =>
+        val d = df.localCheckpoint(eager = true)
+        val rdds = d.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }
+        (d, () => rdds.foreach(_.unpersist(false)))
     }
-    (d, () => rdds.foreach(_.unpersist(false)))
   }
 
   /** Estimated broadcast bytes per survivor row (one Long key + unsafe-row

@@ -1950,7 +1950,7 @@ object TextQueries {
     */
   def releaseCaches(): Unit =
     Seq(lastBigramCache, lastDsirCache, lastBpeCache, lastCcnetCache,
-        lastCcnetScoredCache)
+        lastCcnetScoredCache, lastUnigramCache)
       .foreach { slot =>
       val prev = slot.getAndSet(null)
       if (prev != null) prev.unpersist(blocking = false)
@@ -2398,6 +2398,354 @@ object TextQueries {
     (train, encode)
   }
 
+  /** The swap-tracked pretoken-vocabulary cache for the unigram-LM
+    * trainer (tx35/tx36; see [[persistSwap]]). */
+  private val lastUnigramCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Unigram-LM (SentencePiece) tokenizer training (Kudo 2018, "Subword
+    * Regularization", public — the OTHER tokenizer family real pipelines
+    * train beside tx31's BPE): seed a piece vocabulary from substring
+    * statistics, then run a fixed number of hard-EM rounds — E-step:
+    * Viterbi-segment every pretoken under the current piece costs;
+    * M-step: re-estimate piece costs from the segmentation counts.
+    *
+    * Declared contract (each clause mirrored exactly in the oracle):
+    *  - trained on the DISTINCT pretoken vocabulary (the tx31 trick: one
+    *    map-side-combined corpus rollup, EM is vocabulary-sized after
+    *    that), GPT-2 whitespace remap as tx31; pretokens of 2..8 chars
+    *    enter EM (length-1 pretokens carry no segmentation signal,
+    *    longer tails are excluded from the trainer — SentencePiece's own
+    *    `max_sentencepiece_length`-style cap, here on the trainer input);
+    *  - seed vocabulary = every single character of those pretokens plus
+    *    the top-48 multi-char substrings of length <= 4 by
+    *    occurrence-weighted count (cnt DESC, piece ASC) — the paper's
+    *    suffix-array seeding, every occurrence counted;
+    *  - piece costs are DETERMINISTIC FIXED-POINT -log2 probabilities:
+    *    cost = l2fp(total) - l2fp(cnt), where l2fp is the classic
+    *    integer log2 with linear interpolation between powers of two
+    *    (msb from bin() bit-length: monotonic, max error 0.086 bits,
+    *    bit-identical cross-engine — no floating-point log ever crosses
+    *    the hash gate); EM rounds add-one smooth over the fixed seed
+    *    vocabulary: cost = l2fp(T + V) - l2fp(c + 1);
+    *  - Viterbi ties break to the SHORTEST piece at each position
+    *    (smallest step j), suffix costs folded right-to-left;
+    *  - 2 EM rounds, fixed (the tx23/tx27 fixed-round convention).
+    *
+    * Scale shape: ONE corpus pass (the persisted pretoken rollup);
+    * everything after is vocabulary-sized, so 2 EM rounds or 20 cost the
+    * same corpus I/O. The learned model (<= 48 + |alphabet| pieces with
+    * costs) moves between rounds as a ONE-ROW map column broadcast to
+    * the vocabulary — nothing is collected to the driver, tightening
+    * tx31's one-row-per-round convention to zero. The Viterbi DP is
+    * row-local higher-order expressions (the dd16 run-merge pattern):
+    * suffix-cost fold -> per-position argmin -> path walk -> piece
+    * extraction, all inside one projection, no exchange.
+    */
+  private[graft] object Unigram {
+    val MaxWord = 8
+    val MaxPiece = 4
+    val TopMulti = 48
+    val Fp: Long = 1L << 20
+    val Big: Long = 1L << 40
+
+    /** Fixed-point log2 (20 fractional bits), linear interpolation:
+      * l2fp(x) = msb(x)*2^20 + ((x*2^20) div 2^msb(x)) - 2^20, with
+      * msb(x) = length(bin(x)) - 1 — pure integer ops, so Spark and
+      * DuckDB agree bit-for-bit (a double-precision ln would not).
+      */
+    def l2fp(x: String): String =
+      s"(((length(bin($x)) - 1) * $Fp) + " +
+        s"((($x) * $Fp) div shiftleft(cast(1 as bigint), length(bin($x)) - 1)) - $Fp)"
+
+    /** Piece-cost lookup inside a lambda: the model map `m`; misses pay
+      * an unreachable sentinel (single chars are always seeded, so every
+      * position stays reachable and the sentinel never wins a path).
+      */
+    private def costAt(s: String): String =
+      s"coalesce(try_element_at(m, $s), ${Big}L)"
+
+    /** The one corpus pass: the distinct-pretoken rollup EM runs over. */
+    def words(spark: SparkSession, dir: String): DataFrame = {
+      val wsFrom = " \t\n\u000B\u000C\r"
+      val wsTo = "ĠĉĊċČč"
+      persistSwap(lastUnigramCache, Tables(spark, dir).documents
+        .select(explode(TextFunctions.pretokenize(col("text"))).as("p0"))
+        .select(translate(col("p0"), wsFrom, wsTo).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .where(length(col("w")).between(2, MaxWord))
+        .withColumn("n", length(col("w")).cast("long")))
+    }
+
+    /** Seed vocabulary (piece, cnt): all single chars + top-K multis by
+      * occurrence-weighted substring counts (every occurrence counts).
+      */
+    def seed(words: DataFrame): DataFrame = {
+      val cnts = words.select(explode(expr(
+          s"""flatten(transform(sequence(1, n), i ->
+             |  transform(sequence(cast(1 as bigint), least(cast($MaxPiece as bigint), n - i + 1)),
+             |    j -> substring(w, cast(i as int), cast(j as int)))))""".stripMargin)).as("piece"),
+          col("freq"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      cnts.where(length(col("piece")) === 1).unionAll(
+        cnts.where(length(col("piece")) >= 2)
+          .orderBy(col("cnt").desc, col("piece")).limit(TopMulti))
+    }
+
+    /** Seed-stage costs: pure -log2 of occurrence frequency. */
+    def seedCosts(seed: DataFrame): DataFrame =
+      seed.crossJoin(broadcast(seed.agg(sum(col("cnt")).as("t"))))
+        .select(col("piece"), col("cnt"),
+          expr(s"${l2fp("t")} - ${l2fp("cnt")}").as("cost"))
+
+    /** EM-round costs: add-one smoothing over the FIXED seed vocabulary
+      * (pieces Viterbi never chose keep a finite cost and may win later
+      * rounds — standard EM-over-fixed-vocab, no pruning).
+      */
+    def emCosts(seedV: DataFrame, counts: DataFrame): DataFrame = {
+      val joined = seedV.select(col("piece"))
+        .join(broadcast(counts), Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("c"), lit(0L)).as("cnt"))
+      joined.crossJoin(broadcast(
+          joined.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))))
+        .select(col("piece"), col("cnt"),
+          expr(s"${l2fp("t + v")} - ${l2fp("cnt + 1")}").as("cost"))
+    }
+
+    /** The model as ONE row: a piece->cost map, broadcast to the vocab. */
+    def model(costs: DataFrame): DataFrame =
+      costs.agg(array_sort(collect_list(struct(col("piece"), col("cost")))).as("pcs"))
+        .select(expr(
+          "map_from_arrays(transform(pcs, x -> x.piece), transform(pcs, x -> x.cost))").as("m"))
+
+    /** E-step: Viterbi-segment every pretoken under model `m` — one
+      * projection of row-local HOFs. Adds: sufrev (suffix-cost DP,
+      * sufrev[k] = min cost of the suffix starting at char n+2-k),
+      * best (total path cost = sufrev[n+1]), jstar (per-position argmin
+      * step, ties to smallest j), vis (the walked path positions,
+      * strictly increasing 1..n+1), pieces (the chosen segmentation).
+      */
+    def estep(words: DataFrame, model: DataFrame): DataFrame = {
+      val sufrev =
+        s"""aggregate(sequence(2, n + 1), array(cast(0 as bigint)),
+           |  (acc, k) -> concat(acc, array(array_min(
+           |    transform(sequence(cast(1 as bigint), least(cast($MaxPiece as bigint), k - 1)),
+           |      j -> ${costAt("substring(w, cast(n + 2 - k as int), cast(j as int))")}
+           |           + element_at(acc, cast(k - j as int)))))))""".stripMargin
+      val jstar =
+        s"""transform(sequence(1, n), i -> array_min(
+           |  transform(sequence(cast(1 as bigint), least(cast($MaxPiece as bigint), n - i + 1)),
+           |    j -> CASE WHEN ${costAt("substring(w, cast(i as int), cast(j as int))")}
+           |                   + element_at(sufrev, cast(n + 2 - i - j as int))
+           |                   = element_at(sufrev, cast(n + 2 - i as int))
+           |              THEN j ELSE cast(99 as bigint) END)))""".stripMargin
+      val vis =
+        s"""aggregate(sequence(1, n), array(cast(1 as bigint)),
+           |  (acc, t) -> CASE WHEN element_at(acc, size(acc)) > n THEN acc
+           |    ELSE concat(acc, array(element_at(acc, size(acc))
+           |         + element_at(jstar, cast(element_at(acc, size(acc)) as int)))) END)""".stripMargin
+      val pieces =
+        s"""filter(transform(sequence(1, size(vis) - 1),
+           |    t -> CASE WHEN element_at(vis, t) <= n
+           |         THEN substring(w, cast(element_at(vis, t) as int),
+           |              cast(element_at(vis, t + 1) - element_at(vis, t) as int)) END),
+           |  p -> p is not null)""".stripMargin
+      words.crossJoin(broadcast(model))
+        .withColumn("sufrev", expr(sufrev))
+        .withColumn("best", expr("element_at(sufrev, cast(n + 1 as int))"))
+        .withColumn("jstar", expr(jstar))
+        .withColumn("vis", expr(vis))
+        .withColumn("pieces", expr(pieces))
+    }
+
+    /** M-step counts: occurrence-weighted piece usage in the E-step. */
+    def counts(e: DataFrame): DataFrame =
+      e.select(explode(col("pieces")).as("piece"), col("freq"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
+  }
+
+  /** The trainer chain shared by tx35 (training) and tx36 (encode
+    * audit): per-stage cost tables (seed, em1, .., emR) and the E-step
+    * segmentations under each stage's model (R+1 of them — the last one
+    * segments under the FINAL model, the encode curve's last point).
+    * Everything is lazy; tx35 never evaluates the final E-step.
+    */
+  private def unigramChain(spark: SparkSession, dir: String, rounds: Int)
+      : (Seq[DataFrame], Seq[DataFrame]) = {
+    val w = Unigram.words(spark, dir)
+    val sd = Unigram.seed(w)
+    var costs = Unigram.seedCosts(sd)
+    val costStages = Seq.newBuilder[DataFrame]
+    val esteps = Seq.newBuilder[DataFrame]
+    costStages += costs
+    for (_ <- 1 to rounds) {
+      val e = Unigram.estep(w, Unigram.model(costs))
+      esteps += e
+      costs = Unigram.emCosts(sd, Unigram.counts(e))
+      costStages += costs
+    }
+    esteps += Unigram.estep(w, Unigram.model(costs))
+    (costStages.result(), esteps.result())
+  }
+
+  /** tx35: the trained model across stages — top-15 pieces per stage by
+    * (cnt DESC, piece ASC) with their fixed-point costs. The three
+    * stages pin the whole chain cross-engine: seeding, both E-steps'
+    * segmentation counts, and both M-steps' smoothed costs.
+    */
+  private def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (costStages, _) = unigramChain(spark, dir, rounds = 2)
+    Seq("seed", "em1", "em2").zip(costStages).map { case (nm, c) =>
+      c.orderBy(col("cnt").desc, col("piece")).limit(15)
+        .select(lit(nm).as("stage"), col("piece"), col("cnt"),
+          col("cost").as("cost_fp"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("stage"), col("cnt").desc, col("piece"))
+  }
+
+  /** tx36: the tokenizer's compression curve (the tx32 shape for the
+    * unigram family) — per stage, the corpus-weighted token count and
+    * total Viterbi path cost under that stage's model. n_pieces falling
+    * while cost_fp falls IS hard-EM doing its job; every number is a
+    * vocabulary-sized aggregate.
+    */
+  private def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, esteps) = unigramChain(spark, dir, rounds = 2)
+    esteps.zipWithIndex.map { case (e, i) =>
+      e.agg(
+        sum(col("freq")).as("n_tokens"),
+        sum(col("freq") * col("n")).as("n_chars"),
+        sum(col("freq") * size(col("pieces")).cast("long")).as("n_pieces"),
+        sum(col("freq") * col("best")).as("cost_fp"))
+        .select(lit(i).as("round"), col("n_tokens"), col("n_chars"),
+          col("n_pieces"), col("cost_fp"))
+    }.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  private val (unigramTrainSql, unigramEncodeSql) = {
+    val pat =
+      """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\x0B\f\r ]+|[\t\n\x0B\f\r ]+"""
+    val wsFromSql = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    val wsToSql =
+      "chr(288) || chr(265) || chr(266) || chr(267) || chr(268) || chr(269)"
+    val fp = Unigram.Fp
+    val big = Unigram.Big
+    def l2(x: String): String =
+      s"(((length(bin($x)) - 1) * $fp) + ((($x) * $fp) // (1::BIGINT << (length(bin($x)) - 1))) - $fp)"
+    // lookup against the (ps, cs) parallel lists: list indexing with the
+    // 0 a missing list_position returns is NULL in DuckDB -> coalesce to
+    // the same sentinel the engine's map miss pays
+    def cost(s: String): String =
+      s"coalesce(cs[list_position(ps, $s)], $big)"
+    // the Viterbi E-step as four chained CTEs over src(w, freq, n) x
+    // pl(ps, cs) — the engine's estep() column-for-column
+    def estep(src: String, pl: String, out: String): String =
+      s"""${out}_suf AS (
+         |  SELECT w, freq, n,
+         |    list_reduce(
+         |      [[0::BIGINT]] || list_transform(range(2, n + 2), k -> [k]),
+         |      (acc, x) -> acc || [list_min(list_transform(
+         |         range(1, least(4, x[1] - 1) + 1),
+         |         j -> ${cost("substr(w, (n + 2 - x[1])::INT, j::INT)")} + acc[(x[1] - j)::INT]))]
+         |    ) AS sufrev
+         |  FROM $src CROSS JOIN $pl),
+         |${out}_js AS (
+         |  SELECT w, freq, n, sufrev, sufrev[(n + 1)::INT] AS best,
+         |    list_transform(range(1, n + 1), i ->
+         |      list_min(list_transform(range(1, least(4, n - i + 1) + 1), j ->
+         |        CASE WHEN ${cost("substr(w, i::INT, j::INT)")}
+                            + sufrev[(n + 2 - i - j)::INT]
+         |                  = sufrev[(n + 2 - i)::INT]
+         |             THEN j ELSE 99 END))) AS jstar
+         |  FROM ${out}_suf CROSS JOIN $pl),
+         |${out}_vis AS (
+         |  SELECT w, freq, n, best,
+         |    list_reduce(
+         |      [[1::BIGINT]] || list_transform(range(1, n + 1), t -> [0::BIGINT]),
+         |      (acc, x) -> CASE WHEN acc[len(acc)] > n THEN acc
+         |                       ELSE acc || [acc[len(acc)] + jstar[acc[len(acc)]::INT]] END
+         |    ) AS vis
+         |  FROM ${out}_js),
+         |$out AS (
+         |  SELECT w, freq, n, best,
+         |    list_filter(list_transform(range(1, len(vis)), t ->
+         |      CASE WHEN vis[t::INT] <= n
+         |           THEN substr(w, vis[t::INT]::INT, (vis[(t+1)::INT] - vis[t::INT])::INT) END),
+         |      p -> p IS NOT NULL) AS pieces
+         |  FROM ${out}_vis)""".stripMargin
+    def mstep(e: String, cOut: String, jOut: String, tOut: String,
+              costsOut: String, plOut: String): String =
+      s"""$cOut AS (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (SELECT unnest(pieces) AS piece, freq FROM $e) GROUP BY piece),
+         |$jOut AS (
+         |  SELECT s.piece, CAST(coalesce($cOut.c, 0) AS BIGINT) AS cnt
+         |  FROM seed s LEFT JOIN $cOut ON s.piece = $cOut.piece),
+         |$tOut AS (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+         |  FROM $jOut),
+         |$costsOut AS (
+         |  SELECT piece, cnt, ${l2("t + v")} - ${l2("cnt + 1")} AS cost
+         |  FROM $jOut CROSS JOIN $tOut),
+         |$plOut AS (
+         |  SELECT list(piece ORDER BY piece) AS ps, list(cost ORDER BY piece) AS cs
+         |  FROM $costsOut)""".stripMargin
+    val ctes =
+      s"""WITH pt AS (
+         |  SELECT unnest(regexp_extract_all(text, '$pat')) AS p0 FROM documents),
+         |wn AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq, length(w)::BIGINT AS n
+         |  FROM (SELECT translate(p0, $wsFromSql, $wsToSql) AS w FROM pt)
+         |  GROUP BY w HAVING length(w) BETWEEN 2 AND ${Unigram.MaxWord}),
+         |cand AS (
+         |  SELECT unnest(flatten(list_transform(range(1, n + 1), i ->
+         |           list_transform(range(1, least(${Unigram.MaxPiece}, n - i + 1) + 1), j ->
+         |             substr(w, i::INT, j::INT))))) AS piece, freq
+         |  FROM wn),
+         |cnts AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM cand GROUP BY piece),
+         |seed AS (
+         |  SELECT piece, cnt FROM cnts WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (SELECT piece, cnt FROM cnts WHERE length(piece) >= 2
+         |                          ORDER BY cnt DESC, piece LIMIT ${Unigram.TopMulti})),
+         |tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM seed),
+         |costs0 AS (
+         |  SELECT piece, cnt, ${l2("t")} - ${l2("cnt")} AS cost
+         |  FROM seed CROSS JOIN tot0),
+         |pl0 AS (
+         |  SELECT list(piece ORDER BY piece) AS ps, list(cost ORDER BY piece) AS cs
+         |  FROM costs0),
+         |${estep("wn", "pl0", "e1")},
+         |${mstep("e1", "c1", "j1", "t1", "costs1", "pl1")},
+         |${estep("wn", "pl1", "e2")},
+         |${mstep("e2", "c2", "j2", "t2", "costs2", "pl2")}""".stripMargin
+    def top15(stage: String, c: String): String =
+      s"""SELECT * FROM (
+         |  SELECT '$stage' AS stage, piece, cnt, cost AS cost_fp FROM $c
+         |  ORDER BY cnt DESC, piece LIMIT 15)""".stripMargin
+    val train =
+      s"""$ctes
+         |${top15("seed", "costs0")}
+         |UNION ALL ${top15("em1", "costs1")}
+         |UNION ALL ${top15("em2", "costs2")}
+         |ORDER BY stage, cnt DESC, piece""".stripMargin
+    def curve(round: Int, e: String): String =
+      s"""SELECT $round AS round,
+         |  CAST(sum(freq) AS BIGINT) AS n_tokens,
+         |  CAST(sum(freq * n) AS BIGINT) AS n_chars,
+         |  CAST(sum(freq * len(pieces)) AS BIGINT) AS n_pieces,
+         |  CAST(sum(freq * best) AS BIGINT) AS cost_fp
+         |FROM $e""".stripMargin
+    val encode =
+      s"""$ctes,
+         |${estep("wn", "pl2", "e3")}
+         |${curve(0, "e1")}
+         |UNION ALL ${curve(1, "e2")}
+         |UNION ALL ${curve(2, "e3")}
+         |ORDER BY round""".stripMargin
+    (train, encode)
+  }
+
   /** The swap-tracked bigram cache for [[ccnetBuckets]]. */
   private val lastCcnetCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
@@ -2588,6 +2936,8 @@ object TextQueries {
     "tx29_quality_prune"     -> QueryDef(qualityPrune, Some(qualityPruneSql)),
     "tx30_priority_sample"   -> QueryDef(prioritySample, Some(prioritySampleSql), benchmark = true),
     "tx31_bpe_train"         -> QueryDef(bpeTrain, Some(bpeTrainSql), benchmark = true),
+    "tx35_unigram_train"     -> QueryDef(unigramTrain, Some(unigramTrainSql), benchmark = true),
+    "tx36_unigram_encode"    -> QueryDef(unigramEncode, Some(unigramEncodeSql), benchmark = true),
     "tx32_bpe_encode"        -> QueryDef(bpeEncode, Some(bpeEncodeSql), benchmark = true),
     "tx33_ccnet_buckets"     -> QueryDef(ccnetBuckets, Some(ccnetBucketsSql), benchmark = true),
     "tx34_leakage_safe_split" -> QueryDef(leakageSafeSplit, Some(leakageSafeSplitSql), benchmark = true),

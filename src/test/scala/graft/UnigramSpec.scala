@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries.Unigram
+
+/** Unigram-LM (SentencePiece) trainer internals — tx35/tx36.
+  *
+  * The cross-engine gate (tx35/tx36 vs the DuckDB oracle) pins the full
+  * chain end-to-end; these tests pin the properties a hash match alone
+  * would not localize: Viterbi path validity, the shortest-piece
+  * tie-break, the fixed-point log2 contract, and partitioning
+  * invariance of the E-step.
+  */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wordsDf(ws: (String, Long)*) =
+    ws.toSeq.toDF("w", "freq").withColumn("n", length(col("w")).cast("long"))
+
+  private def modelOf(pcs: (String, Long)*) =
+    Unigram.model(pcs.toSeq.toDF("piece", "cost"))
+
+  test("viterbi pieces concatenate back to the word; best = path cost") {
+    val words = wordsDf("hello" -> 10L, "hell" -> 5L, "lolo" -> 7L)
+    val seed = Unigram.seed(words)
+    val costs = Unigram.seedCosts(seed)
+    val costMap = costs.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val rows = Unigram.estep(words, Unigram.model(costs))
+      .select("w", "best", "pieces").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (w, best, pieces) =
+        (r.getString(0), r.getLong(1), r.getSeq[String](2))
+      assert(pieces.mkString == w, s"segmentation of $w must cover it")
+      assert(pieces.map(costMap).sum == best,
+        s"best($w) must equal the sum of its pieces' costs")
+    }
+  }
+
+  test("cost ties break to the SHORTEST piece at each position") {
+    // 'a'+'b' and 'ab' tie at 20: the smallest-j rule must pick a|b
+    val m = modelOf("a" -> 10L, "b" -> 10L, "ab" -> 20L)
+    val e = Unigram.estep(wordsDf("ab" -> 1L), m)
+      .select("best", "pieces").collect().head
+    assert(e.getLong(0) == 20L)
+    assert(e.getSeq[String](1) == Seq("a", "b"))
+    // break the tie in favor of the multi: it must now win
+    val m2 = modelOf("a" -> 10L, "b" -> 10L, "ab" -> 19L)
+    val e2 = Unigram.estep(wordsDf("ab" -> 1L), m2)
+      .select("best", "pieces").collect().head
+    assert(e2.getLong(0) == 19L && e2.getSeq[String](1) == Seq("ab"))
+  }
+
+  test("substrings missing from the model never beat seeded singles") {
+    // only singles in the model: every word falls back to characters
+    val m = modelOf("x" -> 7L, "y" -> 9L)
+    val e = Unigram.estep(wordsDf("xyx" -> 3L), m)
+      .select("best", "pieces").collect().head
+    assert(e.getSeq[String](1) == Seq("x", "y", "x") && e.getLong(0) == 23L)
+  }
+
+  test("E-step counts are invariant to input partitioning") {
+    val words = wordsDf(("abab", 4L), ("baba", 3L), ("aabb", 2L), ("bb", 9L))
+    val costs = Unigram.seedCosts(Unigram.seed(words))
+    def cnts(in: org.apache.spark.sql.DataFrame) =
+      Unigram.counts(Unigram.estep(in, Unigram.model(costs)))
+        .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(cnts(words.repartition(7)) == cnts(words.coalesce(1)))
+  }
+
+  test("l2fp is monotonic and within 0.09 bits of true log2") {
+    val got = spark.range(1, 4097)
+      .select(col("id"), expr(Unigram.l2fp("id")).as("l2"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var prev = Long.MinValue
+    got.foreach { case (x, l2) =>
+      assert(l2 >= prev, s"l2fp must be monotonic at $x")
+      prev = l2
+      val err = math.abs(l2.toDouble / Unigram.Fp - math.log(x.toDouble) / math.log(2.0))
+      assert(err <= 0.09, s"l2fp($x) off by $err bits")
+    }
+    assert(got.head._2 == 0L) // l2fp(1) = 0 exactly
+  }
+
+  test("the model crosses to the vocabulary as a broadcast, not a shuffle") {
+    val words = wordsDf("hello" -> 10L)
+    val plan = Unigram.estep(words, Unigram.model(Unigram.seedCosts(Unigram.seed(words))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "one-row model must broadcast to the vocab")
+  }
+
+  test("tx35/tx36 end-to-end on sf0.001: stages complete, EM objective falls") {
+    val train = SparkEntry.queries("tx35_unigram_train")(spark, sf0001).collect()
+    assert(train.length == 45) // 15 pieces x 3 stages
+    assert(train.map(_.getString(0)).toSet == Set("seed", "em1", "em2"))
+    val curve = SparkEntry.queries("tx36_unigram_encode")(spark, sf0001)
+      .orderBy("round").collect()
+    assert(curve.length == 3)
+    val costs = curve.map(_.getLong(4))
+    assert(costs(0) >= costs(1) && costs(1) >= costs(2),
+      "hard-EM total path cost must not increase across rounds")
+    // every stage's token count conserves: same corpus, same words
+    assert(curve.map(_.getLong(1)).distinct.length == 1)
+    assert(curve.map(_.getLong(2)).distinct.length == 1)
+  }
+}
