@@ -881,6 +881,42 @@ object TextQueries {
       |FROM documents WHERE doc_id < 200
       |ORDER BY media_id""".stripMargin
 
+  /** REAL audio decode, correctness-gated (mm08 — the audio modality
+    * beside mm07's images): one deterministic PCM16 WAV per doc
+    * ([[Multimodal.syntheticWavs]] — canonical RIFF bytes written
+    * partition-local), decoded back through the REAL JDK
+    * `javax.sound.sampled` codec ([[Multimodal.JavaSoundCodec]]) via the
+    * same batched `decodeAudioFeatures` plumbing. The gate folds the
+    * decoded PCM stream itself: channels/rate/frame-count plus the
+    * sample sum and sum of squares (the RMS-energy building block),
+    * all recomputed by the oracle from `doc_id` arithmetic alone —
+    * a DuckDB oracle cannot decode audio. PCM is lossless, so one wrong
+    * sample, endianness slip, or header misparse anywhere in the
+    * write→decode loop flips the hash. Scale shape: generate + decode
+    * fuse into one partition-local map; payload bytes never cross an
+    * exchange and never touch the driver; the only exchange is the
+    * output sort.
+    */
+  private def realAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir).documents.where(col("doc_id") < 200)
+      .select(col("doc_id").as("media_id"))
+    Multimodal.decodeAudioFeatures(Multimodal.syntheticWavs(ids),
+        Multimodal.JavaSoundCodec)
+      .select(col("media_id"), col("channels"), col("sample_rate"),
+        col("n_frames"), col("sample_sum"), col("sample_sq_sum"))
+      .orderBy(col("media_id"))
+  }
+  private val realAudioDecodeSql =
+    """SELECT doc_id AS media_id, 1 AS channels, 8000 AS sample_rate,
+      |  CAST((doc_id % 101) + 40 AS BIGINT) AS n_frames,
+      |  CAST(list_sum(list_transform(range(0, (doc_id % 101) + 40),
+      |    i -> ((doc_id * 31 + i * 17) % 2048) - 1024)) AS BIGINT) AS sample_sum,
+      |  CAST(list_sum(list_transform(range(0, (doc_id % 101) + 40),
+      |    i -> (((doc_id * 31 + i * 17) % 2048) - 1024)
+      |       * (((doc_id * 31 + i * 17) % 2048) - 1024))) AS BIGINT) AS sample_sq_sum
+      |FROM documents WHERE doc_id < 200
+      |ORDER BY media_id""".stripMargin
+
   /** DuckDB FNV-1a fold of column/expression `c` → HUGEINT in [0, 2⁶⁴)
     * (same machinery as tx04's oracle; wrap with [[fnvSignSql]] to match
     * Spark's signed bigint).
@@ -2973,6 +3009,7 @@ object TextQueries {
     "mm05_payload_dedup"     -> QueryDef(mediaDedup, Some(mediaDedupSql)),
     "mm06_aspect_buckets"    -> QueryDef(aspectBucketsQ, Some(aspectBucketsSql)),
     "mm07_real_decode"       -> QueryDef(realDecode, Some(realDecodeSql)),
+    "mm08_real_audio_decode" -> QueryDef(realAudioDecode, Some(realAudioDecodeSql)),
     "tx20_bigrams"           -> QueryDef(bigrams, Some(bigramsSql)),
     "tx21_budget_select"     -> QueryDef(budgetSelect, Some(budgetSelectSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),

@@ -112,6 +112,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("syntheticWavs → JavaSoundCodec: decoded PCM folds match the known waveform") {
+    // the mm08 loop in miniature: write a real RIFF/WAVE per id, decode it
+    // with the real javax.sound codec, and check every feature equals the
+    // id arithmetic the DuckDB oracle recomputes
+    val idVals = Seq(0L, 1L, 100L, 101L, 199L, 7777L)
+    val got = Multimodal.decodeAudioFeatures(
+        Multimodal.syntheticWavs(idVals.toDF("media_id")),
+        Multimodal.JavaSoundCodec)
+      .select($"media_id", $"channels", $"sample_rate", $"n_frames",
+        $"sample_sum", $"sample_sq_sum")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (id <- idVals) {
+      val n = (id % 101 + 40).toInt
+      val samples = (0 until n).map(i => ((id * 31 + i * 17) % 2048) - 1024)
+      val (sum, sq) = (samples.sum, samples.map(s => s * s).sum)
+      assert(got(id) == ((id, 1, 8000, n.toLong, sum, sq)), s"id=$id")
+    }
+  }
+
+  test("JavaSoundCodec tags corrupt, truncated, and empty payloads instead of throwing") {
+    val wav = Multimodal.syntheticWavs(Seq(5L).toDF("media_id"))
+      .select($"payload").as[Array[Byte]].head()
+    val corrupt = Seq(
+      Array.emptyByteArray,                       // empty
+      "not audio at all".getBytes("UTF-8"),       // garbage
+      wav.take(20),                               // truncated mid-header
+      { val b = wav.clone(); b(0) = 'X'.toByte; b } // broken magic
+    )
+    corrupt.foreach { payload =>
+      val f = Multimodal.JavaSoundCodec.decode(payload)
+      assert(f.channels == 0 && f.nFrames == 0L && f.sampleSum == 0L,
+        "undecodable audio must tag, not throw")
+    }
+    // a real decode through the same seam still works after the corrupt ones
+    assert(Multimodal.JavaSoundCodec.decode(wav).nFrames == (5L % 101 + 40))
+  }
+
   test("resize caps the longest side, preserves aspect, never hits 0") {
     val decoded = Seq(
       (1L, 640, 480),  // downscale: 320×240
