@@ -2517,12 +2517,15 @@ object TextQueries {
       * occurrence-weighted substring counts (every occurrence counts).
       */
     def seed(words: DataFrame): DataFrame = {
-      val cnts = words.select(explode(expr(
+      // lineage-cut the substring rollup: the union below consumes it
+      // twice, and every downstream stage re-embeds the seed — without
+      // the cut the candidate explosion re-runs per consumer
+      val cnts = graft.operators.Dedup.ckpt(words.select(explode(expr(
           s"""flatten(transform(sequence(1, n), i ->
              |  transform(sequence(cast(1 as bigint), least(cast($MaxPiece as bigint), n - i + 1)),
              |    j -> substring(w, cast(i as int), cast(j as int)))))""".stripMargin)).as("piece"),
           col("freq"))
-        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt")))
       cnts.where(length(col("piece")) === 1).unionAll(
         cnts.where(length(col("piece")) >= 2)
           .orderBy(col("cnt").desc, col("piece")).limit(TopMulti))
@@ -2615,12 +2618,22 @@ object TextQueries {
     val esteps = Seq.newBuilder[DataFrame]
     costStages += costs
     for (_ <- 1 to rounds) {
-      val e = Unigram.estep(w, Unigram.model(costs))
+      // lineage-cut each E-step (Dedup.ckpt: lazy localCheckpoint, or a
+      // reliable checkpoint under spark.graft.checkpoint.dir): the
+      // Viterbi DP is interpreted higher-order-function work whose
+      // expression tree is large, so without the cut (a) every stage's
+      // plan embeds the whole upstream chain and Catalyst re-plans it
+      // per action, and (b) the M-step counts AND tx36's curve aggregate
+      // each re-run the same DP pass — measured 17 s -> the cut makes
+      // each pass materialize exactly once (bench note in SCALING.md)
+      val e = graft.operators.Dedup.ckpt(
+        Unigram.estep(w, Unigram.model(costs)))
       esteps += e
       costs = Unigram.emCosts(sd, Unigram.counts(e))
       costStages += costs
     }
-    esteps += Unigram.estep(w, Unigram.model(costs))
+    esteps += graft.operators.Dedup.ckpt(
+      Unigram.estep(w, Unigram.model(costs)))
     (costStages.result(), esteps.result())
   }
 
