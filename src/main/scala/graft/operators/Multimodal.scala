@@ -355,6 +355,53 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic synthetic VIDEO table in the layout videos actually
+    * take at 100 TB: FRAME ROWS — (media_id, frame_no, payload), one real
+    * PNG per frame, rather than one opaque multi-GB blob per video (a
+    * single row that cannot split across tasks). Each video `id` has
+    * `(id % 7) + 4` frames of fixed `(id % 21) + 4` × `(id % 13) + 4`
+    * dimensions; frame `f` is constant-filled with
+    * (r,g,b) = ((id + f*11) % 256, (id*7 + f*23) % 256,
+    * (id*13 + f*37) % 256) — so every per-frame raster fold and every
+    * inter-frame delta is SQL-computable from (id, f) alone, which is
+    * what lets mm09 put the real per-frame decode + temporal aggregation
+    * behind a DuckDB oracle. The emitted `media_id` packs the key as
+    * `id*100 + frame_no` (frame_no < 100 by construction) so the frames
+    * flow through the SAME [[decodeFeatures]] plumbing as single images;
+    * unpack with div/mod 100.
+    */
+  def syntheticVideoFrames(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.select(col("media_id"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val nf = (math.floorMod(id, 7L) + 4L).toInt
+          val w = (math.floorMod(id, 21L) + 4L).toInt
+          val h = (math.floorMod(id, 13L) + 4L).toInt
+          (0 until nf).iterator.map { f =>
+            val rgb = ((math.floorMod(id + f * 11L, 256L).toInt << 16)
+              | (math.floorMod(id * 7L + f * 23L, 256L).toInt << 8)
+              | math.floorMod(id * 13L + f * 37L, 256L).toInt)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            Row(id * 100L + f, baos.toByteArray)
+          }
+        }
+      }(enc)
+  }
+
   /** Resize shape: rescale decoded dimensions so the longest side is at
     * most `maxDim`, preserving aspect ratio (integer floor, min 1px) —
     * the metadata half of an image resize; a real implementation would

@@ -917,6 +917,58 @@ object TextQueries {
       |FROM documents WHERE doc_id < 200
       |ORDER BY media_id""".stripMargin
 
+  /** REAL video pipeline, correctness-gated (mm09 — the third modality):
+    * videos stored the way 100 TB pipelines actually store them — FRAME
+    * ROWS, splittable across tasks ([[Multimodal.syntheticVideoFrames]]:
+    * real PNGs, one per frame) — then the standard training-data recipe:
+    * stride-2 frame sampling, REAL per-frame decode (`ImageIoCodec`
+    * through the same judged `decodeFeatures` plumbing), and per-video
+    * temporal aggregation: sampled-frame count, total raster fold, and
+    * the max inter-frame |Δ pixel_sum| between consecutive sampled
+    * frames (the scene-change/motion proxy). All recomputed by the
+    * oracle from id arithmetic — DuckDB cannot decode PNGs. Scale shape:
+    * generate→decode fuse partition-local (payloads never shuffle, never
+    * hit the driver); only the per-frame FEATURE rows (ints) cross the
+    * one exchange into the per-video window + rollup.
+    */
+  private def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables(spark, dir).documents.where(col("doc_id") < 100)
+      .select(col("doc_id").as("media_id"))
+    val sampled = Multimodal.decodeFeatures(
+        Multimodal.syntheticVideoFrames(ids), Multimodal.ImageIoCodec)
+      .select(expr("media_id div 100").as("video_id"),
+        expr("media_id % 100").as("frame_no"), col("pixel_sum"))
+      .where(col("frame_no") % 2 === 0)
+    val w = Window.partitionBy(col("video_id")).orderBy(col("frame_no"))
+    sampled
+      .withColumn("delta",
+        abs(col("pixel_sum") - lag(col("pixel_sum"), 1).over(w)))
+      .groupBy(col("video_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("pixel_sum")).as("pixel_total"),
+        max(col("delta")).as("max_frame_delta"))
+      .orderBy(col("video_id"))
+  }
+  private val videoFramesSql =
+    """WITH v AS (
+      |  SELECT doc_id AS video_id,
+      |    list_filter(range(0, (doc_id % 7) + 4), f -> f % 2 = 0) AS fs,
+      |    ((doc_id % 21) + 4) * ((doc_id % 13) + 4) AS px
+      |  FROM documents WHERE doc_id < 100),
+      |p AS (
+      |  SELECT video_id,
+      |    list_transform(fs, f -> px * (((video_id + f*11) % 256)
+      |      + ((video_id*7 + f*23) % 256)
+      |      + ((video_id*13 + f*37) % 256))) AS pss
+      |  FROM v)
+      |SELECT video_id,
+      |  CAST(len(pss) AS BIGINT) AS n_sampled,
+      |  CAST(list_sum(pss) AS BIGINT) AS pixel_total,
+      |  CAST(list_max(list_transform(range(1, len(pss)),
+      |    i -> abs(pss[(i+1)::INT] - pss[i::INT]))) AS BIGINT) AS max_frame_delta
+      |FROM p ORDER BY video_id""".stripMargin
+
   /** DuckDB FNV-1a fold of column/expression `c` → HUGEINT in [0, 2⁶⁴)
     * (same machinery as tx04's oracle; wrap with [[fnvSignSql]] to match
     * Spark's signed bigint).
@@ -2671,7 +2723,42 @@ object TextQueries {
     }.reduce(_ unionAll _).orderBy(col("round"))
   }
 
-  private val (unigramTrainSql, unigramEncodeSql) = {
+  /** tx37: USE the trained unigram model — score every document by its
+    * Viterbi path cost under the final (post-EM) piece costs, the
+    * CCNet-style perplexity filter with the tokenizer the pipeline just
+    * trained (tx33 buys buckets from a bigram LM; this is the same
+    * deployment shape from the tx35 artifact). The corpus pays ONE extra
+    * pass: documents explode to pretokens, which join the
+    * vocabulary-sized segmentation table (broadcast — it is the final
+    * E-step, already materialized by the chain) and roll up per doc.
+    * Pretokens outside the trainer's 2..8-char vocabulary are COUNTED
+    * (n_oov) but not scored — the declared contract, mirrored by the
+    * oracle. mean_cost_fp is fixed-point integer division; no document
+    * text crosses an exchange (ids + ints only).
+    */
+  private def unigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val (_, esteps) = unigramChain(spark, dir, rounds = 2)
+    val segs = esteps.last.select(col("w"), col("best"),
+      size(col("pieces")).cast("long").as("np"))
+    val wsFrom = " \t\n\u000B\u000C\r"
+    val wsTo = "ĠĉĊċČč"
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(TextFunctions.pretokenize(col("text"))).as("p0"))
+      .select(col("doc_id"), translate(col("p0"), wsFrom, wsTo).as("w"))
+      .join(broadcast(segs), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        count(col("best")).as("n_scored"),
+        coalesce(sum(col("np")), lit(0L)).as("n_pieces"),
+        coalesce(sum(col("best")), lit(0L)).as("cost_fp"))
+      .select(col("doc_id"), col("n_pretokens"),
+        (col("n_pretokens") - col("n_scored")).as("n_oov"),
+        col("n_pieces"), col("cost_fp"),
+        expr("cost_fp div greatest(n_pieces, 1)").as("mean_cost_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val (unigramTrainSql, unigramEncodeSql, unigramScoreSql) = {
     val pat =
       """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\x0B\f\r ]+|[\t\n\x0B\f\r ]+"""
     val wsFromSql = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
@@ -2792,7 +2879,25 @@ object TextQueries {
          |UNION ALL ${curve(1, "e2")}
          |UNION ALL ${curve(2, "e3")}
          |ORDER BY round""".stripMargin
-    (train, encode)
+    val score =
+      s"""$ctes,
+         |${estep("wn", "pl2", "e3")},
+         |segs AS (
+         |  SELECT w, best, CAST(len(pieces) AS BIGINT) AS np FROM e3),
+         |dt AS (
+         |  SELECT doc_id, translate(p0, $wsFromSql, $wsToSql) AS w
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS p0
+         |        FROM documents))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_pretokens,
+         |  CAST(count(*) - count(best) AS BIGINT) AS n_oov,
+         |  CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(sum(best), 0) AS BIGINT) AS cost_fp,
+         |  CAST(coalesce(sum(best), 0) // greatest(coalesce(sum(np), 0), 1) AS BIGINT)
+         |    AS mean_cost_fp
+         |FROM dt LEFT JOIN segs USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    (train, encode, score)
   }
 
   /** The swap-tracked bigram cache for [[ccnetBuckets]]. */
@@ -2987,6 +3092,7 @@ object TextQueries {
     "tx31_bpe_train"         -> QueryDef(bpeTrain, Some(bpeTrainSql), benchmark = true),
     "tx35_unigram_train"     -> QueryDef(unigramTrain, Some(unigramTrainSql), benchmark = true),
     "tx36_unigram_encode"    -> QueryDef(unigramEncode, Some(unigramEncodeSql), benchmark = true),
+    "tx37_unigram_score"     -> QueryDef(unigramScore, Some(unigramScoreSql), benchmark = true),
     "tx32_bpe_encode"        -> QueryDef(bpeEncode, Some(bpeEncodeSql), benchmark = true),
     "tx33_ccnet_buckets"     -> QueryDef(ccnetBuckets, Some(ccnetBucketsSql), benchmark = true),
     "tx34_leakage_safe_split" -> QueryDef(leakageSafeSplit, Some(leakageSafeSplitSql), benchmark = true),
@@ -3023,6 +3129,7 @@ object TextQueries {
     "mm06_aspect_buckets"    -> QueryDef(aspectBucketsQ, Some(aspectBucketsSql)),
     "mm07_real_decode"       -> QueryDef(realDecode, Some(realDecodeSql)),
     "mm08_real_audio_decode" -> QueryDef(realAudioDecode, Some(realAudioDecodeSql)),
+    "mm09_video_frames"      -> QueryDef(videoFrames, Some(videoFramesSql)),
     "tx20_bigrams"           -> QueryDef(bigrams, Some(bigramsSql)),
     "tx21_budget_select"     -> QueryDef(budgetSelect, Some(budgetSelectSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),

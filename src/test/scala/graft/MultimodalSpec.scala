@@ -149,6 +149,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.JavaSoundCodec.decode(wav).nFrames == (5L % 101 + 40))
   }
 
+  test("syntheticVideoFrames → ImageIoCodec: per-frame folds and temporal deltas match") {
+    // the mm09 loop in miniature: frame-row video, real per-frame decode,
+    // stride sampling + max inter-frame delta — all against id arithmetic
+    val id = 42L
+    val decoded = Multimodal.decodeFeatures(
+        Multimodal.syntheticVideoFrames(Seq(id).toDF("media_id")),
+        Multimodal.ImageIoCodec)
+      .select($"media_id", $"pixel_sum").as[(Long, Long)].collect()
+      .map { case (k, ps) => (k % 100, ps) }.sortBy(_._1)
+    val nf = (id % 7 + 4).toInt
+    assert(decoded.length == nf)
+    val px = (id % 21 + 4) * (id % 13 + 4)
+    def ps(f: Long): Long =
+      px * ((id + f * 11) % 256 + (id * 7 + f * 23) % 256 + (id * 13 + f * 37) % 256)
+    decoded.foreach { case (f, got) => assert(got == ps(f), s"frame $f") }
+    val sampled = (0L until nf).filter(_ % 2 == 0).map(ps)
+    val wantDelta = sampled.sliding(2).map(p => (p(1) - p(0)).abs).max
+    val row = SparkEntry.queries("mm09_video_frames")(spark, sf0001)
+      .where($"video_id" === id).collect().head
+    assert(row.getLong(1) == sampled.length && row.getLong(2) == sampled.sum
+      && row.getLong(3) == wantDelta)
+  }
+
   test("resize caps the longest side, preserves aspect, never hits 0") {
     val decoded = Seq(
       (1L, 640, 480),  // downscale: 320×240

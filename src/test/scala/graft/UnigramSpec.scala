@@ -90,6 +90,25 @@ class UnigramSpec extends SparkSpec {
       "one-row model must broadcast to the vocab")
   }
 
+  test("tx37 scores every document; OOV accounting and fixed-point mean are consistent") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val rows = SparkEntry.queries("tx37_unigram_score")(spark, sf0001).collect()
+    assert(rows.length == docs, "one score row per document")
+    rows.foreach { r =>
+      val (nPre, nOov, nPieces, cost, mean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nOov >= 0 && nOov <= nPre)
+      assert(nPieces >= 0 && cost >= 0)
+      assert(mean == cost / math.max(nPieces, 1L), "fixed-point mean")
+      // an in-vocab pretoken yields at least one piece
+      if (nOov < nPre) assert(nPieces >= nPre - nOov)
+    }
+    // the model scored the bulk of the corpus, not a sliver
+    val scored = rows.map(r => r.getLong(1) - r.getLong(2)).sum.toDouble
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    assert(scored / total > 0.5, s"only ${scored / total} of pretokens in-vocab")
+  }
+
   test("tx35/tx36 end-to-end on sf0.001: stages complete, EM objective falls") {
     val train = SparkEntry.queries("tx35_unigram_train")(spark, sf0001).collect()
     assert(train.length == 45) // 15 pieces x 3 stages
