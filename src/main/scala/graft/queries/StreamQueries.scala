@@ -853,7 +853,53 @@ object StreamQueries {
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
+  /** st23: streaming MEDIA ingestion + real decode — the modality
+    * pipeline under micro-batch execution. The media generate→decode
+    * pair ([[graft.operators.Multimodal.syntheticWavs]] →
+    * `decodeAudioFeatures` with the real `javax.sound` codec) is
+    * STATELESS partition-local mapPartitions, so it runs unchanged on a
+    * stream: payload bytes exist only inside the task that decodes them
+    * (never in state, never across an exchange, never at the driver),
+    * and the only stateful operator is the final per-shard rollup of
+    * integer features. That is the 100 TB ingestion shape: continuous
+    * media arrival needs ZERO streaming state beyond the running
+    * aggregate. Oracle: the same per-shard totals from doc_id
+    * arithmetic (the mm08 waveform contract) over the batch table.
+    */
+  private def streamMediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
+      .where(col("doc_id") < 200).select(col("doc_id").as("media_id"))
+    val feats = graft.operators.Multimodal.decodeAudioFeatures(
+      graft.operators.Multimodal.syntheticWavs(src),
+      graft.operators.Multimodal.JavaSoundCodec)
+    val agg = feats.groupBy(expr("media_id % 8").as("shard"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_frames")).as("n_frames"),
+        sum(col("sample_sum")).as("sample_sum"),
+        sum(col("sample_sq_sum")).as("sample_sq_sum"))
+    StreamOps.runToMemory(spark, agg,
+        s"graft_stream_media_${System.nanoTime()}")
+      .orderBy(col("shard"))
+  }
+  private val streamMediaDecodeSql =
+    """WITH f AS (
+      |  SELECT doc_id % 8 AS shard,
+      |    (doc_id % 101) + 40 AS nf,
+      |    list_sum(list_transform(range(0, (doc_id % 101) + 40),
+      |      i -> ((doc_id * 31 + i * 17) % 2048) - 1024)) AS ss,
+      |    list_sum(list_transform(range(0, (doc_id % 101) + 40),
+      |      i -> (((doc_id * 31 + i * 17) % 2048) - 1024)
+      |         * (((doc_id * 31 + i * 17) % 2048) - 1024))) AS sq
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT shard,
+      |  CAST(count(*) AS BIGINT) AS n_media,
+      |  CAST(sum(nf) AS BIGINT) AS n_frames,
+      |  CAST(sum(ss) AS BIGINT) AS sample_sum,
+      |  CAST(sum(sq) AS BIGINT) AS sample_sq_sum
+      |FROM f GROUP BY shard ORDER BY shard""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st23_stream_media_decode" -> QueryDef(streamMediaDecode, Some(streamMediaDecodeSql)),
     "st22_stream_index_dedup" -> QueryDef(streamIndexDedup, Some(TextQueries.dedupIncrementalSql), benchmark = true),
     "st21_stream_sample"     -> QueryDef(streamSample, Some(TextQueries.prioritySampleSql), benchmark = true),
     "st20_stream_ewma"       -> QueryDef(streamEwma, Some(streamEwmaSql), benchmark = true),

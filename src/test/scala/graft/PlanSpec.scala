@@ -429,6 +429,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("REQUIRED_BY_STATEFUL_OPERATOR"), p)
   }
 
+  test("st23: streaming media decode carries NO state beyond the rollup") {
+    // the modality claim: generate→decode is stateless partition-local
+    // mapPartitions, so the micro-batch plan's only stateful operator is
+    // the running aggregate — no dedup/session/flatMapGroups state, and
+    // payload bytes never enter a stateful operator
+    SparkEntry.queries("st23_stream_media_decode")(spark, sf0001).collect()
+    import scala.jdk.CollectionConverters._
+    val plans = graft.streaming.StreamOps.lastStreamingPlans.asScala
+      .filter(_._1.startsWith("graft_stream_media"))
+    assert(plans.nonEmpty, "no captured micro-batch plan for st23")
+    val p = plans.values.last
+    assert(p.contains("StateStoreSave"), p) // the rollup, and only it
+    for (stateful <- Seq("StreamingDeduplicate", "SessionWindowStateStore",
+        "FlatMapGroupsWithState", "TransformWithState", "StreamingSymmetricHashJoin"))
+      assert(!p.contains(stateful), s"unexpected stateful operator $stateful in:\n$p")
+    // decode runs below the first exchange: the map-side partial
+    // aggregate consumes the decoded features directly
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p)
+  }
+
   test("fan-out pruning: no round-robin exchange feeds a shuffle consumer") {
     // PruneShuffledFanOut must remove the fixture fan-out repartition when
     // the first operation over the scan is itself shuffle-inducing: a
