@@ -2713,11 +2713,14 @@ object TextQueries {
   private def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
     val (_, esteps) = unigramChain(spark, dir, rounds = 2)
     esteps.zipWithIndex.map { case (e, i) =>
+      // coalesce to 0: an empty EM vocabulary (empty corpus, or one with
+      // no 2..8-char pretokens) still reports the fixed rounds, as zeros
       e.agg(
-        sum(col("freq")).as("n_tokens"),
-        sum(col("freq") * col("n")).as("n_chars"),
-        sum(col("freq") * size(col("pieces")).cast("long")).as("n_pieces"),
-        sum(col("freq") * col("best")).as("cost_fp"))
+        coalesce(sum(col("freq")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("freq") * col("n")), lit(0L)).as("n_chars"),
+        coalesce(sum(col("freq") * size(col("pieces")).cast("long")), lit(0L))
+          .as("n_pieces"),
+        coalesce(sum(col("freq") * col("best")), lit(0L)).as("cost_fp"))
         .select(lit(i).as("round"), col("n_tokens"), col("n_chars"),
           col("n_pieces"), col("cost_fp"))
     }.reduce(_ unionAll _).orderBy(col("round"))
@@ -2867,10 +2870,10 @@ object TextQueries {
          |ORDER BY stage, cnt DESC, piece""".stripMargin
     def curve(round: Int, e: String): String =
       s"""SELECT $round AS round,
-         |  CAST(sum(freq) AS BIGINT) AS n_tokens,
-         |  CAST(sum(freq * n) AS BIGINT) AS n_chars,
-         |  CAST(sum(freq * len(pieces)) AS BIGINT) AS n_pieces,
-         |  CAST(sum(freq * best) AS BIGINT) AS cost_fp
+         |  CAST(coalesce(sum(freq), 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(freq * n), 0) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(sum(freq * len(pieces)), 0) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(sum(freq * best), 0) AS BIGINT) AS cost_fp
          |FROM $e""".stripMargin
     val encode =
       s"""$ctes,

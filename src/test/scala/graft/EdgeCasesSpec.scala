@@ -49,6 +49,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(enc == Seq((0, "", 8L), (1, "a b", 5L), (2, "Ġ ab", 3L)), enc.toString)
   }
 
+  test("tx35/tx36/tx37 on empty or vocab-less corpora: fixed rounds, zeros, no errors") {
+    // empty corpus: no pieces to learn — training emits no stages,
+    // the fixed-round compression curve reports zeros, scoring no docs
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni_empty").toString
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.allDefs("tx35_unigram_train").fn(spark, dir).count() == 0)
+    val enc = SparkEntry.allDefs("tx36_unigram_encode").fn(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(enc.toSeq == Seq((0, 0L, 0L, 0L), (1, 0L, 0L, 0L), (2, 0L, 0L, 0L)))
+    assert(SparkEntry.allDefs("tx37_unigram_score").fn(spark, dir).count() == 0)
+    // a corpus whose pretokens are ALL outside the 2..8-char trainer
+    // window (single chars): the EM vocabulary is empty, but scoring
+    // still reports every document — all pretokens OOV, zero cost
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_uni_oov").toString
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(2)
+      .withColumn("text", lit("x\ny"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    assert(SparkEntry.allDefs("tx35_unigram_train").fn(spark, dir2).count() == 0)
+    val score = SparkEntry.allDefs("tx37_unigram_score").fn(spark, dir2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(score.length == 2)
+    score.foreach { case (nPre, nOov, nPieces, mean) =>
+      assert(nPre == 3 && nOov == 3 && nPieces == 0L && mean == 0L)
+    }
+  }
+
   test("dedup operators on an empty corpus return empty, not errors") {
     assert(Dedup.exact(emptyDocs).count() == 0)
     assert(Dedup.exactByHash(emptyDocs).count() == 0)
