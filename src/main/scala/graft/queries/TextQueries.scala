@@ -1205,6 +1205,64 @@ object TextQueries {
       |  CAST((w * 10000000) // (SELECT sum(w) FROM w) AS BIGINT) AS budget_tokens
       |FROM w ORDER BY source""".stripMargin
 
+  /** Temperature-based multilingual sampling at ARBITRARY α (tx38 —
+    * Conneau et al. 2020 / XLM-R, α = 0.3; mT5 uses the same scheme):
+    * q_l ∝ p_l^α upweights low-resource languages. tx23's sqrt trick
+    * only reaches α = 0.5; general α needs pow, which this computes in
+    * PURE INTEGERS so the gate stays bit-exact: n^α = 2^(α·log2 n) via
+    * the [[Unigram.l2fp]] fixed-point log2 (linear interpolation, bin()
+    * msb) and its inverse — a fixed-point exp2 with the same
+    * interpolation: for t ≥ 0 in 2²⁰ ticks, 2^(-t) ≈ 2²⁰·2²⁰ div
+    * ((2²⁰ + frac(t)) << int(t)). Both halves are monotonic, so the α
+    * ordering is exact even where the lerp loses absolute precision;
+    * every intermediate stays positive (w ∝ 2^(-α·(log2 N − log2 n_l)))
+    * because Spark `div` truncates toward zero while DuckDB `//` floors
+    * — a NEGATIVE division anywhere would silently diverge cross-engine.
+    * Shape: one corpus pass into a lang-bounded rollup; the two 1-row
+    * totals broadcast back (the tx23 convention).
+    */
+  private def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val fp = "1048576" // 2^20 ticks
+    val per = Tables(spark, dir).documents
+      .select(col("lang"), TextFunctions.tokenCount(col("text")).as("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val weighted = per
+      .crossJoin(broadcast(per.agg(sum(col("n_tokens")).as("nn"))))
+      .withColumn("d", expr(s"${Unigram.l2fp("nn")} - ${Unigram.l2fp("n_tokens")}"))
+      .withColumn("t3", expr("(3 * d) div 10")) // α = 0.3
+      .withColumn("w", expr(
+        s"($fp * ${fp}L) div (($fp + t3 % $fp) * shiftleft(cast(1 as bigint), cast(t3 div $fp as int)))"))
+    weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("w")).as("wt"))))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000L) div nn").as("raw_ppm"),
+        expr("(w * 1000000L) div wt").as("share_ppm"))
+      .orderBy(col("lang"))
+  }
+  private val temperatureMixSql = {
+    def l2(x: String): String =
+      s"(((length(bin($x)) - 1) * 1048576) + ((($x) * 1048576) // (1::BIGINT << (length(bin($x)) - 1))) - 1048576)"
+    s"""WITH per AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) END) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nn FROM per),
+       |wtab AS (
+       |  SELECT lang, n_docs, n_tokens, nn,
+       |    (1048576 * 1048576::BIGINT) //
+       |      ((1048576 + t3 % 1048576) * (1::BIGINT << (t3 // 1048576)::INT)) AS w
+       |  FROM (SELECT *, (3 * (${l2("nn")} - ${l2("n_tokens")})) // 10 AS t3
+       |        FROM per CROSS JOIN tot)),
+       |wtot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM wtab)
+       |SELECT lang, n_docs, n_tokens,
+       |  CAST((n_tokens * 1000000) // nn AS BIGINT) AS raw_ppm,
+       |  CAST((w * 1000000) // wt AS BIGINT) AS share_ppm
+       |FROM wtab CROSS JOIN wtot ORDER BY lang""".stripMargin
+  }
+
   /** Class-balanced deterministic downsampling: every language is cut to
     * the size of the smallest class, keeping the docs with the lowest
     * (fnv64(text), doc_id) rank — a content-hash ranking, so the selected
@@ -3152,5 +3210,6 @@ object TextQueries {
     "tx22_split_assign"      -> QueryDef(splitAssign, Some(splitAssignSql)),
     "tx24_countmin"          -> QueryDef(countMin, Some(countMinSql)),
     "tx23_mixture_weights"   -> QueryDef(mixtureWeights, Some(mixtureWeightsSql)),
+    "tx38_temperature_mix"   -> QueryDef(temperatureMix, Some(temperatureMixSql)),
   )
 }

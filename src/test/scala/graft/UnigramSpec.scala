@@ -90,6 +90,24 @@ class UnigramSpec extends SparkSpec {
       "one-row model must broadcast to the vocab")
   }
 
+  test("tx38 temperature sampling flattens shares monotonically (α = 0.3)") {
+    val rows = SparkEntry.queries("tx38_temperature_mix")(spark, sf0001)
+      .select("lang", "n_tokens", "raw_ppm", "share_ppm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length >= 2)
+    val mean = 1000000L / rows.length
+    rows.foreach { case (lang, _, raw, share) =>
+      // α < 1 pulls every share toward uniform: above-mean shrink,
+      // below-mean grow (never crossing to the other side of raw)
+      if (raw > mean) assert(share < raw, s"$lang above-mean must shrink")
+      if (raw < mean) assert(share > raw, s"$lang below-mean must grow")
+    }
+    // the fixed-point pow is monotonic: size order is preserved
+    val bySize = rows.sortBy(_._2).map(_._1).toSeq
+    val byShare = rows.sortBy(_._4).map(_._1).toSeq
+    assert(bySize == byShare, "α-weighting must preserve the size ordering")
+  }
+
   test("tx37 scores every document; OOV accounting and fixed-point mean are consistent") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
     val rows = SparkEntry.queries("tx37_unigram_score")(spark, sf0001).collect()
