@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{HashExprs, TextFunctions}
 
@@ -701,26 +701,35 @@ object Dedup {
     ckptPinIdx += 1
   }
 
-  private[graft] def ckpt(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
+  /** The reliable-checkpoint dispatch shared by [[ckpt]] and
+    * `Graph.snapshot`: when `spark.graft.checkpoint.dir` is set, point
+    * the context at it and return true. setCheckpointDir stores a
+    * scheme-qualified dir/<random-UUID> path, so compare by substring
+    * (Option element-equality never matched and re-ran setCheckpointDir
+    * — a fresh UUID dir per round). ONE copy: the guard's false-positive
+    * hazard (an unrelated current checkpoint path containing `dir` as a
+    * substring skips the re-point) must not need fixing twice.
+    */
+  private[graft] def reliableCheckpointing(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.checkpoint.dir") match {
       case Some(dir) =>
-        // setCheckpointDir stores a scheme-qualified dir/<random-UUID> path,
-        // so compare by substring (Option element-equality never matched and
-        // re-ran setCheckpointDir — a fresh UUID dir per round)
         if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
           spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
+        true
+      case None => false
+    }
+
+  private[graft] def ckpt(df: DataFrame): DataFrame =
+    if (reliableCheckpointing(df.sparkSession)) df.checkpoint()
+    else {
       // lazy: the caller's next action (the per-round stats aggregate)
       // both computes the round and caches its blocks — one job instead of
       // a materialize-then-aggregate pair per round. Loops with NO
       // per-round action need eager snapshots AND explicit block release —
       // that shape lives in Graph.kCore's `snapshot` helper, not here.
-      case None =>
-        pinPlan(df.queryExecution.executedPlan)
-        df.localCheckpoint(eager = false)
+      pinPlan(df.queryExecution.executedPlan)
+      df.localCheckpoint(eager = false)
     }
-  }
 
   /** Connected components by ALTERNATING large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",

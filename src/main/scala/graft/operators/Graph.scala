@@ -80,44 +80,41 @@ object Graph {
     * underlying RDD is captured for explicit unpersist once the next
     * round lands.
     */
-  private def snapshot(df: DataFrame): (DataFrame, () => Unit) = {
-    val spark = df.sparkSession
-    spark.conf.getOption("spark.graft.checkpoint.dir") match {
-      case Some(dir) =>
-        // the cluster posture (same dispatch as Dedup.ckpt): reliable
-        // checkpoint files survive executor loss over a multi-round job;
-        // nothing to release — durability is the point. setCheckpointDir
-        // appends a UUID dir, so compare by substring (Dedup.ckpt note).
-        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
-          spark.sparkContext.setCheckpointDir(dir)
-        (df.checkpoint(), () => ())
-      case None =>
-        val d = df.localCheckpoint(eager = true)
-        val rdds = d.queryExecution.analyzed.collect {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-        }
-        (d, () => rdds.foreach(_.unpersist(false)))
+  private def snapshot(df: DataFrame): (DataFrame, () => Unit) =
+    // the cluster posture (Dedup.reliableCheckpointing — one shared
+    // dispatch): reliable checkpoint files survive executor loss over a
+    // multi-round job; nothing to release — durability is the point
+    if (Dedup.reliableCheckpointing(df.sparkSession)) (df.checkpoint(), () => ())
+    else {
+      val d = df.localCheckpoint(eager = true)
+      val rdds = d.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      (d, () => rdds.foreach(_.unpersist(false)))
     }
-  }
 
-  /** Estimated broadcast bytes per survivor row (one Long key + unsafe-row
-    * overhead) — sizes the [[peelOnce]] gate against
-    * `spark.sql.autoBroadcastJoinThreshold`.
+  /** Estimated broadcast bytes per survivor row, sizing the [[peelOnce]]
+    * gate against `spark.sql.autoBroadcastJoinThreshold`. A broadcast
+    * LongHashedRelation costs well more than the 8-byte key — unsafe-row
+    * envelope plus hash-table slots land at ~40-80 B/row — so 48 is the
+    * conservative mid-estimate; 16 (the old value) admitted node sets
+    * whose real footprint overshot the configured threshold 3-5×
+    * (review finding r9).
     */
-  private[graft] val KCoreNodeBytes = 16L
+  private[graft] val KCoreNodeBytes = 48L
 
   /** One peeling round: drop every edge with an endpoint of degree < k.
-    * `nKeep` is the exact survivor count (from the caller's stats probe);
-    * the survivor side broadcasts only while `nKeep × 16 B` fits the
-    * session's autoBroadcastJoinThreshold (disabled thresholds ≤ 0 never
+    * `keep` is the survivor node set and `nKeep` its exact count (both
+    * from the caller's per-round degree snapshot — ONE degree aggregate
+    * feeds the stats, the gate, and this join); the survivor side
+    * broadcasts only while `nKeep × KCoreNodeBytes` fits the session's
+    * autoBroadcastJoinThreshold (disabled thresholds ≤ 0 never
     * broadcast), else it joins as a plain sort-merge join — the giant-
     * graph shape where collecting the node set would OOM the driver.
     * Factored out so GraphSpec can assert both physical shapes.
     */
   private[graft] def peelOnce(
-      spark: SparkSession, e: DataFrame, k: Int, nKeep: Long): DataFrame = {
-    val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .where(col("deg") >= k).select(col("src").as("node"))
+      spark: SparkSession, e: DataFrame, keep: DataFrame, nKeep: Long): DataFrame = {
     val thresh = broadcastThresholdBytes(spark)
     // both filters reference the IDENTICAL survivor subplan, so under the
     // gate the broadcast builds once per round and the edge set never
@@ -130,6 +127,16 @@ object Graph {
       .join(kb, col("dst") === col("node")).drop("node")
       .select(col("src"), col("dst"))
   }
+
+  /** Spec-facing form: derives the survivor set from the edges (pays a
+    * degree aggregate; [[kCore]]'s loop passes the snapshotted one).
+    */
+  private[graft] def peelOnce(
+      spark: SparkSession, e: DataFrame, k: Int, nKeep: Long): DataFrame =
+    peelOnce(spark, e,
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("node")),
+      nKeep)
 
   /** The session's autoBroadcastJoinThreshold in bytes (handles both the
     * plain-number and byte-suffixed ("10MB") spellings; ≤ 0 = disabled).
@@ -161,22 +168,27 @@ object Graph {
     var round = 1
     var converged = false
     while (round <= rounds && !converged) {
-      // ONE stats job over the cached snapshot: total distinct endpoints
-      // (the edge list is bidirectional, so src covers every node) and
-      // survivors, from the same map-side-combinable degree aggregate.
-      // The exact survivor count feeds peelOnce's broadcast gate; equal
-      // counts mean NO node fell this round, so the filter is an
-      // identity, the fixed point is reached, and the remaining peels —
-      // identities too — are skipped with a bit-identical result.
-      val st = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .agg(count(lit(1)).as("n_nodes"),
-          count_if(col("deg") >= k).as("n_keep")).head()
+      // ONE degree aggregate per round, snapshotted (node-sized): it
+      // feeds the stats probe, the broadcast gate, AND peelOnce's
+      // survivor join — the edge snapshot is scanned twice per round
+      // (degrees + join), not three times (review finding r9). Total
+      // distinct endpoints = aggregate rows (the edge list is
+      // bidirectional, so src covers every node); equal counts mean NO
+      // node fell this round, so the filter is an identity, the fixed
+      // point is reached, and the remaining peels — identities too —
+      // are skipped with a bit-identical result.
+      val (deg, degRelease) =
+        snapshot(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      val st = deg.agg(count(lit(1)).as("n_nodes"),
+        count_if(col("deg") >= k).as("n_keep")).head()
       val nNodes = st.getLong(0)
       val nKeep = st.getLong(1)
-      if (nKeep == nNodes) converged = true
+      if (nKeep == nNodes) { degRelease(); converged = true }
       else {
+        val keep = deg.where(col("deg") >= k).select(col("src").as("node"))
         val (next, nextRelease) =
-          snapshot(peelOnce(spark, e, k, nKeep))
+          snapshot(peelOnce(spark, e, keep, nKeep))
+        degRelease()
         release()
         e = next; release = nextRelease
         round += 1

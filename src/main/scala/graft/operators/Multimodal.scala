@@ -192,6 +192,24 @@ object Multimodal {
     * decoded raster is bit-equal to the fill); payload bytes never touch
     * the driver and no shuffle is introduced — the generator is a map.
     */
+  /** Render one constant-fill PNG — the shared encoder behind
+    * [[syntheticPngs]] and [[syntheticVideoFrames]] (one copy, so an
+    * encoder change cannot drift between the image and video fixtures).
+    */
+  private def renderPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   def syntheticPngs(ids: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -206,17 +224,7 @@ object Multimodal {
           val rgb = ((math.floorMod(id, 256L).toInt << 16)
             | (math.floorMod(id * 7L, 256L).toInt << 8)
             | math.floorMod(id * 13L, 256L).toInt)
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", baos)
-          Row(id, baos.toByteArray)
+          Row(id, renderPng(w, h, rgb))
         }
       }(enc)
   }
@@ -386,17 +394,7 @@ object Multimodal {
             val rgb = ((math.floorMod(id + f * 11L, 256L).toInt << 16)
               | (math.floorMod(id * 7L + f * 23L, 256L).toInt << 8)
               | math.floorMod(id * 13L + f * 37L, 256L).toInt)
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-              y += 1
-            }
-            val baos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", baos)
-            Row(id * 100L + f, baos.toByteArray)
+            Row(id * 100L + f, renderPng(w, h, rgb))
           }
         }
       }(enc)

@@ -1241,8 +1241,7 @@ object TextQueries {
       .orderBy(col("lang"))
   }
   private val temperatureMixSql = {
-    def l2(x: String): String =
-      s"(((length(bin($x)) - 1) * 1048576) + ((($x) * 1048576) // (1::BIGINT << (length(bin($x)) - 1))) - 1048576)"
+    def l2(x: String): String = Unigram.l2fpSql(x)
     s"""WITH per AS (
        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2402,11 +2401,9 @@ object TextQueries {
     */
   private def bpeChain(spark: SparkSession, dir: String, nMerges: Int)
       : (Seq[(String, String, Long)], Seq[DataFrame]) = {
-    val wsFrom = " \t\n\u000B\u000C\r"
-    val wsTo = "ĠĉĊċČč"
     val vocab = persistSwap(lastBpeCache, Tables(spark, dir).documents
       .select(explode(TextFunctions.pretokenize(col("text"))).as("p0"))
-      .select(translate(col("p0"), wsFrom, wsTo).as("p"))
+      .select(translate(col("p0"), Unigram.WsFrom, Unigram.WsTo).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("freq"))
       .where(length(col("p")) >= 2))
     var reps = vocab.select(
@@ -2476,9 +2473,7 @@ object TextQueries {
     val pat =
       """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\x0B\f\r ]+|[\t\n\x0B\f\r ]+"""
     // chr(256+byte): GPT-2 byte_encoder for the six whitespace bytes
-    val wsFromSql = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
-    val wsToSql =
-      "chr(288) || chr(265) || chr(266) || chr(267) || chr(268) || chr(269)"
+    val (wsFromSql, wsToSql) = (Unigram.WsFromSql, Unigram.WsToSql)
     def pc(src: String): String =
       s"""SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |  SELECT unnest(list_transform(range(1, len(sy)),
@@ -2596,13 +2591,45 @@ object TextQueries {
     val Big: Long = 1L << 40
 
     /** Fixed-point log2 (20 fractional bits), linear interpolation:
-      * l2fp(x) = msb(x)*2^20 + ((x*2^20) div 2^msb(x)) - 2^20, with
+      * l2fp(x) = msb(x)*2^20 + ((x'*2^20) div 2^(msb-sh)) - 2^20, with
       * msb(x) = length(bin(x)) - 1 — pure integer ops, so Spark and
       * DuckDB agree bit-for-bit (a double-precision ln would not).
+      * Inputs wider than 40 bits are pre-shifted by sh = msb - 40
+      * (x' = x >> sh): the fraction only needs the top bits, and the
+      * naive x*2^20 would overflow Long at x >= 2^43 — silently wrapped
+      * by Spark, a hard out-of-range error in DuckDB — exactly at
+      * corpus-total magnitudes a 100 TB run feeds this (review finding
+      * r9). For msb <= 40 the guarded form is bit-identical to the
+      * naive one, so existing hashes are unchanged.
       */
-    def l2fp(x: String): String =
-      s"(((length(bin($x)) - 1) * $Fp) + " +
-        s"((($x) * $Fp) div shiftleft(cast(1 as bigint), length(bin($x)) - 1)) - $Fp)"
+    def l2fp(x: String): String = {
+      val msb = s"(length(bin($x)) - 1)"
+      val sh = s"greatest($msb - 40, 0)"
+      s"(($msb * $Fp) + " +
+        s"((shiftright($x, $sh) * $Fp) div " +
+        s"shiftleft(cast(1 as bigint), $msb - $sh)) - $Fp)"
+    }
+
+    /** The same fixed-point log2 in DuckDB syntax — ONE definition for
+      * every oracle (unigram tx35-37, temperature tx38); the formula is
+      * a cross-engine bit-exactness contract, so it must not fork.
+      */
+    def l2fpSql(x: String): String = {
+      val msb = s"(length(bin($x)) - 1)"
+      val sh = s"greatest($msb - 40, 0)"
+      s"(($msb * $Fp) + ((($x >> $sh) * $Fp) // (1::BIGINT << ($msb - $sh))) - $Fp)"
+    }
+
+    /** GPT-2 byte-encoder whitespace remap (space/tab/LF/VT/FF/CR →
+      * chr(256+byte)) — the judged symbolization contract shared by the
+      * BPE (tx31/tx32) and unigram (tx35-37) families, Spark and SQL
+      * forms side by side so they cannot drift.
+      */
+    val WsFrom = " \t\n\u000B\u000C\r"
+    val WsTo = "ĠĉĊċČč"
+    val WsFromSql = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    val WsToSql =
+      "chr(288) || chr(265) || chr(266) || chr(267) || chr(268) || chr(269)"
 
     /** Piece-cost lookup inside a lambda: the model map `m`; misses pay
       * an unreachable sentinel (single chars are always seeded, so every
@@ -2612,16 +2639,13 @@ object TextQueries {
       s"coalesce(try_element_at(m, $s), ${Big}L)"
 
     /** The one corpus pass: the distinct-pretoken rollup EM runs over. */
-    def words(spark: SparkSession, dir: String): DataFrame = {
-      val wsFrom = " \t\n\u000B\u000C\r"
-      val wsTo = "ĠĉĊċČč"
+    def words(spark: SparkSession, dir: String): DataFrame =
       persistSwap(lastUnigramCache, Tables(spark, dir).documents
         .select(explode(TextFunctions.pretokenize(col("text"))).as("p0"))
-        .select(translate(col("p0"), wsFrom, wsTo).as("w"))
+        .select(translate(col("p0"), WsFrom, WsTo).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
         .where(length(col("w")).between(2, MaxWord))
         .withColumn("n", length(col("w")).cast("long")))
-    }
 
     /** Seed vocabulary (piece, cnt): all single chars + top-K multis by
       * occurrence-weighted substring counts (every occurrence counts).
@@ -2742,8 +2766,13 @@ object TextQueries {
       costs = Unigram.emCosts(sd, Unigram.counts(e))
       costStages += costs
     }
-    esteps += graft.operators.Dedup.ckpt(
-      Unigram.estep(w, Unigram.model(costs)))
+    // the final E-step is NOT checkpointed: its plan is already shallow
+    // (every input is a cut), each consumer evaluates it exactly once
+    // (tx36's last curve row, tx37's broadcast segs), and tx35 never
+    // touches it — under spark.graft.checkpoint.dir Dedup.ckpt's
+    // reliable branch is EAGER, so a cut here would make tx35 pay a
+    // wasted full Viterbi job at plan-build time (review finding r9)
+    esteps += Unigram.estep(w, Unigram.model(costs))
     (costStages.result(), esteps.result())
   }
 
@@ -2801,14 +2830,16 @@ object TextQueries {
     val (_, esteps) = unigramChain(spark, dir, rounds = 2)
     val segs = esteps.last.select(col("w"), col("best"),
       size(col("pieces")).cast("long").as("np"))
-    val wsFrom = " \t\n\u000B\u000C\r"
-    val wsTo = "ĠĉĊċČč"
     Tables(spark, dir).documents
-      .select(col("doc_id"), explode(TextFunctions.pretokenize(col("text"))).as("p0"))
-      .select(col("doc_id"), translate(col("p0"), wsFrom, wsTo).as("w"))
+      .select(col("doc_id"),
+        explode_outer(TextFunctions.pretokenize(col("text"))).as("p0"))
+      .select(col("doc_id"), translate(col("p0"), Unigram.WsFrom, Unigram.WsTo).as("w"))
       .join(broadcast(segs), Seq("w"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_pretokens"),
+      // count(w), not count(*): explode_outer keeps zero-pretoken docs
+      // (empty text) as one null row — they must report n_pretokens = 0,
+      // not vanish from the output (review finding r9)
+      .agg(count(col("w")).as("n_pretokens"),
         count(col("best")).as("n_scored"),
         coalesce(sum(col("np")), lit(0L)).as("n_pieces"),
         coalesce(sum(col("best")), lit(0L)).as("cost_fp"))
@@ -2822,13 +2853,9 @@ object TextQueries {
   private val (unigramTrainSql, unigramEncodeSql, unigramScoreSql) = {
     val pat =
       """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\x0B\f\r ]+|[\t\n\x0B\f\r ]+"""
-    val wsFromSql = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
-    val wsToSql =
-      "chr(288) || chr(265) || chr(266) || chr(267) || chr(268) || chr(269)"
-    val fp = Unigram.Fp
+    val (wsFromSql, wsToSql) = (Unigram.WsFromSql, Unigram.WsToSql)
     val big = Unigram.Big
-    def l2(x: String): String =
-      s"(((length(bin($x)) - 1) * $fp) + ((($x) * $fp) // (1::BIGINT << (length(bin($x)) - 1))) - $fp)"
+    def l2(x: String): String = Unigram.l2fpSql(x)
     // lookup against the (ps, cs) parallel lists: list indexing with the
     // 0 a missing list_position returns is NULL in DuckDB -> coalesce to
     // the same sentinel the engine's map miss pays
@@ -2949,15 +2976,16 @@ object TextQueries {
          |  SELECT doc_id, translate(p0, $wsFromSql, $wsToSql) AS w
          |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS p0
          |        FROM documents))
-         |SELECT doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_pretokens,
-         |  CAST(count(*) - count(best) AS BIGINT) AS n_oov,
+         |SELECT d.doc_id,
+         |  CAST(count(dt.w) AS BIGINT) AS n_pretokens,
+         |  CAST(count(dt.w) - count(best) AS BIGINT) AS n_oov,
          |  CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pieces,
          |  CAST(coalesce(sum(best), 0) AS BIGINT) AS cost_fp,
          |  CAST(coalesce(sum(best), 0) // greatest(coalesce(sum(np), 0), 1) AS BIGINT)
          |    AS mean_cost_fp
-         |FROM dt LEFT JOIN segs USING (w)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id
+         |  LEFT JOIN segs USING (w)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     (train, encode, score)
   }
 
