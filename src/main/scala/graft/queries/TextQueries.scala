@@ -2101,6 +2101,91 @@ object TextQueries {
       if (prev != null) prev.unpersist(blocking = false)
     }
 
+  /** Interpolated Kneser-Ney bigram scoring (tx39 — Kneser & Ney 1995,
+    * Chen & Goodman 1999: THE n-gram smoothing real LM pipelines use;
+    * tx27/tx33 stop at add-one). P(w2|w1) = max(c12−D,0)/c1 +
+    * λ(w1)·P_cont(w2), with λ(w1) = D·N1+(w1·)/c1 and P_cont(w2) =
+    * N1+(·w2)/|bigrams| — the continuation probability that makes KN
+    * beat add-one ("Francisco" is frequent but only ever follows "San").
+    * D = 3/4 (the Chen-Goodman-style fixed discount) keeps every term
+    * RATIONAL, so the whole computation is exact 2²⁰-tick fixed point:
+    * term1 = (4·c12−3)·fp div (4·c1), λ·P_cont = (λ_fp·pcont_fp) div fp
+    * — no floating point crosses the gate. Scoring is in-domain (the
+    * tx27 convention), so every scored bigram has c12 ≥ 1 and the max()
+    * never binds. Shape: ONE corpus explode (the SAME persisted plan as
+    * tx27 — persistSwap dedupes by plan equality, so running both pays
+    * one pass), three vocabulary-sized count tables joined back, the
+    * 1-row bigram total broadcast.
+    */
+  private def knBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val fp = 1L << 20
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        filter(TextFunctions.tokenize(lower(col("text"))),
+          t => length(t) > 0).as("ts"))
+    val docBg = persistSwap(lastBigramCache,
+      toks.where(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("bg")))
+    val c12 = docBg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val byW1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val byW2 = c12.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1r"))
+    val ntot = c12.agg(count(lit(1)).as("ntot"))
+    val probs = c12
+      .join(byW1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .join(byW2, substring_index(col("bg"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(ntot))
+      .select(col("bg"), expr(
+        s"""((4 * c12 - 3) * $fp) div (4 * c1)
+           | + ((((3 * n1f * $fp) div (4 * c1))
+           |     * ((n1r * $fp) div ntot)) div $fp)""".stripMargin).as("p_fp"))
+    docBg.join(probs, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("sum_fp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_fp div n_bigrams").as("mean_p_fp"))
+      .orderBy(col("doc_id"))
+  }
+  private val knBigramScoreSql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+'),
+      |                t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |bgs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ts)),
+      |                          i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      |  FROM tok WHERE len(ts) >= 2),
+      |c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bgs GROUP BY bg),
+      |by_w1 AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |    CAST(count(*) AS BIGINT) AS n1f
+      |  FROM c12 GROUP BY 1),
+      |by_w2 AS (
+      |  SELECT split_part(bg, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS n1r
+      |  FROM c12 GROUP BY 1),
+      |ntot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM c12),
+      |probs AS (
+      |  SELECT bg,
+      |    ((4 * c12 - 3) * 1048576) // (4 * c1)
+      |      + ((((3 * n1f * 1048576) // (4 * c1))
+      |          * ((n1r * 1048576) // ntot)) // 1048576) AS p_fp
+      |  FROM c12
+      |  JOIN by_w1 ON split_part(c12.bg, ' ', 1) = by_w1.w1
+      |  JOIN by_w2 ON split_part(c12.bg, ' ', 2) = by_w2.w2
+      |  CROSS JOIN ntot),
+      |scored AS (
+      |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(p.p_fp) AS BIGINT) AS sum_fp
+      |  FROM bgs b JOIN probs p ON b.bg = p.bg
+      |  GROUP BY b.doc_id)
+      |SELECT doc_id, n_bigrams, sum_fp // n_bigrams AS mean_p_fp
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   private def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
     val fpScale = 1L << 20
     val toks = Tables(spark, dir).documents
@@ -3187,6 +3272,7 @@ object TextQueries {
     "tx34_leakage_safe_split" -> QueryDef(leakageSafeSplit, Some(leakageSafeSplitSql), benchmark = true),
     "tx26_bpe_pair_counts"   -> QueryDef(bpePairCounts, Some(bpePairCountsSql), benchmark = true),
     "tx27_bigram_lm_score"   -> QueryDef(bigramLmScore, Some(bigramLmScoreSql), benchmark = true),
+    "tx39_kneser_ney_score"  -> QueryDef(knBigramScore, Some(knBigramScoreSql), benchmark = true),
     "dd15_winnowing_pairs"   -> QueryDef(winnowingPairs, Some(winnowingPairsSql), benchmark = true),
     "tx25_pretokenize"       -> QueryDef(pretokenStats, Some(pretokenStatsSql)),
     "wc_reference_wordcount" -> QueryDef(wordcount, Some(wordcountSql), benchmark = true),

@@ -90,6 +90,37 @@ class UnigramSpec extends SparkSpec {
       "one-row model must broadcast to the vocab")
   }
 
+  test("tx39 Kneser-Ney fixed-point terms match the hand computation") {
+    // corpus: doc A = "a b a b" (bigrams: a·b ×2, b·a), doc B = "c b".
+    // c12: (a b)=2,(b a)=1,(c b)=1; c1: a=2,b=1,c=1; N1+(·b)=2, N1+(·a)=1;
+    // |bigrams|=3, D=3/4, fp=2^20:
+    //   p(a b) = 5fp/8 + floor(0.375fp·floor(2fp/3)/fp) = 655360+262143
+    //   p(b a) = fp/4 + floor(0.75fp·floor(fp/3)/fp)    = 262144+262143
+    //   p(c b) = fp/4 + floor(0.75fp·floor(2fp/3)/fp)   = 262144+524287
+    val dir = java.nio.file.Files.createTempDirectory("graft_kn").toString
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .orderBy("doc_id").limit(2).collect()
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row.fromSeq(base(0).toSeq),
+        org.apache.spark.sql.Row.fromSeq(base(1).toSeq))),
+      spark.read.parquet(s"$sf0001/documents.parquet").schema)
+    import org.apache.spark.sql.functions._
+    docs.withColumn("text",
+        when(col("doc_id") === base(0).getLong(0), lit("a b a b"))
+          .otherwise(lit("c b")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("tx39_kneser_ney_score")(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val pAB = 655360L + 262143L
+    val pBA = 262144L + 262143L
+    val pCB = 262144L + 524287L
+    assert(got.toSeq == Seq(
+      (3L, (2 * pAB + pBA) / 3),
+      (1L, pCB)), got.toSeq.toString)
+  }
+
   test("tx38 temperature sampling flattens shares monotonically (α = 0.3)") {
     val rows = SparkEntry.queries("tx38_temperature_mix")(spark, sf0001)
       .select("lang", "n_tokens", "raw_ppm", "share_ppm").collect()
