@@ -80,6 +80,19 @@ class UnigramSpec extends SparkSpec {
       assert(err <= 0.09, s"l2fp($x) off by $err bits")
     }
     assert(got.head._2 == 0L) // l2fp(1) = 0 exactly
+    // the wide-input guard: above 2^43 the naive x*2^20 would overflow
+    // Long (review finding r9) — the pre-shifted form must stay finite,
+    // accurate, and monotonic out to corpus-total magnitudes
+    val wide = spark.range(0, 60)
+      .select(expr("shiftleft(cast(1 as bigint), cast(id as int)) + id * 7").as("x"))
+      .select(col("x"), expr(Unigram.l2fp("x")).as("l2"))
+      .orderBy("x").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var prevW = Long.MinValue
+    wide.foreach { case (x, l2) =>
+      assert(l2 >= prevW, s"wide l2fp must be monotonic at $x"); prevW = l2
+      val err = math.abs(l2.toDouble / Unigram.Fp - math.log(x.toDouble) / math.log(2.0))
+      assert(err <= 0.09, s"wide l2fp($x) off by $err bits")
+    }
   }
 
   test("the model crosses to the vocabulary as a broadcast, not a shuffle") {
