@@ -307,6 +307,86 @@ object Graph {
     }
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
+    * time algorithm to detect community structures in large-scale
+    * networks") for a FIXED number of rounds, in the deterministic
+    * variant: every node starts as its own label, and each round every
+    * node adopts the label most frequent among its neighbours' previous-
+    * round labels, ties broken by the SMALLEST label. The randomized
+    * original breaks ties by coin flip and updates asynchronously; the
+    * fixed-round synchronous min-tie form makes the result a pure
+    * function of the edge set — bit-identical across engines and
+    * partitionings, which is what lets the oracle unroll the same rounds
+    * as CTEs. Unlike components (gr05 — one label per connected
+    * component), LPA's labels track locally-dense neighbourhoods, so one
+    * component can resolve into several communities.
+    *
+    * Input edges must be BIDIRECTIONAL `(src, dst)`; isolated nodes (no
+    * edges) don't vote and aren't labelled. Returns `(node, label)`.
+    *
+    * Loop body cost (×`rounds`): one join that is exchange-free on BOTH
+    * sides — the edge list is hash-partitioned and sorted by `dst` once
+    * at setup and lineage-cut (the LogicalRDD keeps its
+    * outputPartitioning/outputOrdering, the PageRank trick above), and
+    * the label side arrives hash-partitioned by `node` as the previous
+    * round's final aggregate at the same width — then a
+    * `groupBy(src, label)` vote count whose exchange carries map-side-
+    * combined `(node, label, cnt)` rows (duplicate neighbour labels
+    * collapse before the wire; ≤ edge count, typically ≪ once
+    * communities form), then the arg-max aggregate `groupBy(src)` whose
+    * exchange is ≤ distinct `(node, label)` pairs. No edge ever crosses
+    * an exchange after setup, no table is size-bounded, and the label
+    * table is node-sized — the same plan shape holds at 10⁹ nodes. Each
+    * round references its predecessor exactly ONCE, so the unsnapshotted
+    * plan tower stays linear in `rounds` (the ×2-reference exponential
+    * blowup that forces kCore's per-round eager snapshots can't happen
+    * here).
+    */
+  def labelPropagation(
+      spark: SparkSession,
+      edges: DataFrame, // bidirectional (src, dst), Long
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e0 = Dedup.ckpt(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val edgeCount = e0.count()
+    val loopWidth = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (edgeCount + 1999999) / 2000000)).toInt
+    // fixed loop width + AQE off for the same reason as pageRank: the
+    // working set is already measured and size-invariant across rounds,
+    // and AQE's per-stage replan round-trips dominate a multi-round loop
+    withConf(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> loopWidth.toString) {
+      val ew = Dedup.ckpt(
+        e0.repartition(loopWidth, col("dst"))
+          .sortWithinPartitions(col("dst")))
+      // bidirectional edges ⇒ src alone covers every non-isolated node
+      var labels = ew.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to rounds) {
+        val l = labels.hint("merge")
+        // arg-max by (count DESC, label ASC) as ONE max over a struct:
+        // (cnt, -label) orders lexicographically, so max picks the
+        // highest count and, within it, the smallest label (labels are
+        // non-negative node ids; a signed-id domain would order by a
+        // struct of (cnt, negated-rank) via row_number instead)
+        labels = ew
+          .join(l, ew("dst") === l("node"))
+          .groupBy(ew("src").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("node"))
+          .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl")))
+            .as("m"))
+          .select(col("node"), (-col("m.nl")).as("label"))
+      }
+      val out = Dedup.ckpt(labels)
+      out.foreach(_ => ())
+      out
+    }
+  }
+
   /** Scoped session-conf override: sets each key for the duration of `f`,
     * then restores the previous values (or unsets). Queries on OTHER
     * threads of a shared session could observe the flip mid-flight — the

@@ -1481,7 +1481,62 @@ object Events {
        |FROM e8 GROUP BY src ORDER BY node""".stripMargin
   }
 
+  /** Community detection over the co-purchase graph
+    * ([[Graph.labelPropagation]], 4 fixed synchronous rounds, min-label
+    * ties): the "who shops together" analytic gr05's components can't
+    * answer — one connected component resolves into several locally-
+    * dense communities. The deterministic fixed-round variant is a pure
+    * function of the edge set, so the oracle unrolls the identical 4
+    * vote/arg-max rounds as CTEs and the gate is exact by construction
+    * (the randomized original — coin-flip ties, asynchronous updates —
+    * could never be cross-engine gated).
+    */
+  private def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = Graph.labelPropagation(spark, edges, rounds = 4)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("comm_size"))
+    labels.join(sizes, "label")
+      .select(col("node"), col("label").as("community"), col("comm_size"))
+      .orderBy(col("node"))
+  }
+  private val labelPropSql = {
+    // MATERIALIZED label frontiers for the same reason as the kCore
+    // tower: each round references its predecessor once per vote join,
+    // and inlined CTEs would re-expand the whole tower per reference
+    def round(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.src AS node, l.label, count(*) AS cnt
+         |  FROM e0 e JOIN l${i - 1} l ON e.dst = l.node
+         |  GROUP BY e.src, l.label),
+         |l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node
+         |                         ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to 4).map(round).mkString(",\n")
+    s"""WITH p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
+       |             user_id AS u
+       |           FROM events WHERE event_type = 'purchase'),
+       |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
+       |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u),
+       |e0 AS MATERIALIZED (
+       |  SELECT src, dst FROM pairs
+       |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM e0),
+       |$rounds,
+       |sizes AS (SELECT label, count(*) AS comm_size FROM l4 GROUP BY label)
+       |SELECT l4.node, l4.label AS community, sizes.comm_size
+       |FROM l4 JOIN sizes ON l4.label = sizes.label
+       |ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "gr07_label_prop"      -> QueryDef(labelProp, Some(labelPropSql), benchmark = true),
     "ev34_linear_interp"   -> QueryDef(linearInterp, Some(linearInterpSql), benchmark = true),
     "ev35_twap"            -> QueryDef(twap, Some(twapSql), benchmark = true),
     "gr06_kcore"           -> QueryDef(kCoreQ, Some(kCoreSql), benchmark = true),

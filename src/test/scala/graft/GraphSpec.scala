@@ -119,6 +119,44 @@ class GraphSpec extends SparkSpec {
     assert(jobsRun < 20, s"a converged graph must not pay 100 rounds of jobs (ran $jobsRun)")
   }
 
+  test("labelPropagation: two triangles over a bridge split into two communities") {
+    // triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}: ONE connected
+    // component (gr05 would label all six together), but LPA resolves the
+    // two locally-dense triangles into separate communities. Hand-traced:
+    // r1 {1→2,2→1,3→1,4→3,5→4,6→4}, r2 {1→1,2→1,3→1,4→4,5→3,6→3},
+    // r3 {1,1,1,4:3? ...} → stabilizes by r4 at {1,2,3}→1, {4,5,6}→3.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val lab = Graph.labelPropagation(spark, edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), lab)
+  }
+
+  test("labelPropagation matches a brute-force reference across round counts") {
+    def refLpa(bidir: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = bidir.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) lab = adj.map { case (n, ns) =>
+        n -> ns.groupBy(lab).toSeq
+          .map { case (l, g) => (-g.size, l) }.min._2
+      }
+      lab
+    }
+    // deterministic pseudo-random graph: 20 nodes, LCG-derived edges
+    val raw = (0L until 20L).flatMap(i =>
+      Seq(i -> ((i * 7 + 3) % 20), i -> ((i * 13 + 5) % 20)))
+      .filter { case (a, b) => a != b }
+    val bidir = (raw ++ raw.map(_.swap)).distinct
+    val edges = bidir.toDF("src", "dst")
+    for (r <- Seq(1, 2, 3)) {
+      val got = Graph.labelPropagation(spark, edges, rounds = r)
+        .as[(Long, Long)].collect().toMap
+      assert(got == refLpa(bidir, r), s"round count $r diverged")
+    }
+  }
+
   test("gr05 composition: components + sizes on two disjoint cliques and a path") {
     // clique {1,2,3}, path 10-11, isolated-by-derivation nodes absent
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
