@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Graph
+import org.apache.spark.sql.functions.{count, lit, sum}
 
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -155,6 +156,32 @@ class GraphSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(got == refLpa(bidir, r), s"round count $r diverged")
     }
+  }
+
+  test("gr08 composition: exact-integer modularity of the two-triangle split") {
+    // same graph as the LPA test; after 4 rounds communities are
+    // {1,2,3}→1 and {4,5,6}→3. Hand computation: m=7 undirected edges so
+    // 2m=14 directed; each triangle has e2_c=6 directed intra edges and
+    // degree_sum 2+2+3=7, so q_num = 14·6 − 7² = 35 per community and
+    // Q = (35+35)/14² = 70/196 ≈ 0.357 > 0 — a genuine community split.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val labels = Graph.labelPropagation(spark, edges, rounds = 4)
+    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val degc = deg.join(labels, "node")
+      .groupBy($"label").agg(sum($"deg").as("d_c"))
+    val ls = labels.select($"node".as("src"), $"label".as("ls"))
+    val ld = labels.select($"node".as("dst"), $"label".as("ld"))
+    val intra = edges.join(ls, "src").join(ld, "dst")
+      .where($"ls" === $"ld")
+      .groupBy($"ls".as("label")).agg(count(lit(1)).as("e2"))
+    val m2 = edges.count()
+    val q = degc.join(intra, "label")
+      .select($"label", $"e2", $"d_c",
+        (lit(m2) * $"e2" - $"d_c" * $"d_c").as("q_num"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(q == Set((1L, 6L, 7L, 35L), (3L, 6L, 7L, 35L)), q)
   }
 
   test("gr05 composition: components + sizes on two disjoint cliques and a path") {
