@@ -158,6 +158,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation is partition-count invariant") {
+    // vote counts and the (cnt, -label) arg-max are exact integers, so
+    // the result must not depend on how the edge list is split — the
+    // same guard PipelineOpsSpec pins for fixed-point PageRank
+    val raw = (0L until 20L).flatMap(i =>
+      Seq(i -> ((i * 7 + 3) % 20), i -> ((i * 13 + 5) % 20)))
+      .filter { case (a, b) => a != b }
+    val bidir = (raw ++ raw.map(_.swap)).distinct
+    val e = bidir.toDF("src", "dst")
+    val wide = Graph.labelPropagation(spark, e.repartition(8), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val narrow = Graph.labelPropagation(spark, e.coalesce(1), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(wide == narrow)
+  }
+
   test("gr08 composition: exact-integer modularity of the two-triangle split") {
     // same graph as the LPA test; after 4 rounds communities are
     // {1,2,3}→1 and {4,5,6}→3. Hand computation: m=7 undirected edges so
