@@ -112,6 +112,13 @@ class FixtureCanarySpec extends SparkSpec {
       "documents.lang collapsed to one stratum")
     assert(t.documents.select("source").distinct().count() >= 2,
       "documents.source collapsed to one stratum")
+    // gr07/gr08's LPA arg-max breaks ties via max(struct(cnt, -label)),
+    // which is only a correct min-label order for NON-NEGATIVE ids
+    // (Graph.labelPropagation documents the contract); a signed user_id
+    // domain would silently flip tie-breaks rather than crash
+    import org.apache.spark.sql.functions.min
+    assert(t.events.agg(min("user_id")).head().getLong(0) >= 0L,
+      "user_id went negative: gr07's -label tie-break contract broken")
   }
 
   test("canary: embeddings vectors survive both float and double layouts") {
