@@ -113,7 +113,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k >= 2, "gram width k must be at least 2")
-    val tk = filter(TextFunctions.tokenize(col(textCol)), t => length(t) > 0)
+    // NULL text coalesces to empty (the dedupSpans convention): without it
+    // tokenize(NULL) is NULL, size() reports -1, and the engine would emit
+    // n_tokens=-1 where the oracle emits NULL — a silent divergence on any
+    // corpus with null documents (advisor finding r9).
+    val tk = filter(TextFunctions.tokenize(coalesce(col(textCol), lit(""))),
+      t => length(t) > 0)
     val base = docs.select(col(idCol).as("doc_id"), tk.as("tk"))
     val grams = base.where(size(col("tk")) >= k)
       .select(col("doc_id"),
@@ -704,17 +709,25 @@ object Dedup {
   /** The reliable-checkpoint dispatch shared by [[ckpt]] and
     * `Graph.snapshot`: when `spark.graft.checkpoint.dir` is set, point
     * the context at it and return true. setCheckpointDir stores a
-    * scheme-qualified dir/<random-UUID> path, so compare by substring
-    * (Option element-equality never matched and re-ran setCheckpointDir
-    * — a fresh UUID dir per round). ONE copy: the guard's false-positive
-    * hazard (an unrelated current checkpoint path containing `dir` as a
-    * substring skips the re-point) must not need fixing twice.
+    * scheme-qualified dir/<random-UUID> path, so the guard compares the
+    * PARENT of the current checkpoint path against the fully-qualified
+    * configured dir (Option element-equality never matched and re-ran
+    * setCheckpointDir — a fresh UUID dir per round; the earlier raw
+    * substring compare had the opposite failure: a conf switch
+    * /data/ckpt2 → /data/ckpt matched the stale path and skipped the
+    * re-point — advisor finding r9). ONE copy of the guard: it must not
+    * need fixing twice.
     */
   private[graft] def reliableCheckpointing(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.checkpoint.dir") match {
       case Some(dir) =>
-        if (!spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
-          spark.sparkContext.setCheckpointDir(dir)
+        val target = new org.apache.hadoop.fs.Path(dir)
+        val qualified = target.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).makeQualified(target)
+        val pointed = spark.sparkContext.getCheckpointDir.exists { c =>
+          Option(new org.apache.hadoop.fs.Path(c).getParent).contains(qualified)
+        }
+        if (!pointed) spark.sparkContext.setCheckpointDir(dir)
         true
       case None => false
     }

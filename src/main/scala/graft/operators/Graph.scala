@@ -83,8 +83,25 @@ object Graph {
   private def snapshot(df: DataFrame): (DataFrame, () => Unit) =
     // the cluster posture (Dedup.reliableCheckpointing — one shared
     // dispatch): reliable checkpoint files survive executor loss over a
-    // multi-round job; nothing to release — durability is the point
-    if (Dedup.reliableCheckpointing(df.sparkSession)) (df.checkpoint(), () => ())
+    // multi-round job. Durability is only needed for the LIVE round —
+    // the release hook (called once the NEXT round's checkpoint has
+    // materialized) deletes the superseded round's files, so a long
+    // session keeps at most two durable snapshots per loop instead of
+    // accumulating one per round (the same storage churn that degraded
+    // the lazy-localCheckpoint bench 12 s → 52 s by run 3; advisor
+    // finding r9).
+    if (Dedup.reliableCheckpointing(df.sparkSession)) {
+      val d = df.checkpoint()
+      val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+      val files = d.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.getCheckpointFile
+      }.flatten
+      (d, () => files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).delete(p, true)
+      })
+    }
     else {
       val d = df.localCheckpoint(eager = true)
       val rdds = d.queryExecution.analyzed.collect {

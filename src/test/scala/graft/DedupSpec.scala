@@ -244,6 +244,16 @@ class DedupSpec extends SparkSpec {
       (3L, 2L, 0L, "a b")))                 // sub-k doc passes through
   }
 
+  test("substring dedup: NULL text behaves as empty, not size()=-1") {
+    // tokenize(NULL) is NULL and size(NULL) is -1 — unguarded, a null doc
+    // would emit n_tokens=-1 while a SQL oracle emits NULL (advisor r9);
+    // the coalesce-to-empty guard makes it an ordinary empty document
+    val d = Seq((1L, null: String), (2L, "p q r")).toDF("doc_id", "text")
+    val r = Dedup.dedupSubstrings(d, k = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 0L, 0L, ""), (2L, 3L, 0L, "p q r")))
+  }
+
   test("substring dedup: within-doc tandem repeat keeps exactly one head") {
     // "w w w w w w" with k=3: grams at p=1..3 duplicate p=0, covering
     // tokens 1..5 — one token survives (the conservative erosion the

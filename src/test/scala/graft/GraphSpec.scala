@@ -71,13 +71,15 @@ class GraphSpec extends SparkSpec {
     val cliq = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
     val pairs = cliq.toDF("src", "dst")
     val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-    // under the gate (4 survivors × 16 B ≪ 10 MB default): both survivor
-    // filters must be broadcast joins — the edge set crosses no exchange
+    // under the gate (4 survivors × Graph.KCoreNodeBytes = 48 B ≪ 10 MB
+    // default): both survivor filters must be broadcast joins — the edge
+    // set crosses no exchange
     val under = Graph.peelOnce(spark, edges, 3, nKeep = 4L)
       .queryExecution.executedPlan.toString
     assert(under.contains("BroadcastHashJoin"), under)
     assert(!under.contains("SortMergeJoin"), under)
-    // above the gate (survivor count × 16 B over the threshold): a forced
+    // above the gate (survivor count × KCoreNodeBytes over the threshold):
+    // a forced
     // broadcast would collect a cluster-sized node set to the driver —
     // the round must degrade to a sort-merge join instead
     val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -51,10 +51,68 @@ class ReliableCheckpointSpec extends SparkSpec {
     val local = rows("gr06_kcore")
     val reliable = withCheckpointDir { dir =>
       val r = rows("gr06_kcore")
-      assert(filesUnder(dir).nonEmpty,
+      // rdd-N DIRECTORIES, not regular files: gr06's 3-core is EMPTY at
+      // sf0.001, so the final surviving snapshot is a 0-partition RDD whose
+      // checkpoint dir holds no part files — and now that superseded rounds
+      // are deleted as they land (advisor r9), that empty dir is the only
+      // durable evidence left on disk
+      assert(rddDirs(dir).nonEmpty,
         "k-core rounds must checkpoint reliably under the conf")
       r
     }
     assert(reliable == local)
+  }
+
+  /** Checkpoint payload directories (`rdd-N`) under the configured dir's
+    * UUID subdirectory — one per durable snapshot still on disk.
+    */
+  private def rddDirs(root: Path): Seq[String] =
+    if (!Files.exists(root)) Seq.empty
+    else Files.walk(root).iterator.asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("rdd-"))
+      .map(_.getFileName.toString).toSeq
+
+  test("kCore reliable rounds delete superseded checkpoints, keeping only the live one") {
+    import spark.implicits._
+    withCheckpointDir { dir =>
+      // 5-clique (core) + a 6–7 tail that takes two peel rounds to erode,
+      // so the loop writes several durable snapshots (edges + degrees per
+      // round) before converging
+      val cliq = for { a <- 1L to 5L; b <- 1L to 5L if a != b } yield (a, b)
+      val tail = Seq((5L, 6L), (6L, 5L), (6L, 7L), (7L, 6L))
+      val edges = (cliq ++ tail).toDF("src", "dst")
+      graft.operators.Graph.kCore(spark, edges, k = 3, rounds = 8).collect()
+      val live = rddDirs(dir)
+      assert(live.size <= 2,
+        s"superseded round checkpoints must be deleted as rounds land, found: $live")
+      graft.operators.Graph.releaseCaches()
+      assert(rddDirs(dir).isEmpty,
+        "releaseCaches must drop the final snapshot's durable files too")
+    }
+  }
+
+  test("checkpoint-dir guard re-points when the configured dir changes (prefix case)") {
+    // the advisor's scenario: the context currently checkpoints under
+    // .../ckpt2 and the conf switches to .../ckpt — a raw substring guard
+    // matches (".../ckpt" ⊂ ".../ckpt2/UUID") and silently keeps writing
+    // to the stale dir; the parent-compare guard must re-point
+    val base = Files.createTempDirectory("graft-repoint")
+    val oldDir = base.resolve("ckpt2")
+    val newDir = base.resolve("ckpt")
+    try {
+      spark.conf.set("spark.graft.checkpoint.dir", oldDir.toString)
+      assert(graft.operators.Dedup.reliableCheckpointing(spark))
+      val pointedOld = spark.sparkContext.getCheckpointDir.get
+      assert(pointedOld.contains("ckpt2"))
+      spark.conf.set("spark.graft.checkpoint.dir", newDir.toString)
+      assert(graft.operators.Dedup.reliableCheckpointing(spark))
+      val pointedNew = spark.sparkContext.getCheckpointDir.get
+      assert(pointedNew.contains("/ckpt/") || pointedNew.endsWith("/ckpt"),
+        s"guard must re-point to the new dir, still at: $pointedNew")
+      // and idempotence: a second call with the same conf must NOT mint a
+      // fresh UUID dir (the failure the guard originally existed to stop)
+      assert(graft.operators.Dedup.reliableCheckpointing(spark))
+      assert(spark.sparkContext.getCheckpointDir.get == pointedNew)
+    } finally spark.conf.unset("spark.graft.checkpoint.dir")
   }
 }
