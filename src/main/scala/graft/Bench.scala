@@ -79,15 +79,20 @@ object Bench {
         SparkEntry.allDefs.keys.toSeq.sorted.filter(s)
       case None    => SparkEntry.benchQueries.keys.toSeq.sorted
     }
-    names.foreach(runOnce) // warm-up: JIT + codegen + file listing caches
-    // median of 3 timed runs per query: run-to-run variance on small
-    // queries is ±50% (GC, JIT recompiles), which would otherwise swamp
-    // any regression smaller than 2×
-    def median3(n: String): Double = {
-      val ts = Seq.fill(3)(runOnce(n))
-      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
+    // warm-up: JIT + codegen + file listing caches; the warm time also
+    // picks the rep count below
+    val warm = names.map(n => n -> runOnce(n)).toMap
+    // median of 3 timed runs per query — 5 for sub-2 s queries, where
+    // run-to-run variance is ±50% (GC, JIT recompiles) and produced the
+    // r8→r9 phantom drift cluster (SCALING.md round-10: eight >30%
+    // "regressions" that an interleaved A/B measured at 0.87–1.13×);
+    // the extra runs cost ≲4 s across the whole bench
+    def medianOf(n: String): Double = {
+      val reps = if (warm(n) >= 0 && warm(n) < 2.0) 5 else 3
+      val ts = Seq.fill(reps)(runOnce(n))
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
     }
-    val results = names.map(n => n -> median3(n))
+    val results = names.map(n => n -> medianOf(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

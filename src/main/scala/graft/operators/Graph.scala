@@ -404,6 +404,105 @@ object Graph {
     }
   }
 
+  /** Hub-capped label propagation — the dense-graph variant of
+    * [[labelPropagation]] (review finding r9: the raw co-purchase graph
+    * degenerates under plain synchronous LPA into ONE global label
+    * epidemic, because every high-degree hub re-broadcasts the minimum
+    * label to its whole neighbourhood each round; the backbone
+    * preprocessing sidesteps that, but a user running LPA on a raw dense
+    * graph deserves a mitigation that needs no preprocessing).
+    *
+    * The standard hub-capping mitigation: a node of degree > `hubCap`
+    * may RECEIVE votes but casts none — its edges are excluded from the
+    * vote join — so epidemic super-spreaders stop re-broadcasting and
+    * locally-dense pockets keep their labels (cf. Leung et al. 2009,
+    * "Towards real-time community detection in large networks", whose
+    * hop/degree attenuation serves the same purpose). A node whose
+    * neighbours are ALL hubs keeps its previous label: every round
+    * unions a zero-count self-vote per node under the arg-max, which any
+    * real vote (cnt ≥ 1) beats. Deterministic (min-label ties,
+    * synchronous rounds), so an oracle unrolls the same rounds as CTEs —
+    * GraphSpec pins a dense fixture where plain LPA collapses to one
+    * community and this variant recovers the planted two.
+    *
+    * `hubCap ≤ 0` = AUTO: the exact lower p90 of the degree distribution
+    * — the smallest degree d with 10·|{v : deg(v) ≤ d}| ≥ 9·|V| (integer
+    * comparison, no floats, so both engines pick the identical cap). A
+    * fixed cap cannot survive a scale-up (the raw co-purchase graph's
+    * median degree moves 1 → 6 → 60 across sf0.001 → sf0.1; a cap of 16
+    * silences ~97% of sf0.1 voters and shatters the graph into
+    * singletons — measured), while "silence the top decile" tracks the
+    * distribution at any scale. The quantile is a histogram-crossing
+    * rollup over ≤ |distinct degrees| rows (the q56 move — no global
+    * sort) cross-joined as a broadcast 1-row scalar; nothing returns to
+    * the driver.
+    *
+    * Loop body cost: identical plan shape to [[labelPropagation]] (the
+    * capped edge list is hash-partitioned/sorted by `dst` once and
+    * lineage-cut; votes and arg-max are the same two aggregates) plus
+    * one node-sized zero-vote union per round. The degree filter is a
+    * ONE-TIME aggregate + join at setup, not a per-round cost.
+    */
+  def labelPropagationHubCapped(
+      spark: SparkSession,
+      edges: DataFrame, // bidirectional (src, dst), Long
+      rounds: Int,
+      hubCap: Long): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e0 = Dedup.ckpt(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val edgeCount = e0.count()
+    val loopWidth = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (edgeCount + 1999999) / 2000000)).toInt
+    withConf(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> loopWidth.toString) {
+      // voter degrees (bidirectional edges ⇒ src-degree = full degree);
+      // drop every edge whose VOTER (dst) is a hub — one setup pass
+      val deg = e0.groupBy(col("src").as("nd")).agg(count(lit(1)).as("d"))
+      val voters =
+        if (hubCap > 0) deg.where(col("d") <= hubCap)
+        else {
+          // auto cap = exact lower p90: histogram over distinct degrees,
+          // running cum count, first crossing of 10·cum ≥ 9·n — all
+          // integers, broadcast back as a 1-row scalar
+          val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum(col("c")).over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("d"))))
+          val n1 = deg.agg(count(lit(1)).as("n_nodes"))
+          val capv = hist.crossJoin(broadcast(n1))
+            .where(col("cum") * 10 >= col("n_nodes") * 9)
+            .agg(min(col("d")).as("cap"))
+          deg.crossJoin(broadcast(capv)).where(col("d") <= col("cap"))
+        }
+      val ew = Dedup.ckpt(
+        e0.join(voters.select(col("nd")), e0("dst") === col("nd"))
+          .select(col("src"), col("dst"))
+          .repartition(loopWidth, col("dst"))
+          .sortWithinPartitions(col("dst")))
+      var labels = e0.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to rounds) {
+        val l = labels.hint("merge")
+        val votes = ew
+          .join(l, ew("dst") === l("node"))
+          .groupBy(ew("src").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        labels = votes
+          .unionByName(labels.select(col("node"), col("label"),
+            lit(0L).as("cnt")))
+          .groupBy(col("node"))
+          .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl")))
+            .as("m"))
+          .select(col("node"), (-col("m.nl")).as("label"))
+      }
+      val out = Dedup.ckpt(labels)
+      out.foreach(_ => ())
+      out
+    }
+  }
+
   /** Scoped session-conf override: sets each key for the duration of `f`,
     * then restores the previous values (or unsets). Queries on OTHER
     * threads of a shared session could observe the flip mid-flight — the

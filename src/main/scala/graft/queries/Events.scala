@@ -1600,6 +1600,77 @@ object Events {
        |FROM l4 JOIN sizes ON l4.label = sizes.label
        |ORDER BY node""".stripMargin
 
+  /** Hub-capped community detection over the RAW co-purchase graph
+    * ([[Graph.labelPropagationHubCapped]], 4 synchronous rounds, voters
+    * capped at the AUTO exact-p90 degree) — gr07's documented
+    * dense-graph story WITHOUT the backbone preprocessing: plain
+    * synchronous LPA on this graph degenerates to one global label
+    * epidemic (measured and recorded at gr07), because bucket-mates of
+    * everyone re-broadcast the minimum label each round; capping who may
+    * VOTE (hubs still receive labels, they just stop spreading them)
+    * lets locally-dense pockets survive — measured: 15 communities /
+    * 149 nodes at sf0.01 (cap 9), 8 / 1500 at sf0.1 (cap 85) where
+    * plain LPA finds exactly 1. The oracle unrolls the identical
+    * degree-histogram cap / capped vote / zero-self-vote / arg-max
+    * rounds as CTEs, so the gate is exact by construction. Scale note:
+    * the raw pair expansion is quadratic in users-per-bucket — at
+    * 100 TB prefer the gr07 backbone; this query exists precisely for
+    * the user who won't.
+    */
+  private def labelPropHubCap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = Graph.labelPropagationHubCapped(spark, edges,
+      rounds = 4, hubCap = 0L) // ≤ 0 = auto exact-p90 cap
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("comm_size"))
+    labels.join(sizes, "label")
+      .select(col("node"), col("label").as("community"), col("comm_size"))
+      .orderBy(col("node"))
+  }
+  private val labelPropHubCapSql: String = {
+    def round(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.src AS node, l.label, count(*) AS cnt
+         |  FROM ecap e JOIN l${i - 1} l ON e.dst = l.node
+         |  GROUP BY e.src, l.label),
+         |l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node
+         |                         ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (SELECT node, label, cnt FROM c$i
+         |          UNION ALL
+         |          SELECT node, label, 0 AS cnt FROM l${i - 1})) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to 4).map(round).mkString(",\n")
+    s"""WITH p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
+       |        user_id AS u
+       |      FROM events WHERE event_type = 'purchase'),
+       |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
+       |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u),
+       |e0 AS MATERIALIZED (
+       |  SELECT src, dst FROM pairs
+       |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+       |deg AS (SELECT src AS nd, count(*) AS d FROM e0 GROUP BY src),
+       |nn AS (SELECT count(*) AS n_nodes FROM deg),
+       |dh AS (SELECT d, count(*) AS c FROM deg GROUP BY d),
+       |capv AS (
+       |  SELECT min(d) AS cap FROM (
+       |    SELECT d, sum(c) OVER (ORDER BY d) AS cum FROM dh) CROSS JOIN nn
+       |  WHERE 10 * cum >= 9 * n_nodes),
+       |ecap AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM e0 e JOIN deg ON e.dst = deg.nd
+       |  CROSS JOIN capv WHERE deg.d <= capv.cap),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM e0),
+       |$rounds,
+       |sizes AS (SELECT label, count(*) AS comm_size FROM l4 GROUP BY label)
+       |SELECT l4.node, l4.label AS community, sizes.comm_size
+       |FROM l4 JOIN sizes ON l4.label = sizes.label
+       |ORDER BY node""".stripMargin
+  }
+
   /** Newman modularity of gr07's communities (Newman & Girvan 2004), in
     * EXACT integer arithmetic: the standard per-community form
     * Q = Σ_c (e_c/m − (d_c/2m)²) is reported as the integer numerator
@@ -1667,6 +1738,8 @@ object Events {
 
   val defs: Map[String, QueryDef] = Map(
     "gr08_modularity"      -> QueryDef(modularity, Some(modularitySql)),
+    "gr09_lpa_hubcap"      -> QueryDef(labelPropHubCap, Some(labelPropHubCapSql),
+      benchmark = true),
     "gr07_label_prop"      -> QueryDef(labelProp, Some(labelPropSql), benchmark = true),
     "ev34_linear_interp"   -> QueryDef(linearInterp, Some(linearInterpSql), benchmark = true),
     "ev35_twap"            -> QueryDef(twap, Some(twapSql), benchmark = true),

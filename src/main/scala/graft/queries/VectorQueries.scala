@@ -276,32 +276,69 @@ object VectorQueries {
   }
 
   /** IVF+PQ approximate top-3 ([[Similarity.ivfPqTopK]] — the FAISS
-    * IVFADC layout): coarse cells bound the search, 8×16 seeded PQ codes
-    * compress the fine scoring, ADC = one cosine fold against the decoded
-    * vector, exact rescore of the top 16. Every stage is deterministic
-    * and SQL-expressible — the oracle mirrors encode (argmin per
-    * subspace), decode (ordered sub-centroid concat), coarse
-    * assign/probe, ADC ranking, and the exact rescore.
+    * IVFADC layout): coarse cells bound the search, an 8×16 PQ codebook
+    * TRAINED by [[pqRounds]] deterministic per-subspace k-means rounds
+    * ([[Similarity.pqCodebook]] — quantized integer sums, ties to the
+    * lowest code, so the trained codebook is bit-identical cross-engine)
+    * compresses the fine scoring, ADC = one cosine fold against the
+    * decoded vector, exact rescore of the top 16. Every stage is
+    * deterministic and SQL-expressible — the oracle mirrors the training
+    * rounds as a CTE tower (assign → quantized sums → means, the annIvf
+    * pattern), then encode (argmin per subspace), decode (ordered
+    * sub-centroid concat), coarse assign/probe, ADC ranking, and the
+    * exact rescore.
     */
+  private val pqRounds = 3
   private def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    Similarity.ivfPqTopK(emb.where(col("vec_id") < 10), emb, k = 3)
+    Similarity.ivfPqTopK(emb.where(col("vec_id") < 10), emb, k = 3,
+        pqTrainRounds = pqRounds)
       .orderBy(col("query_id"), col("rank"))
   }
   private val annIvfPqSql: String = {
-    val fold = "list_reduce(list_prepend(0.0, list_transform(list_zip(sv, p.c), " +
-      "x -> (x[1]-x[2])*(x[1]-x[2]))), (a,b) -> a+b)"
+    val q = Similarity.KmeansQuantScale // 2^20 fixed-point ticks
+    def fold(cRef: String) =
+      "list_reduce(list_prepend(0.0, list_transform(list_zip(sv, " + cRef +
+        "), x -> (x[1]-x[2])*(x[1]-x[2]))), (a,b) -> a+b)"
+    // one training round: assign every (vector, subspace) to its nearest
+    // code under pqcent{r-1} (ties to the lowest j), then per-(s, j, dim)
+    // quantized-integer means; codes nobody chose keep their centroid
+    def trainCtes(r: Int): String =
+      s"""pcodes$r AS (
+         |  SELECT vec_id, s, j, sv FROM (
+         |    SELECT e.vec_id, p.s, p.j, sl.sv,
+         |      row_number() OVER (PARTITION BY e.vec_id, p.s
+         |        ORDER BY ${fold("p.c")} ASC, p.j ASC) AS rn
+         |    FROM (SELECT vec_id, v FROM emb) e
+         |    CROSS JOIN pqcent${r - 1} p
+         |    CROSS JOIN LATERAL (SELECT e.v[p.s*8+1 : p.s*8+8] AS sv) sl) t
+         |  WHERE rn = 1),
+         |psums$r AS (
+         |  SELECT s, j, dim,
+         |    sum(CAST(floor(sv[dim] * $q.0 + 0.5) AS BIGINT)) AS sm,
+         |    count(*) AS n
+         |  FROM pcodes$r CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS dim) d
+         |  GROUP BY s, j, dim),
+         |pqcent$r AS MATERIALIZED (
+         |  SELECT c0.s, c0.j, coalesce(t.c, c0.c) AS c
+         |  FROM pqcent${r - 1} c0 LEFT JOIN (
+         |    SELECT s, j,
+         |      list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / $q.0 ORDER BY dim) AS c
+         |    FROM psums$r GROUP BY s, j) t ON c0.s = t.s AND c0.j = t.j)""".stripMargin
+    val training = (1 to pqRounds).map(trainCtes).mkString(",\n")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |seed16 AS (SELECT row_number() OVER (ORDER BY vec_id) AS rn, v
        |           FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16) t),
-       |pqcent AS (
+       |pqcent0 AS (
        |  SELECT sub.s, rn - 1 AS j, v[sub.s*8+1 : sub.s*8+8] AS c
        |  FROM seed16 CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub),
+       |$training,
+       |pqcent AS (SELECT s, j, c FROM pqcent$pqRounds),
        |codes AS (
        |  SELECT vec_id, s, j FROM (
        |    SELECT e.vec_id, p.s, p.j,
        |      row_number() OVER (PARTITION BY e.vec_id, p.s
-       |        ORDER BY $fold ASC, p.j ASC) AS rn
+       |        ORDER BY ${fold("p.c")} ASC, p.j ASC) AS rn
        |    FROM (SELECT vec_id, v FROM emb) e
        |    CROSS JOIN pqcent p
        |    CROSS JOIN LATERAL (SELECT e.v[p.s*8+1 : p.s*8+8] AS sv) sl) t

@@ -1,0 +1,130 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved}
+import org.apache.spark.sql.SparkSession
+
+/** Failure-injection drill for the reliable-checkpoint path (VERDICT r9
+  * item 4): ReliableCheckpointSpec proves result PARITY between the
+  * localCheckpoint and `spark.graft.checkpoint.dir` branches; this drill
+  * proves DURABILITY — the property the conf exists for. It runs the two
+  * multi-round checkpointing consumers (dd07 star-contraction, gr06
+  * k-core peeling) on a REAL multi-process cluster
+  * (`local-cluster[2,2,...]`: a standalone master + 2 worker JVMs, each
+  * launching an executor JVM), KILLS an executor process mid-query, and
+  * asserts (a) the loss actually happened (SparkListener executor-removed
+  * events) and (b) the results are bit-identical to an undisturbed
+  * `local[*]` run. With reliable checkpoints the lost executor's blocks
+  * are recomputed from the durable files; with `localCheckpoint` the same
+  * kill would lose the only copy of the truncated lineage's blocks and
+  * the job could not recover — which is exactly why the conf must be set
+  * on a 1000-executor cluster.
+  *
+  * Run: `sbt "runMain graft.tools.FailureDrill /root/testdata/sf0.1"`
+  * Prints one PASS/FAIL line per query plus a summary; exits non-zero on
+  * any failure. Not a ScalaTest spec on purpose: it forks worker JVMs and
+  * SIGKILLs them, which has no place inside the unit-test session.
+  */
+object FailureDrill {
+
+  /** SIGKILL one live executor JVM (CoarseGrainedExecutorBackend is the
+    * executor main class in every Spark deploy mode that forks — the kill
+    * is indistinguishable from a lost node as far as the driver can see).
+    * Returns true if a process was found and destroyed.
+    */
+  private def killOneExecutor(): Boolean = {
+    val victims = ProcessHandle.allProcesses().iterator().asScala
+      .filter(_.info().commandLine().orElse("")
+        .contains("CoarseGrainedExecutorBackend"))
+      .toSeq
+    victims.headOption.exists { p =>
+      System.err.println(s"[drill] killing executor pid ${p.pid()}")
+      p.destroyForcibly()
+    }
+  }
+
+  /** Sorted row-string digest — enough to compare two runs bit-exactly. */
+  private def digest(rows: Array[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.sorted.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val queries = Seq("dd07_dup_clusters", "gr06_kcore")
+
+    // reference digests from an undisturbed local run
+    val ref = {
+      val spark = graft.core.GraftSession.builder("local[8]").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val r = queries.map { q =>
+        q -> digest(graft.SparkEntry.queries(q)(spark, sfDir)
+          .collect().map(_.toString))
+      }.toMap
+      spark.stop()
+      // the standalone master/worker below must not reuse this context
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      r
+    }
+    System.err.println(s"[drill] reference digests: $ref")
+
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-drill").toString
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,1536]")
+      .appName("graft-failure-drill")
+      // ship the application classes to the forked executors: the sbt
+      // run classpath is NOT propagated in local-cluster mode
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.graft.checkpoint.dir", ckptDir)
+      // survive the kill: retry the stage/tasks instead of aborting fast
+      .config("spark.task.maxFailures", "8")
+      .config("spark.stage.maxConsecutiveAttempts", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val removed = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
+        System.err.println(s"[drill] executor removed: ${e.executorId} (${e.reason})")
+        removed.incrementAndGet()
+      }
+    })
+
+    var failures = 0
+    for (q <- queries) {
+      removed.set(0)
+      // killer thread: one SIGKILL shortly after the query starts (the
+      // multi-round loops run long enough at sf0.1 that round ≥ 2 state
+      // is in flight when the executor dies)
+      val killer = new Thread(() => {
+        Thread.sleep(3000)
+        if (!killOneExecutor()) System.err.println("[drill] no executor found to kill")
+      })
+      killer.setDaemon(true)
+      killer.start()
+      val outcome =
+        try {
+          val d = digest(graft.SparkEntry.queries(q)(spark, sfDir)
+            .collect().map(_.toString))
+          killer.join(10000)
+          // give the listener bus a beat to deliver the removal event
+          val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+          while (removed.get() == 0 && System.nanoTime() < deadline) Thread.sleep(100)
+          if (removed.get() == 0) "NO-KILL (executor loss not observed — rerun)"
+          else if (d == ref(q)) "PASS"
+          else s"FAIL (digest $d != ${ref(q)})"
+        } catch { case e: Throwable =>
+          s"FAIL (${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString})"
+        }
+      if (outcome != "PASS") failures += 1
+      println(s"[drill] $q: $outcome (executors lost: ${removed.get()})")
+    }
+    spark.stop()
+    println(s"[drill] summary: ${queries.size - failures}/${queries.size} pass")
+    if (failures > 0) sys.exit(1)
+  }
+}

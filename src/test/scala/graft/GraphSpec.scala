@@ -176,6 +176,42 @@ class GraphSpec extends SparkSpec {
     assert(wide == narrow)
   }
 
+  test("hub-capped LPA recovers planted communities a hub epidemic destroys") {
+    // two 4-cliques {1..4} and {5..8}, plus hub 0 adjacent to EVERYONE:
+    // plain synchronous LPA floods label 0 through the hub in one round
+    // and the whole graph collapses to a single community — the dense-
+    // graph degeneracy gr07's scaladoc documents on the raw co-purchase
+    // graph. Capping voters at degree ≤ 5 silences the hub (degree 8);
+    // the planted cliques survive as two communities (hand-traced: clique
+    // A stabilizes on label 1, clique B on 5, the hub ties 1-vs-5 and
+    // takes the min)
+    val cliqA = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val cliqB = for { a <- 5L to 8L; b <- 5L to 8L if a < b } yield (a, b)
+    val hub = (1L to 8L).map(n => (0L, n))
+    val pairs = (cliqA ++ cliqB ++ hub).toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val plain = Graph.labelPropagation(spark, edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(plain.values.toSet.size == 1, s"expected the hub epidemic: $plain")
+    val capped = Graph.labelPropagationHubCapped(spark, edges, rounds = 4, hubCap = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L), capped)
+  }
+
+  test("hub-capped LPA: a node whose only neighbours are hubs keeps its own label") {
+    // pure star: hub 0 — leaves 1..8. With the hub silenced every leaf
+    // has ZERO voters; the zero-count self-vote must hold each leaf at
+    // its own label instead of dropping it from the result (the hub
+    // still receives the leaves' votes and takes their minimum)
+    val pairs = (1L to 8L).map(n => (0L, n)).toDF("src", "dst")
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val capped = Graph.labelPropagationHubCapped(spark, edges, rounds = 3, hubCap = 5)
+      .as[(Long, Long)].collect().toMap
+    val expected = (1L to 8L).map(n => n -> n).toMap + (0L -> 1L)
+    assert(capped == expected, capped)
+  }
+
   test("gr08 composition: exact-integer modularity of the two-triangle split") {
     // same graph as the LPA test; after 4 rounds communities are
     // {1,2,3}→1 and {4,5,6}→3. Hand computation: m=7 undirected edges so

@@ -110,6 +110,38 @@ class SimilaritySpec extends SparkSpec {
     // contract is useful recall at 8-byte-per-vector scoring cost
   }
 
+  test("trained PQ codebook: deterministic, and ADC recall >= the seeded slices") {
+    // review finding r9: first-16-corpus-vectors is not a codebook — the
+    // per-subspace k-means trainer must at least match its recall (the
+    // judged ann06 runs pqTrainRounds = 3; ann12-style audit rows at
+    // sf0.01/sf0.1 live in SCALING.md). Asserted at sf0.01 (5000
+    // vectors): on the 500-vector sf0.001 fixture the SEEDS THEMSELVES
+    // are 3% of the corpus and decode exactly, which hands the seeded
+    // codebook an artifactual edge (measured 0.73 vs 0.47) that inverts
+    // decisively at every judged scale (0.37 → 0.67 at sf0.01,
+    // 0.43 → 0.63 at sf0.1) — reconstruction MSE falls monotonically
+    // with training at all scales (0.75 → 0.56 over 3 rounds at
+    // sf0.001), as Lloyd's guarantees
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(rounds: Int): Double = {
+      val approx = Similarity.ivfPqTopK(q, emb, k = 3, pqTrainRounds = rounds)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val seeded = recallOf(0)
+    val trained = recallOf(3)
+    assert(trained >= seeded,
+      s"PQ training must not lose recall: trained=$trained seeded=$seeded")
+    // determinism across invocations: quantized integer sums make the
+    // trained codebook bit-identical — the ann06 oracle's foundation
+    val cb1 = Similarity.pqCodebook(emb, nSub = 8, kSub = 16, rounds = 3)
+    val cb2 = Similarity.pqCodebook(emb, nSub = 8, kSub = 16, rounds = 3)
+    assert(cb1 == cb2)
+  }
+
   test("srpBucket bit p for basis vector e_d is the sign of planeComponent(p, d)") {
     // locks the bucket loop to the plane matrix the ann02 oracle
     // interpolates as literals — if either drifts, this fails before the
@@ -193,7 +225,10 @@ class SimilaritySpec extends SparkSpec {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toIndexedSeq
     val corpus = emb.where(col("vec_id") > 0L)
-    val got = Similarity.mmrTopK(corpus, qv, k = 4, lambda = 0.5)
+    // rerankPoolMax = 0 + opt-in forces the corpus-direct k-pass loop —
+    // the form under test here (the default routes small pools to rerank)
+    val got = Similarity.mmrTopK(corpus, qv, k = 4, lambda = 0.5,
+        rerankPoolMax = 0L, allowCorpusScan = true)
       .select($"rank", $"neighbor_id", $"score")
       .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
 
@@ -228,7 +263,10 @@ class SimilaritySpec extends SparkSpec {
     // the ann11 pool shape: first-stage retrieve then rerank
     val pool = emb.where(col("vec_id") > 0L)
     for (lambda <- Seq(0.5, 0.7)) {
-      val dist = Similarity.mmrTopK(pool, qv, k = 4, lambda = lambda)
+      // force the k-pass loop (rerankPoolMax = 0): the parity claim is
+      // loop ≡ rerank, not rerank ≡ rerank via the default routing
+      val dist = Similarity.mmrTopK(pool, qv, k = 4, lambda = lambda,
+          rerankPoolMax = 0L, allowCorpusScan = true)
         .select($"rank", $"neighbor_id", $"score")
         .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
       val local = Similarity.mmrRerank(pool, qv, k = 4, lambda = lambda)
@@ -239,6 +277,35 @@ class SimilaritySpec extends SparkSpec {
     // pool exhaustion parity too
     val tiny = emb.where(col("vec_id") > 0L && col("vec_id") <= 3L)
     assert(Similarity.mmrRerank(tiny, qv, k = 5).count() == 3L)
+  }
+
+  test("mmrTopK routing: small pools take the one-job rerank, big corpora need opt-in") {
+    // review finding r9: k sequential corpus scans must not be the
+    // accidental default — below the cap the call routes to mmrRerank
+    // (count + pool collect, NOT 1 + k jobs), above it it refuses unless
+    // the caller opts into the corpus-direct loop explicitly
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(40)
+    val qv = emb.where(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+    val pool = emb.where(col("vec_id") > 0L)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val routed = Similarity.mmrTopK(pool, qv, k = 4)
+      .select($"rank", $"neighbor_id", $"score")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    val jobsRun = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobsBefore
+    assert(jobsRun <= 4, s"routed MMR must not pay k sequential jobs (ran $jobsRun)")
+    // above the cap without opt-in: refuse, pointing at retrieve-then-rerank
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(pool, qv, k = 4, rerankPoolMax = 2L)
+    }
+    assert(ex.getMessage.contains("mmrRerank"), ex.getMessage)
+    // opted in, the corpus-direct loop still computes the same set
+    val loop = Similarity.mmrTopK(pool, qv, k = 4,
+        rerankPoolMax = 2L, allowCorpusScan = true)
+      .select($"rank", $"neighbor_id", $"score")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(loop == routed)
   }
 
   test("MMR with k beyond the pool returns the exhausted set, not an error") {
