@@ -3,7 +3,7 @@ package graft.tools
 import java.util.concurrent.atomic.AtomicInteger
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorAdded, SparkListenerExecutorRemoved}
 import org.apache.spark.sql.SparkSession
 
 /** Failure-injection drill for the reliable-checkpoint path (VERDICT r9
@@ -22,26 +22,47 @@ import org.apache.spark.sql.SparkSession
   * the job could not recover — which is exactly why the conf must be set
   * on a 1000-executor cluster.
   *
-  * Run: `sbt "runMain graft.tools.FailureDrill /root/testdata/sf0.1"`
-  * Prints one PASS/FAIL line per query plus a summary; exits non-zero on
-  * any failure. Not a ScalaTest spec on purpose: it forks worker JVMs and
-  * SIGKILLs them, which has no place inside the unit-test session.
+  * Run (spark-submit so executors resolve the distribution layout and
+  * fetch the app jar themselves):
+  * {{{
+  * sbt package && /opt/spark/bin/spark-submit --master local[8] \
+  *   --driver-memory 10g --class graft.tools.FailureDrill \
+  *   target/scala-2.13/mapreduce_4sl08spark_2.13-0.1.0.jar /root/testdata/sf0.1
+  * }}}
+  * (the --master only covers the reference phase; the drill builds its
+  * own local-cluster session). Prints one PASS/FAIL line per query plus
+  * a summary; exits non-zero on any failure. Not a ScalaTest spec on
+  * purpose: it forks executor JVMs and SIGKILLs them, which has no place
+  * inside the unit-test session.
   */
 object FailureDrill {
 
-  /** SIGKILL one live executor JVM (CoarseGrainedExecutorBackend is the
-    * executor main class in every Spark deploy mode that forks — the kill
-    * is indistinguishable from a lost node as far as the driver can see).
-    * Returns true if a process was found and destroyed.
+  /** SIGKILL one live executor JVM OF THIS APPLICATION
+    * (CoarseGrainedExecutorBackend is the executor main class in every
+    * Spark deploy mode that forks, and its command line carries
+    * `--app-id` — filtering on OUR application id keeps the drill from
+    * shooting an orphan executor left over from an earlier run, which
+    * this driver would never notice). The kill is indistinguishable from
+    * a lost node as far as the driver can see. Returns true if a process
+    * was found and destroyed.
     */
-  private def killOneExecutor(): Boolean = {
-    val victims = ProcessHandle.allProcesses().iterator().asScala
-      .filter(_.info().commandLine().orElse("")
-        .contains("CoarseGrainedExecutorBackend"))
-      .toSeq
-    victims.headOption.exists { p =>
-      System.err.println(s"[drill] killing executor pid ${p.pid()}")
-      p.destroyForcibly()
+  private def killOneExecutor(appId: String): Boolean = {
+    // /proc directly: ProcessHandle.info().commandLine() reports empty for
+    // these executor JVMs (their argv is megabytes of classpath — past the
+    // JDK's per-process info sysctl limit), while /proc/<pid>/cmdline
+    // always has the full NUL-separated argv
+    val procs = Option(new java.io.File("/proc")
+      .listFiles((f: java.io.File) => f.getName.forall(_.isDigit))).toSeq.flatten
+    procs.find { d =>
+      try {
+        val cmd = new String(java.nio.file.Files.readAllBytes(
+          d.toPath.resolve("cmdline")), "UTF-8").replace('\u0000', ' ')
+        cmd.contains("CoarseGrainedExecutorBackend") && cmd.contains(appId)
+      } catch { case _: Exception => false }
+    }.exists { d =>
+      val pid = d.getName.toLong
+      System.err.println(s"[drill] killing executor pid $pid of $appId")
+      ProcessHandle.of(pid).map[Boolean](p => p.destroyForcibly()).orElse(false)
     }
   }
 
@@ -64,6 +85,11 @@ object FailureDrill {
         q -> digest(graft.SparkEntry.queries(q)(spark, sfDir)
           .collect().map(_.toString))
       }.toMap
+      // drain the swap-tracked release hooks BEFORE stopping: they close
+      // over THIS context, and firing them from the next kCore invocation
+      // (in the cluster session) would unpersist against a stopped context
+      graft.operators.Graph.releaseCaches()
+      graft.queries.TextQueries.releaseCaches()
       spark.stop()
       // the standalone master/worker below must not reuse this context
       org.apache.spark.sql.SparkSession.clearActiveSession()
@@ -73,6 +99,13 @@ object FailureDrill {
     System.err.println(s"[drill] reference digests: $ref")
 
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-drill").toString
+    // local-cluster's in-process Worker builds the executor launch command
+    // via the launcher's AbstractCommandBuilder, which resolves the Spark
+    // layout from spark.test.home — point it at the installed distribution
+    // (and pin the scala version so the builder doesn't probe for a dev
+    // checkout's build directories)
+    System.setProperty("spark.test.home",
+      sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
     val spark = SparkSession.builder()
       .master("local-cluster[2,2,1536]")
       .appName("graft-failure-drill")
@@ -88,21 +121,36 @@ object FailureDrill {
     spark.sparkContext.setLogLevel("WARN")
     val removed = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onExecutorAdded(e: SparkListenerExecutorAdded): Unit =
+        System.err.println(s"[drill] executor added: ${e.executorId} on ${e.executorInfo.executorHost}")
       override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
         System.err.println(s"[drill] executor removed: ${e.executorId} (${e.reason})")
         removed.incrementAndGet()
       }
     })
+    // don't race the first query against executor launch: the kill must
+    // land mid-computation, not mid-startup
+    val regDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker.getExecutorInfos.length < 3 &&
+        System.nanoTime() < regDeadline)
+      Thread.sleep(200) // getExecutorInfos includes the driver
 
     var failures = 0
     for (q <- queries) {
       removed.set(0)
       // killer thread: one SIGKILL shortly after the query starts (the
       // multi-round loops run long enough at sf0.1 that round ≥ 2 state
-      // is in flight when the executor dies)
+      // is in flight when the executor dies); polls because executor JVM
+      // launch can lag the query by several seconds
       val killer = new Thread(() => {
-        Thread.sleep(3000)
-        if (!killOneExecutor()) System.err.println("[drill] no executor found to kill")
+        Thread.sleep(2000)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var killed = false
+        while (!killed && System.nanoTime() < deadline) {
+          killed = killOneExecutor(spark.sparkContext.applicationId)
+          if (!killed) Thread.sleep(500)
+        }
+        if (!killed) System.err.println("[drill] no executor found to kill")
       })
       killer.setDaemon(true)
       killer.start()
