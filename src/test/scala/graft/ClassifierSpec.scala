@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries
+
+/** Trained quality classifier — tx40.
+  *
+  * The cross-engine gate (tx40 vs the DuckDB CTE tower) pins the full
+  * fixed-point GD chain bit-for-bit; these tests pin the properties a
+  * hash match alone would not localize: that the student actually
+  * LEARNS (accuracy beats the majority class by a wide margin — a
+  * weight-update bug that froze w at 0 would still hash-match a
+  * mirrored bug), score/keep internal consistency, determinism across
+  * invocations, and the truncation-toward-zero division contract the
+  * judged negative-numerator divisions (standardize / margin /
+  * gradient / update) rely on.
+  */
+class ClassifierSpec extends SparkSpec {
+
+  private val Fp = TextQueries.LogReg.Fp
+
+  private lazy val out =
+    TextQueries.defs("tx40_quality_classifier").fn(spark, sf0001).collect()
+
+  test("student beats the majority class by >= 25 points") {
+    val n = out.length.toDouble
+    val pos = out.count(_.getLong(1) == 1L) / n
+    val majority = math.max(pos, 1 - pos)
+    val acc = out.count(r => r.getLong(1) == r.getLong(3)) / n
+    assert(n >= 100, "fixture must be non-trivial")
+    assert(acc >= majority + 0.25,
+      s"acc=$acc must clear majority=$majority by >= 0.25 — GD learned nothing")
+    assert(acc >= 0.9, s"acc=$acc below the 0.9 floor this corpus supports")
+  }
+
+  test("scores live in [0, 2^20] and keep == (score >= 2^19)") {
+    out.foreach { r =>
+      val (score, keep) = (r.getLong(2), r.getLong(3))
+      assert(score >= 0 && score <= Fp, s"score $score out of range")
+      assert(keep == (if (score >= Fp / 2) 1L else 0L))
+    }
+  }
+
+  test("training is deterministic across invocations") {
+    val again =
+      TextQueries.defs("tx40_quality_classifier").fn(spark, sf0001).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("Spark div truncates toward zero (the oracle's // contract)") {
+    // The standardize / margin / gradient / update divisions all see
+    // negative numerators; the hash gate holds only because Spark `div`
+    // and DuckDB `//` BOTH truncate toward zero (not floor). Pin the
+    // Spark half here; the DuckDB half is pinned by the gate itself.
+    val r = spark.range(1)
+      .select(expr("cast(-7 div 2 as bigint)").as("a"),
+        expr("cast(7 div -2 as bigint)").as("b"),
+        expr("cast(-7 % 2 as bigint)").as("c"))
+      .head()
+    assert(r.getLong(0) == -3L && r.getLong(1) == -3L && r.getLong(2) == -1L)
+  }
+}
