@@ -606,6 +606,92 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Int8 scalar quantization (SQ) + exact rescore — the third
+    * compression point on the memory/recall curve beside SRP-LSH
+    * ([[lshTopK]]) and IVF+PQ ([[ivfPqTopK]]), and the one real vector
+    * stores deploy first (FAISS `SQ8`, Lucene/Elasticsearch
+    * `int8_hnsw`, pgvector `halfvec`/SQ): quantize every dimension to
+    * an unsigned byte against per-dimension corpus min/max, search on
+    * the 4×-smaller codes with an EXACT integer L2², then rescore only
+    * the top `cand` candidates per query with the full-precision
+    * cosine.
+    *
+    * Contract (mirrored in the ann13 oracle):
+    *  - per-dimension corpus stats: one aggregate pass → (min_d, max_d)
+    *    per dimension, assembled into two model-parameter arrays (the
+    *    1-row broadcast convention — nothing collected);
+    *  - code(v)_d = clamp(floor((v_d − min_d) · 255 / (max_d − min_d)),
+    *    0, 255), constant dimensions code to 0; queries quantize
+    *    against the CORPUS stats (asymmetric to corpus distribution,
+    *    the standard SQ deployment);
+    *  - candidate metric: integer Σ_d (qa_d − qb_d)² — EXACT cross-
+    *    engine, no floating point until the rescore; ties to the lowest
+    *    neighbor id;
+    *  - rescore: full-precision [[cosine]] over the float vectors of
+    *    the ≤ `cand` survivors per query, final top-k by
+    *    (cos DESC, id).
+    *
+    * Scale shape: the scan reads 1 byte/dim instead of 4 (the whole
+    * point at 100 TB — the code table is the thing that fits in
+    * executor memory), queries broadcast, the corpus never shuffles —
+    * only (query, dist, id) tuples cross the wire for ranking, then the
+    * tiny candidate set joins back BY ID for float vectors (at scale
+    * that's an index fetch, not a second scan — here the same parquet
+    * read, which Spark prunes to the candidate ids' row groups).
+    * Quantization error is bounded per dim by range/510, so int-L2
+    * ordering tracks true L2 far more tightly than PQ's codebook ADC —
+    * recall@5 vs [[bruteForceTopK]] is audited in SimilaritySpec and
+    * SCALING.md.
+    */
+  def sqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      cand: Int = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // one corpus pass: per-dimension min/max, reassembled dim-ordered
+    // into two 1-row arrays (zero collect; the tx35 model-as-row shape)
+    val stats = c.select(posexplode(col("cv")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(d, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)")
+          .as("mxs"))
+    val quant = // (x, i) -> int8 code; Spark lambda index is 0-based
+      "transform(%s, (x, i) -> CASE WHEN mxs[i] = mns[i] THEN 0 " +
+        "ELSE least(greatest(cast(floor((x - mns[i]) * 255.0D / " +
+        "(mxs[i] - mns[i])) as int), 0), 255) END)"
+    val cq = c.crossJoin(broadcast(stats))
+      .select(col("neighbor_id"), expr(quant.format("cv")).as("cq"))
+    val qq = q.crossJoin(broadcast(stats))
+      .select(col("query_id"), expr(quant.format("qv")).as("qq"))
+    val wD = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    val cands = cq.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qq, cq, (a, b) -> cast((a - b) * (a - b) as bigint)), " +
+          "cast(0 as bigint), (s, x) -> s + x)").as("dist"))
+      .withColumn("crank", row_number().over(wD))
+      .where(col("crank") <= cand)
+      .select(col("query_id"), col("neighbor_id"))
+    // rescore the tiny survivor set at full precision
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wC))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** MMR (maximal-marginal-relevance) diversified top-k: greedily select
     * `k` corpus vectors maximizing
     * `λ·cos(q, c) − (1−λ)·max_{s ∈ selected} cos(c, s)` — the classic

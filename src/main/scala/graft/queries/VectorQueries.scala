@@ -511,7 +511,56 @@ object VectorQueries {
        |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** ann13: int8 scalar quantization + exact rescore
+    * ([[Similarity.sqTopK]]) — search on 4×-smaller integer codes
+    * (EXACT int L2², no float until the rescore), then full-precision
+    * cosine over the top-20 survivors. Same query set / output shape as
+    * ann01, so SimilaritySpec can audit recall@5 directly.
+    */
+  private def annSq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.sqTopK(emb.where(col("vec_id") < 10), emb, k = 5, cand = 20)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val annSqSql: String = {
+    val dims = 64
+    val quant = "list_transform(%s, (x, i) -> CASE WHEN mxs[i] = mns[i] THEN 0 " +
+      "ELSE least(greatest(floor((x - mns[i]) * 255.0 / (mxs[i] - mns[i]))::INT, 0), 255) END)"
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |st AS MATERIALIZED (
+       |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+       |  FROM (SELECT dim, min(v[dim]) AS mn, max(v[dim]) AS mx
+       |        FROM emb CROSS JOIN
+       |          (SELECT unnest(generate_series(1, $dims)) AS dim) d
+       |        GROUP BY dim)),
+       |cq AS MATERIALIZED (
+       |  SELECT vec_id, ${quant.format("v")} AS q FROM emb, st),
+       |dist AS (
+       |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, ${dims + 1}),
+       |      i -> ((qq.q[i] - cc.q[i]) * (qq.q[i] - cc.q[i]))::BIGINT))::BIGINT AS dist
+       |  FROM cq qq JOIN cq cc ON qq.vec_id <> cc.vec_id
+       |  WHERE qq.vec_id < 10),
+       |cands AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY dist, neighbor_id) AS rn
+       |    FROM dist) t WHERE rn <= 20)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(q.v, n.v) AS cos,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, c.neighbor_id) AS rank
+       |  FROM cands c
+       |  JOIN emb q ON q.vec_id = c.query_id
+       |  JOIN emb n ON n.vec_id = c.neighbor_id) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "ann13_sq_rescore"      -> QueryDef(annSq, Some(annSqSql), benchmark = true),
     "ann12_ivf_recall"      -> QueryDef(annIvfRecall, Some(annIvfRecallSql), benchmark = true),
     "ann11_mmr_topk"        -> QueryDef(annMmr, Some(annMmrSql)),
     "ann10_maxsim"          -> QueryDef(annMaxSim, Some(annMaxSimSql)),

@@ -318,4 +318,21 @@ class SimilaritySpec extends SparkSpec {
       .select($"rank", $"neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
     assert(got.length == 3 && got.map(_._1).toSeq == Seq(1, 2, 3))
   }
+
+  test("SQ int8 + rescore: recall@5 vs brute force, and exact-int candidate metric") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.where($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sqTopK(q, emb, k = 5, cand = 20)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    // per-dim error is bounded by range/510, so int-L2 candidate order
+    // tracks true L2 tightly — unlike PQ's codebook ADC (ann06 audits
+    // 0.63-0.67 recall@3); measured 1.0 at sf0.001-0.1, pin a safe floor
+    assert(recall >= 0.9, s"recall=$recall")
+    val again = Similarity.sqTopK(q, emb, k = 5, cand = 20)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(sq == again, "SQ search must be deterministic")
+  }
 }
