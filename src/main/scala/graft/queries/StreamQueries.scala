@@ -898,7 +898,33 @@ object StreamQueries {
       |  CAST(sum(sq) AS BIGINT) AS sample_sq_sum
       |FROM f GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** st24: the trained quality classifier DEPLOYED on the ingest stream
+    * — the train-offline / serve-online shape every curation pipeline
+    * ends at (tx40 trains the fixed-point logistic model in batch; the
+    * stream scores each arriving document against the broadcast 1-row
+    * weight vector and the TRAINING corpus's standardization stats).
+    * Every stage on the stream side is row-local (features, standardize,
+    * sigmoid) plus two stream-static broadcast joins of 1-row model
+    * frames — ZERO streaming state, Append mode, so the same plan holds
+    * at any ingest rate: no watermark, no state store, nothing to
+    * compact. Oracle: tx40's own CTE tower — stream/batch parity of the
+    * full train+score chain.
+    */
+  private def streamQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val (_, w) = TextQueries.logRegTrain(spark, dir)
+    val stats = TextQueries.logRegStats(spark, dir)
+    val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
+    val feat = TextQueries.logRegStandardize(TextQueries.logRegRaw(src), stats)
+    val scored = TextQueries.logRegScore(feat, w)
+    StreamOps.runToMemory(spark, scored,
+        s"graft_stream_quality_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "st24_stream_quality_score" -> QueryDef(streamQualityScore,
+      Some(TextQueries.qualityClassifierSql), benchmark = true),
     "st23_stream_media_decode" -> QueryDef(streamMediaDecode, Some(streamMediaDecodeSql)),
     "st22_stream_index_dedup" -> QueryDef(streamIndexDedup, Some(TextQueries.dedupIncrementalSql), benchmark = true),
     "st21_stream_sample"     -> QueryDef(streamSample, Some(TextQueries.prioritySampleSql), benchmark = true),

@@ -3345,42 +3345,76 @@ object TextQueries {
         s" 16*$Fp), -16*$Fp)"
   }
 
-  private def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** Row-local raw features + silver label over any documents-shaped
+    * input (batch table or stream — no exchange, so it runs unchanged
+    * under micro-batch execution for st24).
+    */
+  private[queries] def logRegRaw(docs: DataFrame): DataFrame = {
     import LogReg._
     val toks = filter(TextFunctions.tokenize(col("text")), t => length(t) > 0)
-    val d1 = Tables(spark, dir).documents.select(
-      col("doc_id"),
-      size(toks).cast("long").as("nw"),
-      aggregate(toks, lit(0L), (a, t) => a + length(t)).as("tc"),
-      size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("na"),
-      size(array_intersect(array_distinct(toks),
-        array(gopherStops.map(lit): _*))).cast("long").as("ns"))
-    val raw = d1.select(
-      col("doc_id"),
-      expr(s"""CASE WHEN nw BETWEEN 30 AND 10000
-              |  AND tc*$Fp div greatest(nw,1) BETWEEN ${4 * Fp} AND ${10 * Fp}
-              |  AND na*$Fp div greatest(nw,1) >= ${Fp * 4 / 5}
-              |  AND ns >= 2 THEN cast(1 as bigint) ELSE cast(0 as bigint)
-              |END""".stripMargin).as("y"),
-      expr(s"nw*$Fp div 100").as("r2"),
-      expr(s"tc*$Fp div (8*greatest(nw,1))").as("r3"),
-      expr(s"na*$Fp div greatest(nw,1)").as("r4"),
-      expr(s"ns*$Fp div 4").as("r5"))
-    // one corpus aggregate: doc count + per-feature mean and range for
-    // the standardization (truncating integer mean — mirrored in SQL)
-    val st = raw.agg(
-      count(lit(1)).as("n"),
-      expr(s"sum(r2) div count(1)").as("m2"), expr("max(r2)-min(r2)+1").as("g2"),
-      expr(s"sum(r3) div count(1)").as("m3"), expr("max(r3)-min(r3)+1").as("g3"),
-      expr(s"sum(r4) div count(1)").as("m4"), expr("max(r4)-min(r4)+1").as("g4"),
-      expr(s"sum(r5) div count(1)").as("m5"), expr("max(r5)-min(r5)+1").as("g5"))
-    val feat = Dedup.ckpt(raw.crossJoin(broadcast(st)).select(
+    docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("nw"),
+        aggregate(toks, lit(0L), (a, t) => a + length(t)).as("tc"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("long").as("na"),
+        size(array_intersect(array_distinct(toks),
+          array(gopherStops.map(lit): _*))).cast("long").as("ns"))
+      .select(
+        col("doc_id"),
+        expr(s"""CASE WHEN nw BETWEEN 30 AND 10000
+                |  AND tc*$Fp div greatest(nw,1) BETWEEN ${4 * Fp} AND ${10 * Fp}
+                |  AND na*$Fp div greatest(nw,1) >= ${Fp * 4 / 5}
+                |  AND ns >= 2 THEN cast(1 as bigint) ELSE cast(0 as bigint)
+                |END""".stripMargin).as("y"),
+        expr(s"nw*$Fp div 100").as("r2"),
+        expr(s"tc*$Fp div (8*greatest(nw,1))").as("r3"),
+        expr(s"na*$Fp div greatest(nw,1)").as("r4"),
+        expr(s"ns*$Fp div 4").as("r5"))
+  }
+
+  /** Join a 1-row model frame onto every row: a constant-key equi-join
+    * rather than crossJoin, because the consumer may be a STREAM
+    * (stream-static cross joins are rejected by the unsupported-ops
+    * checker; a broadcast hash join on a literal key is the same one
+    * row to every task).
+    */
+  private def joinModelRow(rows: DataFrame, model: DataFrame): DataFrame =
+    rows.withColumn("jk", lit(1))
+      .join(broadcast(model.withColumn("jk", lit(1))), "jk")
+
+  /** Standardize raw features against a broadcast 1-row stats frame. */
+  private[queries] def logRegStandardize(raw: DataFrame, st: DataFrame): DataFrame = {
+    import LogReg._
+    joinModelRow(raw, st).select(
       col("doc_id"), col("y"), col("n"),
       lit(Fp).as("f1"),
       expr(s"(r2-m2)*$Fp div g2").as("f2"),
       expr(s"(r3-m3)*$Fp div g3").as("f3"),
       expr(s"(r4-m4)*$Fp div g4").as("f4"),
-      expr(s"(r5-m5)*$Fp div g5").as("f5")))
+      expr(s"(r5-m5)*$Fp div g5").as("f5"))
+  }
+
+  /** Score any standardized feature frame under a 1-row weight frame —
+    * row-local, so it serves both the batch output (tx40) and the
+    * streaming ingest path (st24).
+    */
+  private[queries] def logRegScore(feat: DataFrame, w: DataFrame): DataFrame = {
+    import LogReg._
+    joinModelRow(feat, w)
+      .withColumn("score_fp", expr(sig(s"($margin)")))
+      .select(col("doc_id"), col("y").as("label"), col("score_fp"),
+        expr(s"CASE WHEN score_fp >= ${Fp / 2} THEN cast(1 as bigint) " +
+          "ELSE cast(0 as bigint) END").as("keep"))
+  }
+
+  /** Batch training: the lineage-cut feature matrix and the trained
+    * 1-row weight frame (16 GD rounds; see the tx40 scaladoc above).
+    */
+  private[queries] def logRegTrain(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import LogReg._
+    val raw = logRegRaw(Tables(spark, dir).documents)
+    val feat = Dedup.ckpt(logRegStandardize(raw, logRegStats(spark, dir)))
     val w0 = spark.range(1).select(
       (1 to 5).map(i => lit(0L).as(s"w$i")): _*)
     val wR = (1 to Rounds).foldLeft(w0) { (w, _) =>
@@ -3396,15 +3430,29 @@ object TextQueries {
         (1 to 5).map(i =>
           expr(s"w$i + g$i * $LrNum div n").as(s"w$i")): _*))
     }
-    feat.crossJoin(broadcast(wR))
-      .withColumn("score_fp", expr(sig(s"($margin)")))
-      .select(col("doc_id"), col("y").as("label"), col("score_fp"),
-        expr(s"CASE WHEN score_fp >= ${Fp / 2} THEN cast(1 as bigint) " +
-          "ELSE cast(0 as bigint) END").as("keep"))
-      .orderBy(col("doc_id"))
+    (feat, wR)
   }
 
-  private val qualityClassifierSql: String = {
+  /** One corpus aggregate: doc count + per-feature mean and range for
+    * the standardization (truncating integer mean — mirrored in SQL).
+    * Reusable 1-row frame: training standardizes against it, and st24's
+    * stream side standardizes ARRIVING docs against the same TRAINING
+    * corpus stats — the deployed-model contract.
+    */
+  private[queries] def logRegStats(spark: SparkSession, dir: String): DataFrame =
+    logRegRaw(Tables(spark, dir).documents).agg(
+      count(lit(1)).as("n"),
+      expr(s"sum(r2) div count(1)").as("m2"), expr("max(r2)-min(r2)+1").as("g2"),
+      expr(s"sum(r3) div count(1)").as("m3"), expr("max(r3)-min(r3)+1").as("g3"),
+      expr(s"sum(r4) div count(1)").as("m4"), expr("max(r4)-min(r4)+1").as("g4"),
+      expr(s"sum(r5) div count(1)").as("m5"), expr("max(r5)-min(r5)+1").as("g5"))
+
+  private def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val (feat, wR) = logRegTrain(spark, dir)
+    logRegScore(feat, wR).orderBy(col("doc_id"))
+  }
+
+  private[queries] val qualityClassifierSql: String = {
     import LogReg._
     val toksSql =
       "list_filter(string_split_regex(trim(lower(text)), " +

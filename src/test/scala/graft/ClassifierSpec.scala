@@ -47,6 +47,15 @@ class ClassifierSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("st24 stream scoring is bit-identical to the batch tx40 output") {
+    // train-offline / serve-online parity: the streaming ingest path
+    // (row-local features + two 1-row stream-static broadcast joins,
+    // zero streaming state) must reproduce the batch scorer exactly
+    val streamed = graft.queries.StreamQueries
+      .defs("st24_stream_quality_score").fn(spark, sf0001).collect()
+    assert(streamed.toSeq == out.toSeq)
+  }
+
   test("Spark div truncates toward zero (the oracle's // contract)") {
     // The standardize / margin / gradient / update divisions all see
     // negative numerators; the hash gate holds only because Spark `div`
