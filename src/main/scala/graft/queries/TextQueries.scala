@@ -3418,15 +3418,23 @@ object TextQueries {
     val w0 = spark.range(1).select(
       (1 to 5).map(i => lit(0L).as(s"w$i")): _*)
     val wR = (1 to Rounds).foldLeft(w0) { (w, _) =>
-      val s = feat.crossJoin(broadcast(w))
+      val s = joinModelRow(feat, w)
         .withColumn("sg", expr(sig(s"($margin)")))
       val gAggs = first(col("n")).as("n") +:
         (1 to 5).map(i =>
           expr(s"sum(((y*$Fp - sg) * f$i) div $Fp)").as(s"g$i"))
       val g = s.agg(gAggs.head, gAggs.tail: _*)
       // 1-row-per-round lineage cut (the tx31 convention): without it the
-      // update's double reference to w doubles the plan depth every round
-      Dedup.ckpt(w.crossJoin(g).select(
+      // update's double reference to w doubles the plan depth every
+      // round. A carry-the-weights-through-the-aggregate single-plan
+      // variant (first(w) riding the gradient agg, no cuts) was A/B'd:
+      // bit-identical and 55->40 jobs warm, but bench-condition medians
+      // came out WORSE (tx40 4.1->5.8 s, st24 7.2->12.0 s at sf0.1) —
+      // one 16-level nested plan re-optimizes expensively per
+      // evaluation, and st24's stream-static side re-executes the
+      // static subplan every micro-batch, where per-round cuts leave
+      // cached 1-row RDDs. Keep the cuts.
+      Dedup.ckpt(joinModelRow(w, g).select(
         (1 to 5).map(i =>
           expr(s"w$i + g$i * $LrNum div n").as(s"w$i")): _*))
     }
