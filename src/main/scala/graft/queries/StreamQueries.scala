@@ -911,8 +911,7 @@ object StreamQueries {
     * full train+score chain.
     */
   private def streamQualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val (_, w) = TextQueries.logRegTrain(spark, dir)
-    val stats = TextQueries.logRegStats(spark, dir)
+    val (stats, _, w) = TextQueries.logRegTrain(spark, dir)
     val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
     val feat = TextQueries.logRegStandardize(TextQueries.logRegRaw(src), stats)
     val scored = TextQueries.logRegScore(feat, w)

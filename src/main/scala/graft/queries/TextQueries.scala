@@ -3270,28 +3270,33 @@ object TextQueries {
     * a DuckDB CTE tower that mirrors every round.
     *
     * Declared contract (each clause mirrored exactly in the oracle):
-    *  - tokens: [[TextFunctions.tokenize]] minus empties (the judged
-    *    whitespace convention); per-doc integer stats nw / tc (char sum)
-    *    / na (tokens containing [a-z]) / ns (distinct [[gopherStops]]
-    *    hits);
+    *  - tokens: [[TextFunctions.tokenize]] over lower(text) minus
+    *    empties (the tx16/tx17 teacher convention); per-doc integer
+    *    stats nw / tc (char sum) / na (tokens containing [a-z]) / ns
+    *    (distinct [[gopherStops]] hits);
     *  - silver label y = the Gopher rule evaluated in pure integers:
     *    nw ∈ [30, 10000], tc·2²⁰ div max(nw,1) ∈ [4·2²⁰, 10·2²⁰],
     *    na·2²⁰ div max(nw,1) ≥ 0.8·2²⁰, ns ≥ 2;
     *  - features: the four raw stats scaled to tick units (nw/100,
-    *    mwl/8, alpha fraction, ns/4), then STANDARDIZED as
-    *    (f − mean)·2²⁰ div (max − min + 1) from one corpus aggregate —
-    *    centering is what lets fixed-round GD converge (the raw
-    *    correlated features need thousands of rounds; review finding
-    *    this round) — plus a constant 2²⁰ bias;
+    *    mwl/8, alpha fraction, ns/4), CAPPED above the rule's active
+    *    range (nw at 2·10⁴, mwl/8 at 4 ticks — both 2–3× past the
+    *    thresholds, so no label information is lost and corpus-wide
+    *    stats sums stay inside Long for any real document), then
+    *    STANDARDIZED as (f − mean)·2²⁰ div (max − min + 1) from one
+    *    corpus aggregate — centering is what lets fixed-round GD
+    *    converge (the raw correlated features need thousands of rounds;
+    *    review finding this round) — plus a constant 2²⁰ bias;
     *  - base-2 logistic σ(m) = 1/(1+2^(−m)) via the tx38 fixed-point
     *    exp2 (linear interpolation between powers of two), margins
     *    clamped to ±16·2²⁰, branch symmetry keeps every intermediate
     *    division positive;
     *  - 16 GD rounds, lr = 16/n: w += Σ_docs((y·2²⁰ − σ)·f div 2²⁰)·16
     *    div n — the per-ROW div keeps the gradient accumulator under
-    *    2²⁰ per row, so a Long sum survives ~2⁴³ documents (the naive
-    *    sum-then-divide overflows at ~8M docs — exactly the 100 TB
-    *    regime this query exists for);
+    *    2²⁰ per row, so the Long sum survives ~2⁴³ documents and the
+    *    ·16 update survives ~2³⁹ ≈ 5·10¹¹ (the naive sum-then-divide
+    *    overflows at ~8M docs — exactly the 100 TB regime this query
+    *    exists for; past 2³⁹ DuckDB's BIGINT errors loudly where Spark
+    *    would wrap, the l2fp guard rationale);
     *  - sole judged divisions with possibly-negative numerators
     *    (standardize / margin / gradient / update) rely on Spark `div`
     *    and DuckDB `//` sharing truncation-toward-zero semantics
@@ -3351,7 +3356,11 @@ object TextQueries {
     */
   private[queries] def logRegRaw(docs: DataFrame): DataFrame = {
     import LogReg._
-    val toks = filter(TextFunctions.tokenize(col("text")), t => length(t) > 0)
+    // lower() BEFORE tokenize — the tx16/tx17 teacher convention and
+    // what the oracle's trim(lower(text)) does; without it an uppercase
+    // doc would undercount na/ns on the Spark side only (review finding
+    // r10 — latent on the all-lowercase fixtures, divergent on real text)
+    val toks = filter(TextFunctions.tokenize(lower(col("text"))), t => length(t) > 0)
     docs.select(
         col("doc_id"),
         size(toks).cast("long").as("nw"),
@@ -3366,8 +3375,13 @@ object TextQueries {
                 |  AND na*$Fp div greatest(nw,1) >= ${Fp * 4 / 5}
                 |  AND ns >= 2 THEN cast(1 as bigint) ELSE cast(0 as bigint)
                 |END""".stripMargin).as("y"),
-        expr(s"nw*$Fp div 100").as("r2"),
-        expr(s"tc*$Fp div (8*greatest(nw,1))").as("r3"),
+        // raw features CAPPED above the rule's active range (nw at 2e4 =
+        // 2x the upper threshold, mean word length at 32 = 3x the upper
+        // threshold) so corpus-wide sums in logRegStats stay inside Long
+        // for any real document (an uncapped 10^6-token doc would push
+        // sum(r2) past 2^63 at ~10^9 docs); no fixture row binds either cap
+        expr(s"least(nw, 20000)*$Fp div 100").as("r2"),
+        expr(s"least(tc*$Fp div (8*greatest(nw,1)), ${4 * Fp})").as("r3"),
         expr(s"na*$Fp div greatest(nw,1)").as("r4"),
         expr(s"ns*$Fp div 4").as("r5"))
   }
@@ -3410,11 +3424,20 @@ object TextQueries {
   /** Batch training: the lineage-cut feature matrix and the trained
     * 1-row weight frame (16 GD rounds; see the tx40 scaladoc above).
     */
+  /** Batch training. Returns (stats, feat, weights) — all downstream of
+    * ONE corpus tokenize pass: raw features are lineage-cut before the
+    * stats aggregate and the standardize both consume them (two scans of
+    * the cached 6-column frame, not two tokenize passes — review finding
+    * r10), and the 1-row stats frame is cut so st24's stream-static side
+    * re-reads a cached row per micro-batch instead of re-running the
+    * corpus aggregate.
+    */
   private[queries] def logRegTrain(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     import LogReg._
-    val raw = logRegRaw(Tables(spark, dir).documents)
-    val feat = Dedup.ckpt(logRegStandardize(raw, logRegStats(spark, dir)))
+    val raw = Dedup.ckpt(logRegRaw(Tables(spark, dir).documents))
+    val stats = Dedup.ckpt(logRegStatsOf(raw))
+    val feat = Dedup.ckpt(logRegStandardize(raw, stats))
     val w0 = spark.range(1).select(
       (1 to 5).map(i => lit(0L).as(s"w$i")): _*)
     val wR = (1 to Rounds).foldLeft(w0) { (w, _) =>
@@ -3438,17 +3461,18 @@ object TextQueries {
         (1 to 5).map(i =>
           expr(s"w$i + g$i * $LrNum div n").as(s"w$i")): _*))
     }
-    (feat, wR)
+    (stats, feat, wR)
   }
 
-  /** One corpus aggregate: doc count + per-feature mean and range for
-    * the standardization (truncating integer mean — mirrored in SQL).
-    * Reusable 1-row frame: training standardizes against it, and st24's
-    * stream side standardizes ARRIVING docs against the same TRAINING
-    * corpus stats — the deployed-model contract.
+  /** One aggregate over the raw features: doc count + per-feature mean
+    * and range for the standardization (truncating integer mean —
+    * mirrored in SQL). Reusable 1-row frame: training standardizes
+    * against it, and st24's stream side standardizes ARRIVING docs
+    * against the same TRAINING corpus stats — the deployed-model
+    * contract.
     */
-  private[queries] def logRegStats(spark: SparkSession, dir: String): DataFrame =
-    logRegRaw(Tables(spark, dir).documents).agg(
+  private def logRegStatsOf(raw: DataFrame): DataFrame =
+    raw.agg(
       count(lit(1)).as("n"),
       expr(s"sum(r2) div count(1)").as("m2"), expr("max(r2)-min(r2)+1").as("g2"),
       expr(s"sum(r3) div count(1)").as("m3"), expr("max(r3)-min(r3)+1").as("g3"),
@@ -3456,7 +3480,7 @@ object TextQueries {
       expr(s"sum(r5) div count(1)").as("m5"), expr("max(r5)-min(r5)+1").as("g5"))
 
   private def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val (feat, wR) = logRegTrain(spark, dir)
+    val (_, feat, wR) = logRegTrain(spark, dir)
     logRegScore(feat, wR).orderBy(col("doc_id"))
   }
 
@@ -3488,7 +3512,8 @@ object TextQueries {
        |      AND tc*$Fp // greatest(nw,1) BETWEEN ${4 * Fp} AND ${10 * Fp}
        |      AND na*$Fp // greatest(nw,1) >= ${Fp * 4 / 5}
        |      AND ns >= 2 THEN 1 ELSE 0 END::BIGINT AS y,
-       |    nw*$Fp//100 AS r2, tc*$Fp//(8*greatest(nw,1)) AS r3,
+       |    least(nw, 20000)*$Fp//100 AS r2,
+       |    least(tc*$Fp//(8*greatest(nw,1)), ${4 * Fp}) AS r3,
        |    na*$Fp//greatest(nw,1) AS r4, ns*$Fp//4 AS r5
        |  FROM d1),
        |st AS MATERIALIZED (SELECT count(*)::BIGINT n,
