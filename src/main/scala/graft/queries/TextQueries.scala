@@ -3354,7 +3354,7 @@ object TextQueries {
     * input (batch table or stream — no exchange, so it runs unchanged
     * under micro-batch execution for st24).
     */
-  private[queries] def logRegRaw(docs: DataFrame): DataFrame = {
+  private[graft] def logRegRaw(docs: DataFrame): DataFrame = {
     import LogReg._
     // lower() BEFORE tokenize — the tx16/tx17 teacher convention and
     // what the oracle's trim(lower(text)) does; without it an uppercase

@@ -56,6 +56,24 @@ class ClassifierSpec extends SparkSpec {
     assert(streamed.toSeq == out.toSeq)
   }
 
+  test("features lowercase before tokenizing (the oracle/teacher convention)") {
+    // review finding r10: without lower(), an uppercase doc undercounts
+    // na (tokens matching [a-z]) and ns (lowercase gopherStops hits) on
+    // the Spark side only — latent on the all-lowercase fixtures, a
+    // cross-engine divergence on real text. Pin with a mixed-case doc.
+    import spark.implicits._
+    val docs = Seq((1L, "The Data AND THE Table")).toDF("doc_id", "text")
+    val r = TextQueries.logRegRaw(docs)
+      .selectExpr("r4", "r5").head()
+    // lowercased tokens: the, data, and, the, table — every token then
+    // contains [a-z] (alpha fraction r4 = 2^20 exactly) and the distinct
+    // stopword hits are {the, and} (r5 = 2·2^20/4). Without lower(),
+    // AND/THE match neither [a-z] nor the stopword list: r4 = 3·2^20/5,
+    // r5 = 0.
+    assert(r.getLong(0) == Fp, s"r4=${r.getLong(0)} — uppercase tokens must count after lower()")
+    assert(r.getLong(1) == Fp / 2, s"r5=${r.getLong(1)} — THE/AND must hit the stopword list")
+  }
+
   test("Spark div truncates toward zero (the oracle's // contract)") {
     // The standardize / margin / gradient / update divisions all see
     // negative numerators; the hash gate holds only because Spark `div`
