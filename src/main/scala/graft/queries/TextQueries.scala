@@ -3457,9 +3457,13 @@ object TextQueries {
       // evaluation, and st24's stream-static side re-executes the
       // static subplan every micro-batch, where per-round cuts leave
       // cached 1-row RDDs. Keep the cuts.
+      // greatest(n,1): an EMPTY corpus must train w=0 and score nothing,
+      // not divide by zero (Spark nulls, DuckDB errors — and the oracle's
+      // materialized tower evaluates even when the final select is empty)
       Dedup.ckpt(joinModelRow(w, g).select(
         (1 to 5).map(i =>
-          expr(s"w$i + g$i * $LrNum div n").as(s"w$i")): _*))
+          expr(s"w$i + coalesce(g$i, cast(0 as bigint)) * $LrNum " +
+            s"div greatest(coalesce(n, cast(0 as bigint)), 1)").as(s"w$i")): _*))
     }
     (stats, feat, wR)
   }
@@ -3494,7 +3498,8 @@ object TextQueries {
         .map(i => s"(sum(((y*$Fp - sg) * f$i) // $Fp))::BIGINT AS g$i")
         .mkString(", ")
       val ws = (1 to 5)
-        .map(i => s"w.w$i + g.g$i * $LrNum // st.n AS w$i").mkString(", ")
+        .map(i => s"w.w$i + coalesce(g.g$i, 0) * $LrNum " +
+          s"// greatest(coalesce(st.n, 0), 1) AS w$i").mkString(", ")
       s"""s$r AS (SELECT doc_id, y, f1,f2,f3,f4,f5, ${sigSql(s"($marginSql)")} AS sg
          |  FROM feat, w${r - 1}),
          |g$r AS (SELECT $gs FROM s$r),

@@ -74,6 +74,13 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getLong(1) == Fp / 2, s"r5=${r.getLong(1)} — THE/AND must hit the stopword list")
   }
 
+  test("empty corpus: trains w=0 and scores nothing, no division by zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_lr").toString
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(TextQueries.defs("tx40_quality_classifier").fn(spark, dir).count() == 0)
+  }
+
   test("Spark div truncates toward zero (the oracle's // contract)") {
     // The standardize / margin / gradient / update divisions all see
     // negative numerators; the hash gate holds only because Spark `div`
