@@ -115,4 +115,19 @@ class ReliableCheckpointSpec extends SparkSpec {
       assert(spark.sparkContext.getCheckpointDir.get == pointedNew)
     } finally spark.conf.unset("spark.graft.checkpoint.dir")
   }
+
+  test("tx40 GD training writes reliable checkpoints and matches localCheckpoint") {
+    // the third Dedup.ckpt consumer with a multi-round loop: under the
+    // conf every per-round weight cut (and the feature matrix) becomes a
+    // durable checkpoint() — eager, so the 16-round fold runs at plan
+    // build; results must still be bit-identical to the local path
+    val local = rows("tx40_quality_classifier")
+    val reliable = withCheckpointDir { dir =>
+      val r = rows("tx40_quality_classifier")
+      assert(filesUnder(dir).nonEmpty,
+        "GD rounds must checkpoint reliably under the conf")
+      r
+    }
+    assert(reliable == local)
+  }
 }
