@@ -3539,7 +3539,89 @@ object TextQueries {
        |FROM feat, w$Rounds ORDER BY doc_id""".stripMargin
   }
 
+  /** tx41: sequence packing — the LAST step of every LLM data pipeline:
+    * concatenate the tokenized corpus (one EOS per document, GPT-2
+    * convention) and chunk it into fixed `PackWindow`-token context
+    * windows, reporting per window how many documents it spans, how
+    * many START in it (the attention-mask boundaries a trainer needs),
+    * and its token fill (== the window size everywhere except the final
+    * window — packing means zero padding by construction).
+    *
+    * Declared contract (mirrored in the oracle): tokens are the judged
+    * whitespace convention over lower(text); each doc contributes
+    * n_tok + 1 stream positions; doc offsets are the exact prefix sums
+    * in doc_id order; a doc covers windows start div C .. (end−1) div C;
+    * per-window token fill = Σ min(end, (w+1)·C) − max(start, w·C).
+    *
+    * Scale shape — the distributed prefix sum, NOT the single-partition
+    * trap: a global `sum over (order by doc_id)` window puts the whole
+    * corpus in ONE task. Instead the classic two-level scan tree:
+    * docs bucket by doc_id div 2¹⁶; per-bucket token sums aggregate
+    * map-side (one small shuffle); the running offsets of the BUCKET
+    * sums are the only unpartitioned window — n/2¹⁶ rows, ~150k at
+    * 10¹⁰ documents, a few MB in one task; each doc's offset is then
+    * bucket_offset + its running sum WITHIN the bucket (a window
+    * partitioned by bucket — fully parallel). Two levels cover 2³²+
+    * docs; the corpus-sized exchanges are one hash (bucket rollup) and
+    * one window keyed by bucket. The window explode emits
+    * len/C + 1 ≤ 2 rows per typical doc.
+    */
+  private val PackWindow = 512L
+  private val PackBucket = 1L << 16
+  private def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = PackWindow
+    val toks = filter(TextFunctions.tokenize(lower(col("text"))), t => length(t) > 0)
+    val d = Tables(spark, dir).documents.select(
+      col("doc_id"),
+      (size(toks).cast("long") + 1L).as("len"),
+      expr(s"doc_id div $PackBucket").as("bkt"))
+    // level 1: per-bucket totals (map-side combined), then the running
+    // bucket offsets — the only unpartitioned scan, over n/2^16 rows
+    val bOff = d.groupBy(col("bkt")).agg(sum(col("len")).as("blen"))
+      .withColumn("boff",
+        sum(col("blen")).over(Window.orderBy(col("bkt"))) - col("blen"))
+      .select(col("bkt"), col("boff"))
+    // level 2: within-bucket running sums — partitioned by bucket
+    val run = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+    val offs = d.join(bOff, Seq("bkt"))
+      .withColumn("e", col("boff") + sum(col("len")).over(run))
+      .withColumn("s", col("e") - col("len"))
+    offs.select(col("s"), col("e"),
+        explode(expr(s"sequence(s div $C, (e-1) div $C)")).as("window_id"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(s"CASE WHEN s div $C = window_id THEN cast(1 as bigint) " +
+          "ELSE cast(0 as bigint) END")).as("n_starts"),
+        sum(expr(s"least(e, (window_id+1)*$C) - greatest(s, window_id*$C)"))
+          .as("n_tokens"))
+      .orderBy(col("window_id"))
+  }
+  private val sequencePackingSql: String = {
+    val C = PackWindow
+    val toksSql =
+      "list_filter(string_split_regex(trim(lower(text)), " +
+        "'[\\t\\n\\x0B\\f\\r ]+'), x -> len(x) > 0)"
+    s"""WITH t AS (
+       |  SELECT doc_id, len($toksSql)::BIGINT + 1 AS len FROM documents),
+       |o AS (
+       |  SELECT doc_id,
+       |    sum(len) OVER (ORDER BY doc_id)::BIGINT AS e,
+       |    (sum(len) OVER (ORDER BY doc_id) - len)::BIGINT AS s
+       |  FROM t),
+       |w AS (
+       |  SELECT s, e,
+       |    unnest(range(s // $C, (e-1) // $C + 1))::BIGINT AS window_id
+       |  FROM o)
+       |SELECT window_id,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN s // $C = window_id THEN 1 ELSE 0 END)::BIGINT AS n_starts,
+       |  sum(least(e, (window_id+1)*$C) - greatest(s, window_id*$C))::BIGINT AS n_tokens
+       |FROM w GROUP BY window_id ORDER BY window_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "tx41_sequence_packing"   -> QueryDef(sequencePacking, Some(sequencePackingSql), benchmark = true),
     "tx40_quality_classifier" -> QueryDef(qualityClassifier, Some(qualityClassifierSql), benchmark = true),
     "tx28_dsir_select"       -> QueryDef(dsirSelect, Some(dsirSelectSql), benchmark = true),
     "tx29_quality_prune"     -> QueryDef(qualityPrune, Some(qualityPruneSql)),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
 import graft.queries.TextQueries
 
 /** Trained quality classifier — tx40.
@@ -79,6 +80,25 @@ class ClassifierSpec extends SparkSpec {
     spark.read.parquet(s"$sf0001/documents.parquet").limit(0)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(TextQueries.defs("tx40_quality_classifier").fn(spark, dir).count() == 0)
+  }
+
+  test("tx41 packing: exact fill, zero padding, stream total conserved") {
+    val wins = TextQueries.defs("tx41_sequence_packing").fn(spark, sf0001).collect()
+    val C = 512L
+    // every window but the last is EXACTLY full (packing = no padding);
+    // window ids are the contiguous prefix; token totals conserve the
+    // concatenated stream length (Σ len = Σ per-window fill)
+    assert(wins.nonEmpty)
+    wins.init.foreach(r => assert(r.getLong(3) == C,
+      s"window ${r.getLong(0)} fill=${r.getLong(3)} — interior windows must be full"))
+    assert(wins.last.getLong(3) <= C && wins.last.getLong(3) > 0)
+    assert(wins.map(_.getLong(0)).toSeq == wins.indices.map(_.toLong))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val toks = filter(TextFunctions.tokenize(lower(col("text"))), t => length(t) > 0)
+    val total = docs.select(sum(size(toks).cast("long") + 1L)).head().getLong(0)
+    assert(wins.map(_.getLong(3)).sum == total, "stream length must be conserved")
+    // n_starts over all windows = number of documents
+    assert(wins.map(_.getLong(2)).sum == docs.count())
   }
 
   test("Spark div truncates toward zero (the oracle's // contract)") {
