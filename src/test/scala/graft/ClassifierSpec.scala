@@ -80,6 +80,8 @@ class ClassifierSpec extends SparkSpec {
     spark.read.parquet(s"$sf0001/documents.parquet").limit(0)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(TextQueries.defs("tx40_quality_classifier").fn(spark, dir).count() == 0)
+    // packing nothing emits no windows (and no division/sequence errors)
+    assert(TextQueries.defs("tx41_sequence_packing").fn(spark, dir).count() == 0)
   }
 
   test("tx41 packing: exact fill, zero padding, stream total conserved") {
