@@ -75,7 +75,9 @@ object FailureDrill {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val queries = Seq("dd07_dup_clusters", "gr06_kcore")
+    // the three multi-round checkpointing consumers: star-contraction,
+    // k-core peeling, and (round 10) the GD trainer's per-round weight cuts
+    val queries = Seq("dd07_dup_clusters", "gr06_kcore", "tx40_quality_classifier")
 
     // reference digests from an undisturbed local run
     val ref = {
