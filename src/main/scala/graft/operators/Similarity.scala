@@ -642,6 +642,17 @@ object Similarity {
     * ordering tracks true L2 far more tightly than PQ's codebook ADC —
     * recall@5 vs [[bruteForceTopK]] is audited in SimilaritySpec and
     * SCALING.md.
+    *
+    * Documented decision — min/max vs quantile clipping: production SQ
+    * (FAISS `QT_8bit` vs `QT_8bit_uniform`) often clips at per-dimension
+    * percentiles so a single outlier can't stretch the range and crush
+    * resolution for the mass of the distribution. Here the stats are
+    * exact min/max because (a) the fixture embeddings are bounded
+    * synthetic floats with no heavy tails (recall@5 = 1.0 — nothing to
+    * fix), and (b) percentile stats are a drop-in swap: the q56
+    * histogram-crossing rank machinery computes exact per-dimension
+    * quantiles in one extra pass without a global sort, feeding the same
+    * two 1-row arrays. Revisit if a real corpus's recall audit degrades.
     */
   def sqTopK(
       queries: DataFrame,
