@@ -732,8 +732,43 @@ object Dedup {
       case None => false
     }
 
+  /** Bounded ring of durable rdd-N checkpoint dirs written by [[ckpt]]'s
+    * reliable branch (advisor finding r10): `df.checkpoint()` leaves its
+    * files on disk forever — tx40's training loop alone writes ~19 per
+    * invocation and the LPA/CC loops add more, so a long session with
+    * `spark.graft.checkpoint.dir` set leaked disk unboundedly (the same
+    * storage-churn failure mode as the r9 kCore finding). Slot reuse
+    * deletes the superseded dir: 64 slots is >3× the deepest
+    * single-query ckpt chain (logRegTrain's 19), and a slot is only
+    * reclaimed after 64 NEWER checkpoints have materialized — by which
+    * point the query that wrote it has produced its output, so nothing
+    * can still read it. (Graph.snapshot keeps its own tighter
+    * release-on-next-round hook for the round loops it owns.)
+    */
+  private val ckptDirRing =
+    new Array[(org.apache.hadoop.conf.Configuration, Seq[String])](64)
+  private var ckptDirIdx = 0
+  private def trackCkptDirs(d: DataFrame): DataFrame = {
+    val files = d.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile
+    }.flatten
+    if (files.nonEmpty) synchronized {
+      val slot = ckptDirIdx % ckptDirRing.length
+      ckptDirIdx += 1
+      val old = ckptDirRing(slot)
+      ckptDirRing(slot) =
+        (d.sparkSession.sparkContext.hadoopConfiguration, files)
+      if (old != null) old._2.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(old._1).delete(p, true)
+      }
+    }
+    d
+  }
+
   private[graft] def ckpt(df: DataFrame): DataFrame =
-    if (reliableCheckpointing(df.sparkSession)) df.checkpoint()
+    if (reliableCheckpointing(df.sparkSession)) trackCkptDirs(df.checkpoint())
     else {
       // lazy: the caller's next action (the per-round stats aggregate)
       // both computes the round and caches its blocks — one job instead of

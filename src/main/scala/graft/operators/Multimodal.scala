@@ -74,7 +74,9 @@ object Multimodal {
       */
     final val StubBasis = 1469598103934665603L
     def decode(payload: Array[Byte]): MediaFeatures = {
-      // ??? <- real codec goes here; deterministic fake below
+      // Deterministic fake — the REAL codecs live in ImageIoCodec /
+      // JavaSoundCodec below (mm07/mm08/mm09 exercise them); this stub stays
+      // for payloads with no decodable container.
       // FNV-1a-STYLE fold over the payload's Unicode CODE POINTS (shared
       // decoder with HashImpl.fnv64, stub basis) — value-pinned by the
       // mm01 oracle, which folds `unicode(c)` per character with the same

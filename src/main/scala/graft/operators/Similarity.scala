@@ -738,16 +738,20 @@ object Similarity {
       allowCorpusScan: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // one count (parquet-metadata cheap on a scan, one aggregate job
-    // otherwise) decides the route; ≤ rerankPoolMax rows of 64-dim
-    // doubles is ≤ ~34 MB on the driver — pool-sized, not corpus-sized
-    val n = corpus.count()
-    if (n <= rerankPoolMax)
+    // allowCorpusScan IS the route: an opted-in caller goes straight to
+    // the k-pass loop with no routing count() — the count's result was
+    // unused on that path and cost an extra job per call (advisor
+    // finding r10). Un-opted callers pay one count (parquet-metadata
+    // cheap on a scan) to route: ≤ rerankPoolMax rows of 64-dim doubles
+    // is ≤ ~34 MB on the driver — pool-sized, not corpus-sized.
+    if (!allowCorpusScan) {
+      val n = corpus.count()
+      require(n <= rerankPoolMax,
+        s"mmrTopK over a $n-row corpus would run $k sequential full corpus " +
+          "scans; retrieve a bounded candidate pool first (bruteForceTopK/" +
+          "ivfTopK top-N into mmrRerank), or opt in with allowCorpusScan=true")
       return mmrRerank(corpus, queryVec, k, lambda, idCol, vecCol)
-    require(allowCorpusScan,
-      s"mmrTopK over a $n-row corpus would run $k sequential full corpus " +
-        "scans; retrieve a bounded candidate pool first (bruteForceTopK/" +
-        "ivfTopK top-N into mmrRerank), or opt in with allowCorpusScan=true")
+    }
     val c = corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))

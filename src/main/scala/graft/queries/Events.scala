@@ -1105,6 +1105,49 @@ object Events {
       .distinct()
   }
 
+  /** gr09's successor cap: within a bucket each user pairs with its next
+    * `PairCap` bucket-mates in ascending user order. */
+  private val PairCap = 16L
+
+  /** BOUNDED per-bucket co-purchase pairs (verdict finding r10): the
+    * all-pairs derivation above is quadratic in users-per-bucket —
+    * measured ~120× edge growth for 10× rows at sf1 (5.57 M pairs), a
+    * scale-killer at 100× even when everything DOWNSTREAM is linear.
+    * This form replaces each bucket's clique with the `PairCap`-th power
+    * of the sorted-user path: every user pairs with its next
+    * min(PairCap, remaining) bucket-mates in ascending user order.
+    * Per-bucket edges drop from |us|²/2 to ≤ PairCap·|us| — NODE-LINEAR
+    * overall — while buckets stay exactly one connected unit (consecutive
+    * users are always chained), which is the property label propagation
+    * actually consumes; and a bucket with ≤ PairCap+1 users keeps its
+    * FULL clique, so sparse regimes are bit-identical to all-pairs.
+    * Deterministic by construction (user ids are distinct within a
+    * bucket, so the sort order is total) and mirrored exactly in the
+    * oracle via row_number ties to the same ascending-u order.
+    *
+    * Shape: the expansion emits successor INDICES map-side (explode of a
+    * bounded sequence — never a quadratic intermediate), then ONE
+    * (bucket, index) equi-join hangs the destination user on each index;
+    * both sides are node-linear, so the join shuffles O(PairCap·n) rows.
+    */
+  private def coPurchasePairsCapped(spark: SparkSession, dir: String): DataFrame = {
+    val byBucket = Tables(spark, dir).events
+      .where(col("event_type") === "purchase")
+      .select(window(col("ts"), "10 minutes")("start").as("b"),
+        col("user_id").as("u"))
+      .groupBy(col("b")).agg(sort_array(collect_set(col("u"))).as("us"))
+      .withColumn("n", size(col("us")))
+    val idx = byBucket.select(col("b"), col("n"),
+      posexplode(col("us")).as(Seq("i", "u")))
+    val src = idx.where(col("i") < col("n") - 1)
+      .select(col("b"), col("u").as("src"),
+        explode(expr(s"sequence(i+1, least(i+$PairCap, n-1))")).as("j"))
+    val dst = idx.select(col("b"), col("i").as("j"), col("u").as("dst"))
+    src.join(dst, Seq("b", "j"))
+      .select(col("src"), col("dst"))
+      .distinct()
+  }
+
   /** Triangle count over the undirected co-purchase graph, by the ordered-
     * edge enumeration: with every edge stored once as (src < dst), each
     * triangle a<b<c is found exactly once as (a,b)⋈(b,c)⋈(a,c) — two
@@ -1612,13 +1655,19 @@ object Events {
     * 149 nodes at sf0.01 (cap 9), 8 / 1500 at sf0.1 (cap 85) where
     * plain LPA finds exactly 1. The oracle unrolls the identical
     * degree-histogram cap / capped vote / zero-self-vote / arg-max
-    * rounds as CTEs, so the gate is exact by construction. Scale note:
-    * the raw pair expansion is quadratic in users-per-bucket — at
-    * 100 TB prefer the gr07 backbone; this query exists precisely for
-    * the user who won't.
+    * rounds as CTEs, so the gate is exact by construction.
+    *
+    * Scale note (verdict finding r10): the raw ALL-pairs expansion is
+    * quadratic in users-per-bucket (~120× edges for 10× rows at sf1) —
+    * the one remaining scale-killer in this query's lineage even though
+    * propagation itself is linear per edge. The input here is therefore
+    * [[coPurchasePairsCapped]]: per-(bucket,user) successor cap at
+    * `PairCap`, node-linear edge volume, exact clique below the cap.
+    * The "skipped the backbone AND the cap" regime remains available via
+    * [[coPurchasePairs]]; at 100 TB prefer the gr07 backbone.
     */
   private def labelPropHubCap(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = coPurchasePairs(spark, dir)
+    val pairs = coPurchasePairsCapped(spark, dir)
     val edges = pairs.union(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
     val labels = Graph.labelPropagationHubCapped(spark, edges,
@@ -1647,8 +1696,12 @@ object Events {
     s"""WITH p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
        |        user_id AS u
        |      FROM events WHERE event_type = 'purchase'),
-       |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
-       |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u),
+       |r AS (SELECT b, u,
+       |        row_number() OVER (PARTITION BY b ORDER BY u) - 1 AS i
+       |      FROM p),
+       |pairs AS (SELECT DISTINCT a.u AS src, c.u AS dst
+       |          FROM r a JOIN r c
+       |          ON a.b = c.b AND c.i > a.i AND c.i <= a.i + $PairCap),
        |e0 AS MATERIALIZED (
        |  SELECT src, dst FROM pairs
        |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),

@@ -25,7 +25,14 @@ object VectorQueries {
     val qv = emb.where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toIndexedSeq
-    Similarity.mmrTopK(emb.where(col("vec_id") > 0), qv, k = 4, lambda = 0.5)
+    // explicit route (advisor finding r10): the oracle scores the WHOLE
+    // corpus each greedy step, so a pre-filtered pool can't be used
+    // without changing semantics — opt into the k-pass corpus loop
+    // (each step one distributed top-1, no routing count, works at any
+    // corpus size) instead of the size-gated default that would throw
+    // on a fixture above rerankPoolMax.
+    Similarity.mmrTopK(emb.where(col("vec_id") > 0), qv, k = 4, lambda = 0.5,
+        allowCorpusScan = true)
       .orderBy(col("rank"))
   }
   private val annMmrSql = {

@@ -91,6 +91,23 @@ class ReliableCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("ckpt's reliable branch bounds durable dirs to the ring size") {
+    // advisor finding r10: df.checkpoint() leaves its rdd-N dir on disk
+    // forever, so a long session with the conf set leaked one dir per
+    // ckpt() call (tx40 alone writes ~19 per invocation). The 64-slot
+    // ring must delete superseded dirs as slots recycle — after 70
+    // checkpoints at most 64 of them may remain on disk.
+    import spark.implicits._
+    withCheckpointDir { dir =>
+      (1 to 70).foreach { i =>
+        graft.operators.Dedup.ckpt(Seq((i.toLong, i * 2L)).toDF("a", "b"))
+      }
+      val live = rddDirs(dir).size
+      assert(live <= 64, s"ring must bound durable checkpoint dirs, found $live")
+      assert(live >= 50, s"recent checkpoints must survive, found $live")
+    }
+  }
+
   test("checkpoint-dir guard re-points when the configured dir changes (prefix case)") {
     // the advisor's scenario: the context currently checkpoints under
     // .../ckpt2 and the conf switches to .../ckpt — a raw substring guard
