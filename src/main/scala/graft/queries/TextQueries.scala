@@ -269,9 +269,12 @@ object TextQueries {
     Dedup.dedupSubstrings(Tables(spark, dir).documents, k = 10)
       .orderBy(col("doc_id"))
   private val dedupSubstringsSql =
+    // coalesce(text,'') mirrors Dedup.nGrams' null-as-empty-doc coalesce
+    // (advisor finding r10: without it a NULL-text doc yields n_tokens
+    // NULL here vs 0 on the Spark side — 0-vs-NULL, still divergent)
     """WITH toks AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+'),
+      |    list_filter(string_split_regex(trim(coalesce(text, '')), '[\t\n\x0B\f\r ]+'),
       |                x -> len(x) > 0) AS tk
       |  FROM documents),
       |ix AS (
@@ -3359,8 +3362,15 @@ object TextQueries {
     // lower() BEFORE tokenize — the tx16/tx17 teacher convention and
     // what the oracle's trim(lower(text)) does; without it an uppercase
     // doc would undercount na/ns on the Spark side only (review finding
-    // r10 — latent on the all-lowercase fixtures, divergent on real text)
-    val toks = filter(TextFunctions.tokenize(lower(col("text"))), t => length(t) > 0)
+    // r10 — latent on the all-lowercase fixtures, divergent on real text).
+    // coalesce to '' (the dedupSpans convention — advisor finding r10):
+    // on a NULL-text doc Spark's legacy size(NULL) = -1 vs the oracle's
+    // len(NULL) = NULL would diverge in the corpus-wide standardization
+    // stats and silently shift the trained weights cross-engine; an
+    // empty doc instead yields nw=0 → y=0, r*=0 in BOTH engines.
+    val toks = filter(
+      TextFunctions.tokenize(lower(coalesce(col("text"), lit("")))),
+      t => length(t) > 0)
     docs.select(
         col("doc_id"),
         size(toks).cast("long").as("nw"),
@@ -3488,10 +3498,16 @@ object TextQueries {
     logRegScore(feat, wR).orderBy(col("doc_id"))
   }
 
-  private[queries] val qualityClassifierSql: String = {
+  /** tx40's CTE tower (features → stats → standardize → 16 GD rounds) as
+    * a reusable WITH body: tx40 selects the per-doc scores off it, tx42
+    * composes the keep filter + mixture rollup on top of the SAME tower
+    * — one definition of the trained model, judged in two compositions.
+    */
+  private[queries] val logRegTowerSql: String = {
     import LogReg._
+    // coalesce(text,'') mirrors logRegRaw's null-as-empty-doc convention
     val toksSql =
-      "list_filter(string_split_regex(trim(lower(text)), " +
+      "list_filter(string_split_regex(trim(lower(coalesce(text, ''))), " +
         "'[\\t\\n\\x0B\\f\\r ]+'), x -> len(x) > 0)"
     def round(r: Int): String = {
       val gs = (1 to 5)
@@ -3505,7 +3521,7 @@ object TextQueries {
          |g$r AS (SELECT $gs FROM s$r),
          |w$r AS MATERIALIZED (SELECT $ws FROM w${r - 1} w, g$r g, st)""".stripMargin
     }
-    s"""WITH d1 AS MATERIALIZED (
+    s"""d1 AS MATERIALIZED (
        |  SELECT doc_id, len(toks)::BIGINT nw,
        |    coalesce(list_sum(list_transform(toks, x -> len(x))),0)::BIGINT tc,
        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT na,
@@ -3532,11 +3548,90 @@ object TextQueries {
        |  FROM raw, st),
        |w0 AS (SELECT 0::BIGINT w1, 0::BIGINT w2, 0::BIGINT w3,
        |  0::BIGINT w4, 0::BIGINT w5),
-       |${(1 to Rounds).map(round).mkString(",\n")}
+       |${(1 to Rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private[queries] val qualityClassifierSql: String = {
+    import LogReg._
+    s"""WITH $logRegTowerSql
        |SELECT doc_id, y AS label, ${sigSql(s"($marginSql)")} AS score_fp,
        |  CASE WHEN ${sigSql(s"($marginSql)")} >= ${Fp / 2}
        |    THEN 1 ELSE 0 END::BIGINT AS keep
        |FROM feat, w$Rounds ORDER BY doc_id""".stripMargin
+  }
+
+  /** tx42: classifier-filtered curation — the FineWeb-Edu shape (Penedo
+    * et al. 2024, public): a TRAINED quality classifier, not hard rules,
+    * decides what survives, and the kept corpus is reported per source
+    * with temperature-mixture weights — the numbers a pipeline owner
+    * hands the sampler. Composition of two judged towers, so the gate
+    * pins their INTERACTION, not re-derived math: the weights are
+    * exactly tx40's 16-round fixed-point GD (the oracle embeds the same
+    * [[logRegTowerSql]]), the mixture arithmetic is exactly tx38's
+    * fixed-point log2/exp2 at α = 0.3 over the CLASSIFIER-KEPT per-source
+    * token counts (plus a greatest(·,1) divide guard tx38 doesn't need:
+    * a kept set that is all empty docs must yield 0 ppm, not a
+    * divide-by-zero that Spark nulls and DuckDB errors on).
+    *
+    * Scale shape: tx40's (one corpus tokenize pass + 16 one-row GD
+    * rounds), then ONE id-projected join back to documents (the kept-id
+    * side comes off the ckpt'd feature matrix — ids only, no text
+    * re-tokenized for the keep decision) into a source-bounded rollup;
+    * the mixture tower is |sources| rows with two broadcast 1-row totals.
+    */
+  private def classifierCuration(spark: SparkSession, dir: String): DataFrame = {
+    import LogReg._
+    val fp = Fp.toString
+    val (_, feat, wR) = logRegTrain(spark, dir)
+    val keptIds = logRegScore(feat, wR)
+      .where(col("keep") === 1).select(col("doc_id"))
+    val per = Tables(spark, dir).documents.join(keptIds, "doc_id")
+      .select(col("source"),
+        TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val weighted = per
+      .crossJoin(broadcast(per.agg(sum(col("n_tokens")).as("nn"))))
+      .withColumn("d", expr(s"${Unigram.l2fp("nn")} - ${Unigram.l2fp("n_tokens")}"))
+      .withColumn("t3", expr("(3 * d) div 10")) // α = 0.3, the tx38 contract
+      .withColumn("w", expr(
+        s"($fp * ${fp}L) div (($fp + t3 % $fp) * " +
+          "shiftleft(cast(1 as bigint), cast(t3 div 1048576 as int)))"))
+    weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("w")).as("wt"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000L) div greatest(nn, 1L)").as("raw_ppm"),
+        expr("(w * 1000000L) div greatest(wt, 1L)").as("share_ppm"))
+      .orderBy(col("source"))
+  }
+  private val classifierCurationSql: String = {
+    import LogReg._
+    def l2(x: String): String = Unigram.l2fpSql(x)
+    val tokCnt = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+      "len(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) END"
+    s"""WITH $logRegTowerSql,
+       |keep AS (
+       |  SELECT doc_id FROM feat, w$Rounds
+       |  WHERE ${sigSql(s"($marginSql)")} >= ${Fp / 2}),
+       |kd AS (
+       |  SELECT d.source, coalesce(d.text, '') AS text
+       |  FROM documents d JOIN keep USING (doc_id)),
+       |per AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    CAST(sum($tokCnt) AS BIGINT) AS n_tokens
+       |  FROM kd GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nn FROM per),
+       |wtab AS (
+       |  SELECT source, n_docs, n_tokens, nn,
+       |    ($Fp * ${Fp}::BIGINT) //
+       |      (($Fp + t3 % $Fp) * (1::BIGINT << (t3 // $Fp)::INT)) AS w
+       |  FROM (SELECT *, (3 * (${l2("nn")} - ${l2("n_tokens")})) // 10 AS t3
+       |        FROM per CROSS JOIN tot)),
+       |wtot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM wtab)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST((n_tokens * 1000000) // greatest(nn, 1) AS BIGINT) AS raw_ppm,
+       |  CAST((w * 1000000) // greatest(wt, 1) AS BIGINT) AS share_ppm
+       |FROM wtab CROSS JOIN wtot ORDER BY source""".stripMargin
   }
 
   /** tx41: sequence packing — the LAST step of every LLM data pipeline:
@@ -3571,7 +3666,16 @@ object TextQueries {
   private def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val C = PackWindow
-    val toks = filter(TextFunctions.tokenize(lower(col("text"))), t => length(t) > 0)
+    // coalesce to '' (advisor finding r10): Spark's size(NULL)+1 = 0
+    // would keep a NULL-text doc in the stream with len=0 (and a
+    // boundary-landing offset then makes sequence(s div C, (e-1) div C)
+    // DESCENDING, emitting a bogus extra window), while the oracle's
+    // len(NULL) is NULL and the doc vanishes from its prefix sums. As an
+    // empty doc it contributes exactly its 1 EOS position in both
+    // engines, and len ≥ 1 keeps the sequence() ascending by construction.
+    val toks = filter(
+      TextFunctions.tokenize(lower(coalesce(col("text"), lit("")))),
+      t => length(t) > 0)
     val d = Tables(spark, dir).documents.select(
       col("doc_id"),
       (size(toks).cast("long") + 1L).as("len"),
@@ -3599,8 +3703,9 @@ object TextQueries {
   }
   private val sequencePackingSql: String = {
     val C = PackWindow
+    // coalesce(text,'') mirrors sequencePacking's null-as-empty-doc rule
     val toksSql =
-      "list_filter(string_split_regex(trim(lower(text)), " +
+      "list_filter(string_split_regex(trim(lower(coalesce(text, ''))), " +
         "'[\\t\\n\\x0B\\f\\r ]+'), x -> len(x) > 0)"
     s"""WITH t AS (
        |  SELECT doc_id, len($toksSql)::BIGINT + 1 AS len FROM documents),
@@ -3623,6 +3728,7 @@ object TextQueries {
   val defs: Map[String, QueryDef] = Map(
     "tx41_sequence_packing"   -> QueryDef(sequencePacking, Some(sequencePackingSql), benchmark = true),
     "tx40_quality_classifier" -> QueryDef(qualityClassifier, Some(qualityClassifierSql), benchmark = true),
+    "tx42_classifier_curation" -> QueryDef(classifierCuration, Some(classifierCurationSql), benchmark = true),
     "tx28_dsir_select"       -> QueryDef(dsirSelect, Some(dsirSelectSql), benchmark = true),
     "tx29_quality_prune"     -> QueryDef(qualityPrune, Some(qualityPruneSql)),
     "tx30_priority_sample"   -> QueryDef(prioritySample, Some(prioritySampleSql), benchmark = true),

@@ -75,6 +75,49 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getLong(1) == Fp / 2, s"r5=${r.getLong(1)} — THE/AND must hit the stopword list")
   }
 
+  test("NULL text is an empty doc: tx40 features zero, tx41 packs 1 EOS") {
+    // advisor finding r10: unguarded tokenize(col("text")) diverges from
+    // the oracle on NULL text (Spark's legacy size(NULL) = -1 vs DuckDB
+    // len(NULL) = NULL — divergent raw features shift the trained
+    // weights; in tx41 the doc stayed in the stream with len=0 while the
+    // oracle dropped it). The coalesce-to-empty convention makes a NULL
+    // doc an EMPTY doc in both engines: every feature 0, and exactly one
+    // EOS position in the packed stream.
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val r = TextQueries.logRegRaw(docs).orderBy("doc_id").collect()
+    assert(r.length == 2)
+    (1 to 5).foreach(i => assert(r(0).getLong(i) == 0L,
+      s"null-text doc must have y=r2..r5=0, got ${r(0)}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_null_doc").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val wins = TextQueries.defs("tx41_sequence_packing").fn(spark, dir).collect()
+    // stream = [EOS] ++ [alpha, beta, EOS] = 4 positions, one window
+    assert(wins.length == 1)
+    assert(wins(0).getLong(1) == 2L, "both docs cover window 0")
+    assert(wins(0).getLong(2) == 2L, "both docs start in window 0")
+    assert(wins(0).getLong(3) == 4L, "null doc contributes exactly 1 EOS")
+  }
+
+  test("tx42 curation: per-source counts cover exactly tx40's keep set") {
+    val cur = TextQueries.defs("tx42_classifier_curation").fn(spark, sf0001)
+      .collect()
+    // composition contract: tx42's n_docs column partitions tx40's
+    // keep=1 set by source — nothing dropped, nothing double-counted
+    assert(cur.map(_.getLong(1)).sum == out.count(_.getLong(3) == 1L))
+    // temperature shares are ppm fractions of 1: truncation loses < 1
+    // ppm per source, so the sum lands in (1e6 - |sources|, 1e6]
+    val share = cur.map(_.getLong(4)).sum
+    assert(share <= 1000000L && share > 1000000L - cur.length,
+      s"share_ppm sum $share must be 1e6 minus truncation")
+    // raw vs tempered: α = 0.3 compresses the mix toward uniform, so the
+    // largest source's tempered share must not exceed its raw share
+    val top = cur.maxBy(_.getLong(2))
+    assert(top.getLong(4) <= top.getLong(3),
+      s"temperature must downweight the largest source: $top")
+  }
+
   test("empty corpus: trains w=0 and scores nothing, no division by zero") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_lr").toString
     spark.read.parquet(s"$sf0001/documents.parquet").limit(0)
