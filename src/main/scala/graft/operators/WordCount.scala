@@ -65,4 +65,27 @@ object WordCount {
     run(df, textCol)
       .select(concat(col("word"), lit(": "), col("cnt")).as("value"))
       .write.mode("overwrite").text(out)
+
+  /** O16 `EXPLICIT` gather parity (`MasterNode.java:187-210`,
+    * `Config.java:14-16`): the reference's other sink mode concatenates
+    * every worker's sorted block into ONE driver-side file. That is a
+    * driver `collect` — the anti-pattern [[writeSorted]] exists to
+    * avoid — so this form is opt-in and SMALL-OUTPUT ONLY, guarded by
+    * `maxRows`. The fetch itself is bounded (`limit(maxRows + 1)` plants
+    * a TakeOrderedAndProject, so at most maxRows+1 rows ever reach the
+    * driver even when the guard is about to fire) and the guard failure
+    * names the distributed alternative. Output lines are the reference's
+    * `final_result.txt` body in its exact global (cnt ASC, word ASC)
+    * order, minus the per-worker "Node i" banners — those leak the
+    * worker count, an execution detail, not query semantics.
+    */
+  def collectSorted(df: DataFrame, textCol: String = "value",
+      maxRows: Int = 65536): Seq[String] = {
+    val rows = run(df, textCol).limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"EXPLICIT gather pulled > $maxRows rows to the driver; use " +
+        "writeSorted (the KEEP_LOCAL distributed sink) for large results " +
+        "or raise maxRows deliberately")
+    rows.toSeq.map(r => s"${r.getString(0)}: ${r.getLong(1)}")
+  }
 }

@@ -36,4 +36,20 @@ class WordCountE2ESpec extends SparkSpec {
     // range partitions are emitted in ascending file order)
     assert(lines == want.map { case (w, c) => s"$w: $c" })
   }
+
+  test("EXPLICIT gather: driver-side sorted lines, guarded by maxRows") {
+    // O16's other sink mode (MasterNode.java:187-210): gather-to-one-file
+    // on the driver, offered only behind a row-count guard
+    val df = Seq("the quick brown fox", "the lazy dog!",
+      "The DOG barks; the fox don't.").toDF("value")
+    val lines = WordCount.collectSorted(df)
+    assert(lines == Seq("barks: 1", "brown: 1", "dont: 1", "lazy: 1",
+      "quick: 1", "dog: 2", "fox: 2", "the: 4"))
+    // the guard fires BEFORE an unbounded driver gather: 8 distinct words
+    // against maxRows = 4 must throw, naming the distributed alternative
+    val e = intercept[IllegalArgumentException] {
+      WordCount.collectSorted(df, maxRows = 4)
+    }
+    assert(e.getMessage.contains("writeSorted"))
+  }
 }
