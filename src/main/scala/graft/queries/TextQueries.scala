@@ -2673,10 +2673,13 @@ object TextQueries {
     * same corpus I/O. The learned model (<= 48 + |alphabet| pieces with
     * costs) moves between rounds as a ONE-ROW map column broadcast to
     * the vocabulary — nothing is collected to the driver, tightening
-    * tx31's one-row-per-round convention to zero. The Viterbi DP is
-    * row-local higher-order expressions (the dd16 run-merge pattern):
-    * suffix-cost fold -> per-position argmin -> path walk -> piece
-    * extraction, all inside one projection, no exchange.
+    * tx31's one-row-per-round convention to zero. The Viterbi DP is a
+    * row-local native codegen expression
+    * ([[graft.functions.ViterbiSegment]]): suffix-cost fold ->
+    * shortest-piece path walk -> piece extraction, one JVM loop per
+    * word, hashed model lookups (misses pay the unreachable Big
+    * sentinel — single chars are always seeded, so every position stays
+    * reachable and the sentinel never wins a path), no exchange.
     */
   private[graft] object Unigram {
     val MaxWord = 8
@@ -2726,13 +2729,6 @@ object TextQueries {
     val WsToSql =
       "chr(288) || chr(265) || chr(266) || chr(267) || chr(268) || chr(269)"
 
-    /** Piece-cost lookup inside a lambda: the model map `m`; misses pay
-      * an unreachable sentinel (single chars are always seeded, so every
-      * position stays reachable and the sentinel never wins a path).
-      */
-    private def costAt(s: String): String =
-      s"coalesce(try_element_at(m, $s), ${Big}L)"
-
     /** The one corpus pass: the distinct-pretoken rollup EM runs over. */
     def words(spark: SparkSession, dir: String): DataFrame =
       persistSwap(lastUnigramCache, Tables(spark, dir).documents
@@ -2760,70 +2756,92 @@ object TextQueries {
           .orderBy(col("cnt").desc, col("piece")).limit(TopMulti))
     }
 
-    /** Seed-stage costs: pure -log2 of occurrence frequency. */
-    def seedCosts(seed: DataFrame): DataFrame =
-      seed.crossJoin(broadcast(seed.agg(sum(col("cnt")).as("t"))))
-        .select(col("piece"), col("cnt"),
-          expr(s"${l2fp("t")} - ${l2fp("cnt")}").as("cost"))
-
-    /** EM-round costs: add-one smoothing over the FIXED seed vocabulary
-      * (pieces Viterbi never chose keep a finite cost and may win later
-      * rounds — standard EM-over-fixed-vocab, no pruning).
+    /** A model STAGE as one row: `arr` = the full piece-sorted
+      * (piece, cnt, cost) vocabulary, `v` = |vocabulary|. One such row
+      * is everything a round produces and everything the next round or
+      * any consumer needs — so each EM round broadcasts exactly ONE
+      * 1-row frame. The previous table-shaped formulation (a vocab-sized
+      * cost table + separate totals broadcast + separate model-map
+      * aggregate) spawned three broadcast-exchange jobs per round;
+      * QueryProfile (round 11) attributed tx35-37's wall time to
+      * per-job driver fixed cost, not executor compute — the vocab
+      * stages are milliseconds. Same fixed-point arithmetic, same
+      * piece-sorted determinism, bit-identical stage tables.
       */
-    def emCosts(seedV: DataFrame, counts: DataFrame): DataFrame = {
-      val joined = seedV.select(col("piece"))
-        .join(broadcast(counts), Seq("piece"), "left")
-        .select(col("piece"), coalesce(col("c"), lit(0L)).as("cnt"))
-      joined.crossJoin(broadcast(
-          joined.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))))
-        .select(col("piece"), col("cnt"),
-          expr(s"${l2fp("t + v")} - ${l2fp("cnt + 1")}").as("cost"))
+
+    /** Seed stage: pure -log2 of occurrence frequency, one aggregate. */
+    def seedStage(sd: DataFrame): DataFrame =
+      sd.agg(
+          array_sort(collect_list(struct(col("piece"), col("cnt")))).as("pc"),
+          sum(col("cnt")).as("t"), count(lit(1)).as("v"))
+        .select(expr(
+          s"""transform(pc, x -> struct(x.piece as piece, x.cnt as cnt,
+             |  ${l2fp("t")} - ${l2fp("x.cnt")} as cost))""".stripMargin).as("arr"),
+          col("v"))
+
+    /** EM-round stage: add-one smoothing over the FIXED seed vocabulary
+      * (pieces Viterbi never chose keep a finite cost and may win later
+      * rounds — standard EM-over-fixed-vocab, no pruning). The M-step
+      * counts aggregate to one (t, counts-map) row; the new costs are a
+      * row-local transform over the PREVIOUS stage's vocabulary array
+      * (t = Σc is the same total the old vocab-wide join computed,
+      * because every E-step piece is a model key, i.e. a seed piece).
+      */
+    def emStage(cnts: DataFrame, prev: DataFrame): DataFrame = {
+      val c0 = "coalesce(try_element_at(cm, x.piece), cast(0 as bigint))"
+      cnts.agg(
+          coalesce(sum(col("c")), lit(0L)).as("t"),
+          expr("map_from_entries(collect_list(struct(piece, c)))").as("cm"))
+        .crossJoin(broadcast(prev))
+        .select(expr(
+          s"""transform(arr, x -> struct(x.piece as piece, $c0 as cnt,
+             |  ${l2fp("t + v")} - ${l2fp(s"($c0 + 1)")} as cost))""".stripMargin)
+          .as("arr"), col("v"))
     }
 
-    /** The model as ONE row: a piece->cost map, broadcast to the vocab. */
-    def model(costs: DataFrame): DataFrame =
-      costs.agg(array_sort(collect_list(struct(col("piece"), col("cost")))).as("pcs"))
-        .select(expr(
-          "map_from_arrays(transform(pcs, x -> x.piece), transform(pcs, x -> x.cost))").as("m"))
+    /** A stage row back as the (piece, cnt, cost) table tx35 reports. */
+    def stageTable(stage: DataFrame): DataFrame =
+      stage.select(explode(col("arr")).as("x"))
+        .select(col("x.piece").as("piece"), col("x.cnt").as("cnt"),
+          col("x.cost").as("cost"))
 
-    /** E-step: Viterbi-segment every pretoken under model `m` — one
-      * projection of row-local HOFs. Adds: sufrev (suffix-cost DP,
-      * sufrev[k] = min cost of the suffix starting at char n+2-k),
-      * best (total path cost = sufrev[n+1]), jstar (per-position argmin
-      * step, ties to smallest j), vis (the walked path positions,
-      * strictly increasing 1..n+1), pieces (the chosen segmentation).
+    /** Test seam: a stage row from any (piece, [cnt,] cost) table. */
+    def stageOf(costs: DataFrame): DataFrame = {
+      val withCnt =
+        if (costs.columns.contains("cnt")) costs
+        else costs.withColumn("cnt", lit(0L))
+      withCnt.agg(array_sort(
+          collect_list(struct(col("piece"), col("cnt"), col("cost")))).as("arr"),
+        count(lit(1)).as("v"))
+    }
+
+    /** E-step: Viterbi-segment every pretoken under model `m` — the
+      * native [[graft.functions.ViterbiSegment]] expression (suffix-cost
+      * DP, total path cost `best`, shortest-piece tie-break, `pieces` =
+      * the walked segmentation). The original row-local HOF formulation
+      * (aggregate/transform lambdas + `try_element_at` map probes) was
+      * CodegenFallback with LINEAR-scan map lookups — QueryProfile
+      * attributed most of tx36/tx37's task time to those stages (round
+      * 11); the expression runs the identical fixed-point recurrence as
+      * one JVM loop per word with a hashed model, bit-identical output
+      * (UnigramSpec's hand cases + the tx35-37 oracle towers gate it).
+      * Only the columns downstream consumers read survive the
+      * projection, so the per-stage lineage cuts materialize 5 narrow
+      * columns instead of the DP's intermediate arrays.
       */
-    def estep(words: DataFrame, model: DataFrame): DataFrame = {
-      val sufrev =
-        s"""aggregate(sequence(2, n + 1), array(cast(0 as bigint)),
-           |  (acc, k) -> concat(acc, array(array_min(
-           |    transform(sequence(cast(1 as bigint), least(cast($MaxPiece as bigint), k - 1)),
-           |      j -> ${costAt("substring(w, cast(n + 2 - k as int), cast(j as int))")}
-           |           + element_at(acc, cast(k - j as int)))))))""".stripMargin
-      val jstar =
-        s"""transform(sequence(1, n), i -> array_min(
-           |  transform(sequence(cast(1 as bigint), least(cast($MaxPiece as bigint), n - i + 1)),
-           |    j -> CASE WHEN ${costAt("substring(w, cast(i as int), cast(j as int))")}
-           |                   + element_at(sufrev, cast(n + 2 - i - j as int))
-           |                   = element_at(sufrev, cast(n + 2 - i as int))
-           |              THEN j ELSE cast(99 as bigint) END)))""".stripMargin
-      val vis =
-        s"""aggregate(sequence(1, n), array(cast(1 as bigint)),
-           |  (acc, t) -> CASE WHEN element_at(acc, size(acc)) > n THEN acc
-           |    ELSE concat(acc, array(element_at(acc, size(acc))
-           |         + element_at(jstar, cast(element_at(acc, size(acc)) as int)))) END)""".stripMargin
-      val pieces =
-        s"""filter(transform(sequence(1, size(vis) - 1),
-           |    t -> CASE WHEN element_at(vis, t) <= n
-           |         THEN substring(w, cast(element_at(vis, t) as int),
-           |              cast(element_at(vis, t + 1) - element_at(vis, t) as int)) END),
-           |  p -> p is not null)""".stripMargin
-      words.crossJoin(broadcast(model))
-        .withColumn("sufrev", expr(sufrev))
-        .withColumn("best", expr("element_at(sufrev, cast(n + 1 as int))"))
-        .withColumn("jstar", expr(jstar))
-        .withColumn("vis", expr(vis))
-        .withColumn("pieces", expr(pieces))
+    def estep(words: DataFrame, stage: DataFrame): DataFrame = {
+      // the piece->cost map is projected on the BROADCAST side, so it is
+      // built once into the broadcast row (ViterbiImpl's model memo then
+      // hits on the shared buffer instead of rebuilding per word)
+      val m = stage.select(expr(
+        "map_from_arrays(transform(arr, x -> x.piece), " +
+          "transform(arr, x -> x.cost))").as("m"))
+      words.crossJoin(broadcast(m))
+        .withColumn("seg",
+          graft.functions.UnigramExprs.viterbiSegment(
+            col("w"), col("m"), MaxPiece, Big))
+        .select(col("w"), col("freq"), col("n"),
+          col("seg.best").as("best"), col("seg.pieces").as("pieces"))
     }
 
     /** M-step counts: occurrence-weighted piece usage in the E-step. */
@@ -2842,24 +2860,22 @@ object TextQueries {
       : (Seq[DataFrame], Seq[DataFrame]) = {
     val w = Unigram.words(spark, dir)
     val sd = Unigram.seed(w)
-    var costs = Unigram.seedCosts(sd)
+    var stage = Unigram.seedStage(sd)
     val costStages = Seq.newBuilder[DataFrame]
     val esteps = Seq.newBuilder[DataFrame]
-    costStages += costs
+    costStages += stage
     for (_ <- 1 to rounds) {
       // lineage-cut each E-step (Dedup.ckpt: lazy localCheckpoint, or a
-      // reliable checkpoint under spark.graft.checkpoint.dir): the
-      // Viterbi DP is interpreted higher-order-function work whose
-      // expression tree is large, so without the cut (a) every stage's
-      // plan embeds the whole upstream chain and Catalyst re-plans it
-      // per action, and (b) the M-step counts AND tx36's curve aggregate
-      // each re-run the same DP pass — measured 17 s -> the cut makes
-      // each pass materialize exactly once (bench note in SCALING.md)
-      val e = graft.operators.Dedup.ckpt(
-        Unigram.estep(w, Unigram.model(costs)))
+      // reliable checkpoint under spark.graft.checkpoint.dir): without
+      // the cut (a) every stage's plan embeds the whole upstream chain
+      // and Catalyst re-plans it per action, and (b) the M-step counts
+      // AND tx36's curve aggregate each re-run the same Viterbi pass —
+      // measured 17 s in the HOF era -> the cut makes each pass
+      // materialize exactly once (bench note in SCALING.md)
+      val e = graft.operators.Dedup.ckpt(Unigram.estep(w, stage))
       esteps += e
-      costs = Unigram.emCosts(sd, Unigram.counts(e))
-      costStages += costs
+      stage = Unigram.emStage(Unigram.counts(e), stage)
+      costStages += stage
     }
     // the final E-step is NOT checkpointed: its plan is already shallow
     // (every input is a cut), each consumer evaluates it exactly once
@@ -2867,7 +2883,7 @@ object TextQueries {
     // touches it — under spark.graft.checkpoint.dir Dedup.ckpt's
     // reliable branch is EAGER, so a cut here would make tx35 pay a
     // wasted full Viterbi job at plan-build time (review finding r9)
-    esteps += Unigram.estep(w, Unigram.model(costs))
+    esteps += Unigram.estep(w, stage)
     (costStages.result(), esteps.result())
   }
 
@@ -2879,7 +2895,8 @@ object TextQueries {
   private def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
     val (costStages, _) = unigramChain(spark, dir, rounds = 2)
     Seq("seed", "em1", "em2").zip(costStages).map { case (nm, c) =>
-      c.orderBy(col("cnt").desc, col("piece")).limit(15)
+      Unigram.stageTable(c)
+        .orderBy(col("cnt").desc, col("piece")).limit(15)
         .select(lit(nm).as("stage"), col("piece"), col("cnt"),
           col("cost").as("cost_fp"))
     }.reduce(_ unionAll _)
@@ -3453,26 +3470,33 @@ object TextQueries {
     val wR = (1 to Rounds).foldLeft(w0) { (w, _) =>
       val s = joinModelRow(feat, w)
         .withColumn("sg", expr(sig(s"($margin)")))
-      val gAggs = first(col("n")).as("n") +:
+      // ONE aggregate per round: the gradient sums AND the (constant)
+      // previous weights ride the same agg (first(w_i) — every joined
+      // row carries the identical broadcast w), so the round is a
+      // single feat-scan plan instead of gradient-agg + a second
+      // joinModelRow broadcast for the update. The r10 A/B that
+      // rejected "carry the weights through the aggregate" rejected the
+      // NO-CUTS form (one 16-level nested plan re-optimized expensively
+      // per evaluation); here each round still ends in its 1-row
+      // lineage cut, so plans stay shallow and st24's stream-static
+      // side re-reads cached 1-row RDDs per micro-batch — only the
+      // per-round broadcast-exchange job count drops (round-11
+      // QueryProfile: per-job driver fixed cost dominates tx40/st24).
+      val aggs =
+        (first(col("n")).as("n") +:
+          (1 to 5).map(i =>
+            expr(s"sum(((y*$Fp - sg) * f$i) div $Fp)").as(s"g$i"))) ++
+          (1 to 5).map(i => first(col(s"w$i")).as(s"pw$i"))
+      val g = s.agg(aggs.head, aggs.tail: _*)
+      // coalesce(pw,0): on an EMPTY corpus first() is null, and 0 is
+      // exactly the weight every round carries there (w0 = 0, g = 0
+      // inductively) — the empty corpus must train w=0 and score
+      // nothing, not divide by zero or null-poison the weights
+      // (greatest(n,1) guards the division for the same reason).
+      Dedup.ckpt(g.select(
         (1 to 5).map(i =>
-          expr(s"sum(((y*$Fp - sg) * f$i) div $Fp)").as(s"g$i"))
-      val g = s.agg(gAggs.head, gAggs.tail: _*)
-      // 1-row-per-round lineage cut (the tx31 convention): without it the
-      // update's double reference to w doubles the plan depth every
-      // round. A carry-the-weights-through-the-aggregate single-plan
-      // variant (first(w) riding the gradient agg, no cuts) was A/B'd:
-      // bit-identical and 55->40 jobs warm, but bench-condition medians
-      // came out WORSE (tx40 4.1->5.8 s, st24 7.2->12.0 s at sf0.1) —
-      // one 16-level nested plan re-optimizes expensively per
-      // evaluation, and st24's stream-static side re-executes the
-      // static subplan every micro-batch, where per-round cuts leave
-      // cached 1-row RDDs. Keep the cuts.
-      // greatest(n,1): an EMPTY corpus must train w=0 and score nothing,
-      // not divide by zero (Spark nulls, DuckDB errors — and the oracle's
-      // materialized tower evaluates even when the final select is empty)
-      Dedup.ckpt(joinModelRow(w, g).select(
-        (1 to 5).map(i =>
-          expr(s"w$i + coalesce(g$i, cast(0 as bigint)) * $LrNum " +
+          expr(s"coalesce(pw$i, cast(0 as bigint)) " +
+            s"+ coalesce(g$i, cast(0 as bigint)) * $LrNum " +
             s"div greatest(coalesce(n, cast(0 as bigint)), 1)").as(s"w$i")): _*))
     }
     (stats, feat, wR)

@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
 /** Failure-injection drill for the reliable-checkpoint path (VERDICT r9
   * item 4): ReliableCheckpointSpec proves result PARITY between the
   * localCheckpoint and `spark.graft.checkpoint.dir` branches; this drill
-  * proves DURABILITY — the property the conf exists for. It runs the two
+  * proves DURABILITY — the property the conf exists for. It runs the
   * multi-round checkpointing consumers (dd07 star-contraction, gr06
-  * k-core peeling) on a REAL multi-process cluster
+  * k-core peeling, tx40's GD rounds) plus a stateful streaming query
+  * (st20's RocksDB EWMA state) on a REAL multi-process cluster
   * (`local-cluster[2,2,...]`: a standalone master + 2 worker JVMs, each
   * launching an executor JVM), KILLS an executor process mid-query, and
   * asserts (a) the loss actually happened (SparkListener executor-removed
@@ -75,9 +76,16 @@ object FailureDrill {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // the three multi-round checkpointing consumers: star-contraction,
-    // k-core peeling, and (round 10) the GD trainer's per-round weight cuts
-    val queries = Seq("dd07_dup_clusters", "gr06_kcore", "tx40_quality_classifier")
+    // the three multi-round checkpointing consumers — star-contraction,
+    // k-core peeling, the GD trainer's per-round weight cuts — plus
+    // (round 11) a STATEFUL STRUCTURED-STREAMING query: st20 folds
+    // per-user EWMA state in RocksDB via transformWithState, so the kill
+    // lands on live state-store holders and recovery must replay the
+    // store from the streaming checkpoint + changelog on a surviving
+    // executor. Batch drills prove the ckpt() path; this proves the
+    // OTHER durability machinery a 100 TB always-on pipeline leans on.
+    val queries = Seq("dd07_dup_clusters", "gr06_kcore",
+      "tx40_quality_classifier", "st20_stream_ewma")
 
     // reference digests from an undisturbed local run
     val ref = {

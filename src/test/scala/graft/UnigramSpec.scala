@@ -18,14 +18,15 @@ class UnigramSpec extends SparkSpec {
     ws.toSeq.toDF("w", "freq").withColumn("n", length(col("w")).cast("long"))
 
   private def modelOf(pcs: (String, Long)*) =
-    Unigram.model(pcs.toSeq.toDF("piece", "cost"))
+    Unigram.stageOf(pcs.toSeq.toDF("piece", "cost"))
 
   test("viterbi pieces concatenate back to the word; best = path cost") {
     val words = wordsDf("hello" -> 10L, "hell" -> 5L, "lolo" -> 7L)
     val seed = Unigram.seed(words)
-    val costs = Unigram.seedCosts(seed)
-    val costMap = costs.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    val rows = Unigram.estep(words, Unigram.model(costs))
+    val stage = Unigram.seedStage(seed)
+    val costMap = Unigram.stageTable(stage).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val rows = Unigram.estep(words, stage)
       .select("w", "best", "pieces").collect()
     assert(rows.length == 3)
     rows.foreach { r =>
@@ -61,9 +62,9 @@ class UnigramSpec extends SparkSpec {
 
   test("E-step counts are invariant to input partitioning") {
     val words = wordsDf(("abab", 4L), ("baba", 3L), ("aabb", 2L), ("bb", 9L))
-    val costs = Unigram.seedCosts(Unigram.seed(words))
+    val stage = Unigram.seedStage(Unigram.seed(words))
     def cnts(in: org.apache.spark.sql.DataFrame) =
-      Unigram.counts(Unigram.estep(in, Unigram.model(costs)))
+      Unigram.counts(Unigram.estep(in, stage))
         .orderBy("piece").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(cnts(words.repartition(7)) == cnts(words.coalesce(1)))
   }
@@ -97,7 +98,7 @@ class UnigramSpec extends SparkSpec {
 
   test("the model crosses to the vocabulary as a broadcast, not a shuffle") {
     val words = wordsDf("hello" -> 10L)
-    val plan = Unigram.estep(words, Unigram.model(Unigram.seedCosts(Unigram.seed(words))))
+    val plan = Unigram.estep(words, Unigram.seedStage(Unigram.seed(words)))
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),
       "one-row model must broadcast to the vocab")
