@@ -483,22 +483,36 @@ object Graph {
           .sortWithinPartitions(col("dst")))
       var labels = e0.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
+      // per-round EAGER snapshot + CHAINED release (the kCore
+      // convention): each round references `labels` TWICE (the vote
+      // join and the zero-self-vote union), so without a cut the plan
+      // doubles per round — QueryProfile at sf1 (round 11) caught
+      // round-1's vote aggregate executing 2^(rounds-1) = 8 times as
+      // parallel 10 s stages, 2/3 of gr09's whole wall. The snapshot
+      // makes each round compute once; releasing the PREVIOUS round's
+      // blocks keeps at most two label snapshots resident (the lazy
+      // form re-accumulated snapshots across bench runs — kCore's
+      // measured 12 s -> 52 s failure mode).
+      var release: () => Unit = () => ()
       for (_ <- 1 to rounds) {
         val l = labels.hint("merge")
         val votes = ew
           .join(l, ew("dst") === l("node"))
           .groupBy(ew("src").as("node"), col("label"))
           .agg(count(lit(1)).as("cnt"))
-        labels = votes
+        val (next, nextRelease) = snapshot(votes
           .unionByName(labels.select(col("node"), col("label"),
             lit(0L).as("cnt")))
           .groupBy(col("node"))
           .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl")))
             .as("m"))
-          .select(col("node"), (-col("m.nl")).as("label"))
+          .select(col("node"), (-col("m.nl")).as("label")))
+        release()
+        labels = next; release = nextRelease
       }
       val out = Dedup.ckpt(labels)
       out.foreach(_ => ())
+      release()
       out
     }
   }
