@@ -125,6 +125,10 @@ class ClassifierSpec extends SparkSpec {
     assert(TextQueries.defs("tx40_quality_classifier").fn(spark, dir).count() == 0)
     // packing nothing emits no windows (and no division/sequence errors)
     assert(TextQueries.defs("tx41_sequence_packing").fn(spark, dir).count() == 0)
+    // curating nothing reports no sources — the mixture tower's
+    // greatest(·,1) divide guards hold (an empty per-source rollup must
+    // not reach a 0/0, and the temperature crossJoins stay 0-row)
+    assert(TextQueries.defs("tx42_classifier_curation").fn(spark, dir).count() == 0)
   }
 
   test("tx41 packing: exact fill, zero padding, stream total conserved") {
