@@ -843,8 +843,13 @@ object StreamQueries {
     implicit val s: SparkSession = spark
     val (buckets, docsT) =
       TextQueries.dd09EnsureIndex(spark, dir, force = false)
-    val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
-      .where(col("doc_id") >= 400)
+    // fan the arriving batch out before the sketch: a single-file
+    // arrival is ONE split, and the minhash pass is the query's CPU
+    // (St22Profile round 11: 1 task at 1.24 s + 1.17 s of commit-row
+    // serialization through the same task; fanned out it's 32-way)
+    val src = StreamOps.fanOut(
+      StreamOps.parquetStream(spark, dir, "documents.parquet")
+        .where(col("doc_id") >= 400))
     val matches = graft.operators.Dedup.dedupAgainstIndexStreaming(
       src, spark.table(buckets), spark.table(docsT), threshold = 0.8)
     StreamOps.runToMemory(spark, matches,
@@ -867,8 +872,13 @@ object StreamQueries {
     * arithmetic (the mm08 waveform contract) over the batch table.
     */
   private def streamMediaDecode(spark: SparkSession, dir: String): DataFrame = {
-    val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
-      .where(col("doc_id") < 200).select(col("doc_id").as("media_id"))
+    // fan out before the decode loop (the st22 single-split finding):
+    // codec work is the heaviest per-row CPU on any media ingest and
+    // must not serialize on one task per arriving file
+    val src = StreamOps.fanOut(
+      StreamOps.parquetStream(spark, dir, "documents.parquet")
+        .where(col("doc_id") < 200), key = "doc_id")
+      .select(col("doc_id").as("media_id"))
     val feats = graft.operators.Multimodal.decodeAudioFeatures(
       graft.operators.Multimodal.syntheticWavs(src),
       graft.operators.Multimodal.JavaSoundCodec)
@@ -912,7 +922,11 @@ object StreamQueries {
     */
   private def streamQualityScore(spark: SparkSession, dir: String): DataFrame = {
     val (stats, _, w) = TextQueries.logRegTrain(spark, dir)
-    val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
+    // fan out before the per-doc feature pass (the st22 single-split
+    // ingest finding): tokenize + stopword intersection is the stream
+    // side's CPU and must not run as one task per arriving file
+    val src = StreamOps.fanOut(
+      StreamOps.parquetStream(spark, dir, "documents.parquet"))
     val feat = TextQueries.logRegStandardize(TextQueries.logRegRaw(src), stats)
     val scored = TextQueries.logRegScore(feat, w)
     StreamOps.runToMemory(spark, scored,

@@ -441,7 +441,7 @@ object TextQueries {
     * that matters: the build shuffle is paid once and amortized over every
     * subsequent batch.
     */
-  private[queries] def dd09EnsureIndex(spark: SparkSession, dir: String, force: Boolean): (String, String) = {
+  private[graft] def dd09EnsureIndex(spark: SparkSession, dir: String, force: Boolean): (String, String) = {
     val (table, path) = dd09Tables(dir)
     if (force || !spark.catalog.tableExists(s"${table}_docs") ||
         !spark.catalog.tableExists(s"${table}_buckets")) {

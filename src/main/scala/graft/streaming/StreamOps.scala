@@ -340,4 +340,30 @@ object StreamOps {
     */
   def nanosToTs(df: DataFrame, colName: String): DataFrame =
     graft.core.TsAdapt.toTimestamp(df, colName)
+
+  /** Fan an ingest batch out across the session's shuffle width BEFORE
+    * CPU-heavy per-row work. A micro-batch's parallelism is its input
+    * SPLIT count — a single-file arrival (the bench fixture, and any
+    * real ingest where one producer drops one file) is ONE split, so
+    * without this the sketch/feature stage of a streaming query runs as
+    * one task on one core while the rest of the executor sits idle
+    * (round-11 St22Profile: 1 task, run = 1.24 s, result serialization
+    * = 1.17 s more — the memory-sink commit rows all funneled through
+    * that same task). Hash-partitioning on the id column keeps row
+    * placement deterministic under task retries (round-robin would need
+    * a local sort for the same guarantee); the exchange moves exactly
+    * the arriving batch once, which is noise next to the per-row work
+    * it unblocks. Stateful queries don't need this — their groupBy/
+    * dropDuplicates exchange already spreads the batch.
+    *
+    * The partition count is pinned (repartition(n, key)) because this
+    * exchange is CPU-motivated, not byte-motivated: AQE's size-based
+    * coalescing sees a ~MB batch and folds an unpinned repartition
+    * right back to ONE partition (measured — the fan-out was a no-op
+    * until pinned), which re-serializes the whole sketch pass.
+    */
+  def fanOut(df: DataFrame, key: String = "doc_id"): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col(key))
 }
