@@ -212,12 +212,29 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Spread a (tiny) id table across the session's shuffle width before
+    * payload synthesis + decode: a single-file fixture scan is ONE input
+    * split, so without this every codec loop downstream runs as one task
+    * on one core (the round-11 st22 ingest finding, here for the media
+    * generators). The exchange moves id rows only — payload bytes are
+    * SYNTHESIZED after it, so nothing heavy ever crosses the wire; real
+    * payloads read from parquet keep their source splits instead (a
+    * payload shuffle would be the wrong trade at 100 TB). Pinned width:
+    * the exchange is CPU-motivated, and AQE's size-based coalescing
+    * would fold an unpinned repartition of KB-sized id batches straight
+    * back to one partition.
+    */
+  private def spreadIds(ids: DataFrame): DataFrame =
+    ids.repartition(
+      ids.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("media_id"))
+
   def syntheticPngs(ids: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ids.select(col("media_id"))
+    spreadIds(ids.select(col("media_id")))
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -340,7 +357,7 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ids.select(col("media_id"))
+    spreadIds(ids.select(col("media_id")))
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -385,7 +402,7 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ids.select(col("media_id"))
+    spreadIds(ids.select(col("media_id")))
       .mapPartitions { it =>
         it.flatMap { r =>
           val id = r.getLong(0)

@@ -872,13 +872,11 @@ object StreamQueries {
     * arithmetic (the mm08 waveform contract) over the batch table.
     */
   private def streamMediaDecode(spark: SparkSession, dir: String): DataFrame = {
-    // fan out before the decode loop (the st22 single-split finding):
-    // codec work is the heaviest per-row CPU on any media ingest and
-    // must not serialize on one task per arriving file
-    val src = StreamOps.fanOut(
-      StreamOps.parquetStream(spark, dir, "documents.parquet")
-        .where(col("doc_id") < 200), key = "doc_id")
-      .select(col("doc_id").as("media_id"))
+    // no explicit fan-out here: the media generators spread their id
+    // input internally (Multimodal.spreadIds — the st22 single-split
+    // finding), so the codec loop never serializes on one task
+    val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
+      .where(col("doc_id") < 200).select(col("doc_id").as("media_id"))
     val feats = graft.operators.Multimodal.decodeAudioFeatures(
       graft.operators.Multimodal.syntheticWavs(src),
       graft.operators.Multimodal.JavaSoundCodec)
