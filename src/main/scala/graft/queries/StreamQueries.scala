@@ -933,7 +933,53 @@ object StreamQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** st25: STATEFUL streaming exact dedup — `dropDuplicates` on the
+    * content fingerprint through the state store (RocksDB), the
+    * always-on complement to st22's stateless index lookup: st22 checks
+    * arrivals against a PREBUILT corpus index; this deduplicates the
+    * arriving stream against ITSELF across micro-batches, the first
+    * stage of any always-on ingest (exactly-once emission of each new
+    * fingerprint, state = one 8-byte key per unique document ever
+    * seen). Output is the distinct fingerprint SET — deterministic
+    * under any batching/partitioning, so the batch oracle (DISTINCT of
+    * the same FNV fold) hash-gates the streaming path. Scale notes:
+    * state grows with unique content (the point — it must remember
+    * everything); a TTL'd ingest caps it with
+    * `dropDuplicatesWithinWatermark` at the cost of the global
+    * guarantee; the fan-out ahead of it spreads the hashing, and the
+    * state exchange hashes by fp, so no key ever has >1 row in flight.
+    */
+  private def streamDedupState(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = StreamOps.fanOut(
+        StreamOps.parquetStream(spark, dir, "documents.parquet"))
+      val fps = src.select(graft.functions.HashExprs.fnv64(
+        coalesce(col("text"), lit(""))).as("fp"))
+      StreamOps.runToMemory(spark, fps.dropDuplicates("fp"),
+          s"graft_stream_dedup_state_${System.nanoTime()}",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append)
+        .orderBy(col("fp"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+  private val streamDedupStateSql =
+    s"""SELECT DISTINCT ${TextQueries.fnvSignSql} AS fp
+       |FROM (SELECT ${TextQueries.fnvFoldSql("coalesce(text, '')")} AS h
+       |      FROM documents) t
+       |ORDER BY fp""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st25_stream_dedup_state" -> QueryDef(streamDedupState,
+      Some(streamDedupStateSql), benchmark = true),
     "st24_stream_quality_score" -> QueryDef(streamQualityScore,
       Some(TextQueries.qualityClassifierSql), benchmark = true),
     "st23_stream_media_decode" -> QueryDef(streamMediaDecode, Some(streamMediaDecodeSql)),

@@ -976,7 +976,7 @@ object TextQueries {
     * (same machinery as tx04's oracle; wrap with [[fnvSignSql]] to match
     * Spark's signed bigint).
     */
-  private def fnvFoldSql(c: String): String =
+  private[queries] def fnvFoldSql(c: String): String =
     s"""CASE WHEN length($c)=0 THEN 14695981039346656037::HUGEINT
        |    ELSE list_reduce(
        |      list_prepend(14695981039346656037::HUGEINT,
@@ -984,7 +984,7 @@ object TextQueries {
        |      (fh, ch) -> (xor(fh::UBIGINT, ch::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
        |                % 18446744073709551616::HUGEINT)
        |    END""".stripMargin
-  private val fnvSignSql =
+  private[queries] val fnvSignSql =
     """(CASE WHEN h >= 9223372036854775808::HUGEINT
       |      THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT""".stripMargin
   private val stopwordInList =
@@ -3749,7 +3749,106 @@ object TextQueries {
        |FROM w GROUP BY window_id ORDER BY window_id""".stripMargin
   }
 
+  /** tx43: within-document REPETITION scoring (Rae et al. 2021, Gopher —
+    * the repetition filters every web-scale curation pipeline runs
+    * beside the tx16 hard rules; public): per document, the fraction of
+    * token n-grams that are duplicates (n = 2, 3) and the share of the
+    * single most-frequent 2-gram, all in the judged 2²⁰-tick fixed
+    * point, plus the keep decision at the Gopher-style thresholds
+    * (dup-2-gram ≤ 0.20, dup-3-gram ≤ 0.18, top-2-gram share ≤ 0.20 —
+    * declared contract, mirrored exactly in the oracle). Repetition is
+    * the quality signal the tx40 classifier can't see (its features are
+    * length/alpha/stopword shaped), which is why Gopher applies both.
+    *
+    * Shape: one corpus explode into (doc, n, gram) with a gram-size tag
+    * (2-grams and 3-grams share the SAME exchange), one map-side-
+    * combined count per (doc, n, gram), one doc-level rollup, one
+    * LEFT join back to the documents spine so short docs (n_tokens < 2:
+    * no grams, nothing repeats, keep = 1) stay in the output. Nothing
+    * wider than the gram stream ever shuffles; no driver round-trips.
+    */
+  private def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val fp = 1L << 20
+    val toks = filter(
+      TextFunctions.tokenize(lower(coalesce(col("text"), lit("")))),
+      t => length(t) > 0)
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        col("ts"))
+    // CASE-guarded: sequence(1, 0) is a DESCENDING [1, 0] in Spark (the
+    // tx41 boundary lesson), so a doc shorter than k tokens must skip
+    // gram generation entirely, not "generate zero grams" via greatest()
+    def grams(k: Int) = expr(
+      s"""CASE WHEN size(ts) >= $k
+         |  THEN transform(sequence(1, size(ts) - ${k - 1}),
+         |    i -> array_join(slice(ts, cast(i as int), $k), ' '))
+         |  ELSE array() END""".stripMargin)
+    val gramRows = base.select(col("doc_id"), lit(2).as("k"),
+        explode(grams(2)).as("g"))
+      .unionAll(base.select(col("doc_id"), lit(3).as("k"),
+        explode(grams(3)).as("g")))
+    val perDoc = gramRows
+      .groupBy(col("doc_id"), col("k"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("k") === 2, col("c")).otherwise(0L)).as("n2"),
+        sum(when(col("k") === 2, 1L).otherwise(0L)).as("d2"),
+        max(when(col("k") === 2, col("c")).otherwise(0L)).as("top2"),
+        sum(when(col("k") === 3, col("c")).otherwise(0L)).as("n3"),
+        sum(when(col("k") === 3, 1L).otherwise(0L)).as("d3"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"$fp * (coalesce(n2,0) - coalesce(d2,0)) div greatest(coalesce(n2,0), 1)").as("dup2_fp"),
+        expr(s"$fp * (coalesce(n3,0) - coalesce(d3,0)) div greatest(coalesce(n3,0), 1)").as("dup3_fp"),
+        expr(s"$fp * coalesce(top2,0) div greatest(coalesce(n2,0), 1)").as("top2_fp"))
+      .select(col("doc_id"), col("n_tokens"), col("dup2_fp"), col("dup3_fp"),
+        col("top2_fp"),
+        expr(s"""CASE WHEN dup2_fp <= ${fp / 5} AND dup3_fp <= ${fp * 18 / 100}
+                |  AND top2_fp <= ${fp / 5} THEN cast(1 as bigint)
+                |  ELSE cast(0 as bigint) END""".stripMargin).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+  private val repetitionScoreSql = {
+    val fp = 1L << 20
+    val toksSql =
+      "list_filter(string_split_regex(trim(lower(coalesce(text, ''))), " +
+        "'[\\t\\n\\x0B\\f\\r ]+'), x -> len(x) > 0)"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id, 2 AS k,
+       |    array_to_string(ts[i::INT : (i+1)::INT], ' ') AS g
+       |  FROM t, unnest(range(1, greatest(len(ts) - 1, 0) + 1)) AS u(i)
+       |  UNION ALL
+       |  SELECT doc_id, 3 AS k,
+       |    array_to_string(ts[i::INT : (i+2)::INT], ' ') AS g
+       |  FROM t, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS u(i)),
+       |cnt AS (SELECT doc_id, k, g, count(*)::BIGINT AS c
+       |        FROM g GROUP BY doc_id, k, g),
+       |per AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN k = 2 THEN c ELSE 0 END)::BIGINT AS n2,
+       |    sum(CASE WHEN k = 2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+       |    max(CASE WHEN k = 2 THEN c ELSE 0 END)::BIGINT AS top2,
+       |    sum(CASE WHEN k = 3 THEN c ELSE 0 END)::BIGINT AS n3,
+       |    sum(CASE WHEN k = 3 THEN 1 ELSE 0 END)::BIGINT AS d3
+       |  FROM cnt GROUP BY doc_id),
+       |f AS (
+       |  SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+       |    $fp * (coalesce(n2,0) - coalesce(d2,0)) // greatest(coalesce(n2,0), 1) AS dup2_fp,
+       |    $fp * (coalesce(n3,0) - coalesce(d3,0)) // greatest(coalesce(n3,0), 1) AS dup3_fp,
+       |    $fp * coalesce(top2,0) // greatest(coalesce(n2,0), 1) AS top2_fp
+       |  FROM t LEFT JOIN per ON t.doc_id = per.doc_id)
+       |SELECT doc_id, n_tokens, dup2_fp, dup3_fp, top2_fp,
+       |  CASE WHEN dup2_fp <= ${fp / 5} AND dup3_fp <= ${fp * 18 / 100}
+       |    AND top2_fp <= ${fp / 5} THEN 1 ELSE 0 END::BIGINT AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "tx43_repetition_score"   -> QueryDef(repetitionScore, Some(repetitionScoreSql), benchmark = true),
     "tx41_sequence_packing"   -> QueryDef(sequencePacking, Some(sequencePackingSql), benchmark = true),
     "tx40_quality_classifier" -> QueryDef(qualityClassifier, Some(qualityClassifierSql), benchmark = true),
     "tx42_classifier_curation" -> QueryDef(classifierCuration, Some(classifierCurationSql), benchmark = true),

@@ -140,4 +140,30 @@ class EdgeCasesSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(r == Seq((1L, "x")))
   }
+
+  test("tx43 repetition: spam is cut, prose is kept, short docs pass") {
+    // "spam spam ... spam" x 40: every 2-gram is the same gram ->
+    // dup2 = (39-1)/39, top2 = 39/39 -> keep = 0; a distinct-token doc
+    // repeats nothing -> keep = 1; a 1-token doc has no grams -> all
+    // fractions 0, keep = 1 (the declared short-doc contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx43").toString
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+    base.limit(3).withColumn("text",
+        when(col("doc_id") === base.limit(3).collect()(0).getLong(0),
+          lit(Seq.fill(40)("spam").mkString(" ")))
+          .when(col("doc_id") === base.limit(3).collect()(1).getLong(0),
+            lit("one two three four five six seven eight"))
+          .otherwise(lit("solo")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("tx43_repetition_score")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val fp = 1L << 20
+    val spam = rows.find(_._1 == 40L).get
+    assert(spam._2 == fp * 38 / 39 && spam._3 == fp && spam._4 == 0L,
+      s"spam doc must be cut: $spam")
+    assert(rows.find(_._1 == 8L).get == ((8L, 0L, fp / 7, 1L)),
+      "distinct prose repeats nothing (top2 = 1/7) and is kept")
+    assert(rows.find(_._1 == 1L).get == ((1L, 0L, 0L, 1L)),
+      "a gramless doc scores zero everywhere and is kept")
+  }
 }

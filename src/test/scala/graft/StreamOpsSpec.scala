@@ -170,4 +170,26 @@ class StreamOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("st25 stateful dedup actually drops duplicate content") {
+    // the sf fixtures carry no exact duplicates (st25's judged run gates
+    // the fp values but every doc survives) — this pins the DEDUP: 3
+    // distinct texts replicated across 9 docs must emit exactly 3 fps,
+    // and a NULL doc must collapse onto the empty-text fp (the
+    // coalesce-to-empty convention)
+    val dir = java.nio.file.Files.createTempDirectory("graft_st25").toString
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dup = base.limit(9).withColumn("text",
+      when(col("doc_id") % 3 === 0, lit("alpha beta"))
+        .when(col("doc_id") % 3 === 1, lit("gamma"))
+        .otherwise(lit(null).cast("string")))
+    dup.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = SparkEntry.queries("st25_stream_dedup_state")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fps.length == 3, s"9 docs of 3 contents must emit 3 fps, got $fps")
+    assert(fps == fps.sorted && fps.distinct == fps)
+    // the null-text fp IS the empty-string fold (FNV offset basis)
+    assert(fps.contains(-3750763034362895579L),
+      "null text must dedup as the empty doc")
+  }
 }
