@@ -3462,6 +3462,13 @@ object TextQueries {
   private[queries] def logRegTrain(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import LogReg._
+    // NOT fanned out before the feature pass: the round-11 single-split
+    // A/B measured the explicit exchange as a wash-to-regression here
+    // (tx40 3.4 -> 3.4/3.9 s) — unlike the streaming ingests, the
+    // trainer's wall is the 16 round barriers, not the one-task feature
+    // pass, and the extra shuffle+AQE stage per invocation only adds
+    // driver work. On a multi-file production table the scan splits
+    // spread the pass anyway.
     val raw = Dedup.ckpt(logRegRaw(Tables(spark, dir).documents))
     val stats = Dedup.ckpt(logRegStatsOf(raw))
     val feat = Dedup.ckpt(logRegStandardize(raw, stats))
@@ -3767,12 +3774,18 @@ object TextQueries {
     * no grams, nothing repeats, keep = 1) stay in the output. Nothing
     * wider than the gram stream ever shuffles; no driver round-trips.
     */
-  private def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+  private def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    repetitionFrame(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** The tx43 computation over any documents-shaped frame (unordered) —
+    * factored so tx44 can compose the repetition filter as a stage.
+    */
+  private def repetitionFrame(docs: DataFrame): DataFrame = {
     val fp = 1L << 20
     val toks = filter(
       TextFunctions.tokenize(lower(coalesce(col("text"), lit("")))),
       t => length(t) > 0)
-    val base = Tables(spark, dir).documents
+    val base = docs
       .select(col("doc_id"), toks.as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
         col("ts"))
@@ -3809,14 +3822,18 @@ object TextQueries {
         expr(s"""CASE WHEN dup2_fp <= ${fp / 5} AND dup3_fp <= ${fp * 18 / 100}
                 |  AND top2_fp <= ${fp / 5} THEN cast(1 as bigint)
                 |  ELSE cast(0 as bigint) END""".stripMargin).as("keep"))
-      .orderBy(col("doc_id"))
   }
-  private val repetitionScoreSql = {
+  /** tx43's CTE chain (t → grams → counts → per-doc → fractions) as a
+    * reusable WITH body ending in `rep(doc_id, n_tokens, *_fp, rkeep)` —
+    * tx43 selects off it; tx44 composes it as the repetition stage
+    * (the logRegTowerSql convention: one definition, judged twice).
+    */
+  private val repetitionCtesSql = {
     val fp = 1L << 20
     val toksSql =
       "list_filter(string_split_regex(trim(lower(coalesce(text, ''))), " +
         "'[\\t\\n\\x0B\\f\\r ]+'), x -> len(x) > 0)"
-    s"""WITH t AS (SELECT doc_id, $toksSql AS ts FROM documents),
+    s"""t AS (SELECT doc_id, $toksSql AS ts FROM documents),
        |g AS (
        |  SELECT doc_id, 2 AS k,
        |    array_to_string(ts[i::INT : (i+1)::INT], ' ') AS g
@@ -3840,14 +3857,100 @@ object TextQueries {
        |    $fp * (coalesce(n2,0) - coalesce(d2,0)) // greatest(coalesce(n2,0), 1) AS dup2_fp,
        |    $fp * (coalesce(n3,0) - coalesce(d3,0)) // greatest(coalesce(n3,0), 1) AS dup3_fp,
        |    $fp * coalesce(top2,0) // greatest(coalesce(n2,0), 1) AS top2_fp
-       |  FROM t LEFT JOIN per ON t.doc_id = per.doc_id)
-       |SELECT doc_id, n_tokens, dup2_fp, dup3_fp, top2_fp,
-       |  CASE WHEN dup2_fp <= ${fp / 5} AND dup3_fp <= ${fp * 18 / 100}
-       |    AND top2_fp <= ${fp / 5} THEN 1 ELSE 0 END::BIGINT AS keep
-       |FROM f ORDER BY doc_id""".stripMargin
+       |  FROM t LEFT JOIN per ON t.doc_id = per.doc_id),
+       |rep AS (
+       |  SELECT doc_id, n_tokens, dup2_fp, dup3_fp, top2_fp,
+       |    CASE WHEN dup2_fp <= ${fp / 5} AND dup3_fp <= ${fp * 18 / 100}
+       |      AND top2_fp <= ${fp / 5} THEN 1 ELSE 0 END::BIGINT AS rkeep
+       |  FROM f)""".stripMargin
+  }
+
+  private val repetitionScoreSql =
+    s"""WITH $repetitionCtesSql
+       |SELECT doc_id, n_tokens, dup2_fp, dup3_fp, top2_fp, rkeep AS keep
+       |FROM rep ORDER BY doc_id""".stripMargin
+
+  /** tx44: the MODERN end-to-end curation pipeline — tx17's composition
+    * gate, upgraded from hard rules to the trained-model era (the
+    * FineWeb/Dolma shape real 100 TB pipelines run): Gopher repetition
+    * filter (tx43's fractions) → TRAINED quality classifier (tx40's
+    * fixed-point GD, trained on the full corpus — the teacher protocol)
+    * → corpus-wide span dedup over the SURVIVORS (winners differ from
+    * dd11's full-corpus run; the oracle mirrors the composition) → drop
+    * fully-claimed docs → per-source yield (docs, tokens, chars).
+    * Every stage reuses its judged fragment on BOTH sides
+    * ([[logRegTowerSql]], [[repetitionCtesSql]], the tx17 span CTEs), so
+    * the gate pins the stage INTERACTIONS, not re-derived math.
+    *
+    * Shape: tx40's trainer (one corpus pass + 16 one-row rounds) + one
+    * tagged gram exchange (tx43) + two id-projected semijoins onto the
+    * doc spine (lineage-cut once — the classifier and repetition keeps
+    * are ids only) + dd11's two narrow span shuffles + one source-bounded
+    * rollup. Nothing corpus-sized crosses the wire twice.
+    */
+  private def modernPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val repKeep = repetitionFrame(docs)
+      .where(col("keep") === 1).select(col("doc_id"))
+    val (_, feat, wR) = logRegTrain(spark, dir)
+    val clsKeep = logRegScore(feat, wR)
+      .where(col("keep") === 1).select(col("doc_id"))
+    // materialized once (ckpt): the survivor set feeds BOTH the span
+    // dedup and the source join-back (the tx17 convention)
+    val surv = Dedup.ckpt(docs
+      .join(repKeep, "doc_id").join(clsKeep, "doc_id")
+      .select(col("doc_id"), col("source"), col("text")))
+    val dd = Dedup.dedupSpans(surv.select(col("doc_id"), col("text")),
+        segLen = 120)
+      .where(col("n_kept") > 0)
+    val outToks = filter(split(trim(col("text_dedup")), "[\\t\\n\\x0B\\f\\r ]+"),
+      t => length(t) > 0)
+    dd.join(surv.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), size(outToks).as("n_toks"),
+        length(col("text_dedup")).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+  private val modernPipelineSql = {
+    import LogReg._
+    s"""WITH $logRegTowerSql,
+       |$repetitionCtesSql,
+       |ckeep AS (
+       |  SELECT doc_id FROM feat, w$Rounds
+       |  WHERE ${sigSql(s"($marginSql)")} >= ${Fp / 2}),
+       |surv AS MATERIALIZED (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d
+       |  JOIN ckeep USING (doc_id)
+       |  JOIN rep USING (doc_id)
+       |  WHERE rep.rkeep = 1),
+       |ix AS (
+       |  SELECT doc_id, text,
+       |    CAST(unnest(range(0, CAST(ceil(len(text)/120.0) AS BIGINT))) AS INT) AS ci
+       |  FROM surv),
+       |segs AS (SELECT doc_id, ci, substr(text, ci*120 + 1, 120) AS chunk FROM ix),
+       |firsts AS (
+       |  SELECT doc_id, ci, chunk,
+       |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+       |  FROM segs),
+       |rec AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(chunk, '' ORDER BY ci) AS td
+       |  FROM firsts WHERE rn = 1 GROUP BY doc_id),
+       |fin AS (
+       |  SELECT s.source, rec.td FROM rec JOIN surv s USING (doc_id)
+       |  WHERE rec.n_kept > 0)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len(list_filter(string_split_regex(trim(td), '[\\t\\n\\x0B\\f\\r ]+'), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+       |  CAST(sum(len(td)) AS BIGINT) AS total_chars
+       |FROM fin GROUP BY source ORDER BY source""".stripMargin
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "tx44_modern_pipeline"    -> QueryDef(modernPipeline, Some(modernPipelineSql), benchmark = true),
     "tx43_repetition_score"   -> QueryDef(repetitionScore, Some(repetitionScoreSql), benchmark = true),
     "tx41_sequence_packing"   -> QueryDef(sequencePacking, Some(sequencePackingSql), benchmark = true),
     "tx40_quality_classifier" -> QueryDef(qualityClassifier, Some(qualityClassifierSql), benchmark = true),

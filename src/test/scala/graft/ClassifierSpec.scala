@@ -118,6 +118,20 @@ class ClassifierSpec extends SparkSpec {
       s"temperature must downweight the largest source: $top")
   }
 
+  test("tx44 composition: yield bounded by each filter stage's keep set") {
+    val rows = TextQueries.defs("tx44_modern_pipeline").fn(spark, sf0001)
+      .collect()
+    val nOut = rows.map(_.getLong(1)).sum
+    val clsKeeps = out.count(_.getLong(3) == 1L)
+    val repKeeps = TextQueries.defs("tx43_repetition_score").fn(spark, sf0001)
+      .where(col("keep") === 1).count()
+    assert(nOut > 0, "the composed pipeline must keep something on sf0.001")
+    assert(nOut <= clsKeeps, s"$nOut docs out > $clsKeeps classifier keeps")
+    assert(nOut <= repKeeps, s"$nOut docs out > $repKeeps repetition keeps")
+    // chars shrink or hold under span dedup, never grow
+    rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(2) >= 0))
+  }
+
   test("empty corpus: trains w=0 and scores nothing, no division by zero") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_lr").toString
     spark.read.parquet(s"$sf0001/documents.parquet").limit(0)
