@@ -17,7 +17,7 @@ object SparkEntry {
 
   val allDefs: Map[String, QueryDef] =
     Relational.defs ++ Events.defs ++ TextQueries.defs ++
-      VectorQueries.defs ++ StreamQueries.defs
+      VectorQueries.defs ++ StreamQueries.defs ++ SketchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own query: word count, globally ordered (cnt, word).

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.{HashExprs, TextFunctions}
+import graft.operators.Sketches
+
+/** Mergeable-sketch surface ([[graft.operators.Sketches]]): HyperLogLog
+  * vocabulary sizing, KMV cross-source overlap, Count-Min heavy-hitter
+  * frequency — the bounded-size summaries a 100 TB corpus run computes
+  * instead of exact distinct/join/count answers.
+  *
+  * Gating convention: the sketch CONTENT is integer-only and built on the
+  * repo's cross-engine-pinned FNV-1a-64 ([[TextQueries.fnvFoldSql]]), so
+  * every gated column hash-matches DuckDB bit-for-bit. Each query also
+  * carries the EXACT answer alongside the sketch answer — the ann12
+  * pattern: the exact side is the audit contrast (fixture-affordable,
+  * deliberately corpus-linear/quadratic), the sketch side is the 100 TB
+  * path.
+  */
+object SketchQueries {
+
+  /** Whitespace-token split of the null-guarded, lowercased text —
+    * `TextFunctions.tokenize` parity (dd05 oracle recipe).
+    */
+  private val toksSqlCte =
+    """toks AS (
+      |  SELECT doc_id, source,
+      |    string_split_regex(trim(lower(coalesce(text,''))), '[\t\n\x0B\f\r ]+') AS tk
+      |  FROM documents)""".stripMargin
+
+  /** Word n-gram rows mirroring [[TextFunctions.wordNgrams]] (incl. the
+    * "fewer than n tokens → whole text as one gram" branch) with empty
+    * grams dropped.
+    */
+  private def gramsSqlCte(n: Int, distinctPerSource: Boolean): String = {
+    val slice = (0 until n).map(j => s"tk[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    val sel   = if (distinctPerSource) "SELECT DISTINCT source, g" else "SELECT doc_id, source, g"
+    s"""grams AS (
+       |  $sel FROM (
+       |    SELECT doc_id, source, unnest(
+       |      CASE WHEN len(tk) < $n THEN [array_to_string(tk, ' ')]
+       |           ELSE list_transform(generate_series(1, len(tk) - ${n - 1}),
+       |                  i -> $slice) END) AS g
+       |    FROM toks) t
+       |  WHERE length(g) > 0)""".stripMargin
+  }
+
+  /** Spark-side mirror of [[gramsSqlCte]]. */
+  private def gramCol(n: Int) =
+    TextFunctions.wordNgrams(lower(coalesce(col("text"), lit(""))), n)
+
+  /** DuckDB mirror of [[Sketches.mix64]] (murmur3 fmix64 over the FNV
+    * fold, HUGEINT in [0, 2^64)). The 64×64-bit multiplies are split into
+    * 32-bit halves because int128 cannot hold a full 2^64·2^64 product:
+    * (m·c) mod 2^64 = (m·c_lo + ((m·c_hi) mod 2^32)·2^32) mod 2^64.
+    * `h0` must be a COLUMN NAME from an enclosing CTE (the expression
+    * duplicates its argument; inlining the fold text would blow up).
+    */
+  private[queries] def mixSqlExpr(h0: String): String = {
+    def xs(e: String) = s"xor(($e)::UBIGINT, (($e) >> 33)::UBIGINT)::HUGEINT"
+    def mul(e: String, c: BigInt) = {
+      val hi = c >> 32; val lo = c & 0xffffffffL
+      s"((($e) * ${lo}::HUGEINT) % 18446744073709551616::HUGEINT" +
+        s" + (((($e) * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT))" +
+        " % 18446744073709551616::HUGEINT"
+    }
+    xs(mul(xs(mul(xs(h0), BigInt("18397679294719823053"))),
+      BigInt("14181476777654086739")))
+  }
+
+  // ---------------------------------------------------------------------
+  // sx01 — Count-Min heavy-hitter frequency (d=4, w=1024, word bigrams)
+  // ---------------------------------------------------------------------
+
+  private val CmsD = 4
+  private val CmsW = 1024
+
+  /** CMS frequency estimates for the 100 most frequent word bigrams vs
+    * their true counts ([[Sketches.cmsSketch]]/[[Sketches.cmsLookup]]).
+    * est_cnt >= true_cnt always (min over d counters, each an
+    * overestimate); the gap IS the sketch error, gated exactly because
+    * both engines hash the same cells. The sketch is d·w = 4096 counter
+    * rows however large the corpus — the probe join broadcasts it.
+    */
+  private def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir).documents
+      .select(explode(gramCol(2)).as("g"))
+      .where(length(col("g")) > 0)
+    val sketch = Sketches.cmsSketch(grams, col("g"), CmsD, CmsW)
+    val probes = grams.groupBy(col("g")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("g"))
+      .limit(100)
+      .withColumnRenamed("g", "gram")
+    Sketches.cmsLookup(sketch, probes, col("gram"), CmsD, CmsW)
+      .select(col("gram"), col("true_cnt"), col("est_cnt"))
+      .orderBy(col("true_cnt").desc, col("gram"))
+  }
+  private val cmsFreqSql = {
+    def fnvOf(c: String) = TextQueries.fnvFoldSql(c)
+    s"""WITH $toksSqlCte,
+       |${gramsSqlCte(2, distinctPerSource = false)},
+       |hashed0 AS (
+       |  SELECT g, ${fnvOf("g")} AS h0a, ${fnvOf("concat(g, chr(1))")} AS h0b
+       |  FROM (SELECT g FROM grams)),
+       |hashed AS (
+       |  SELECT g, ${mixSqlExpr("h0a")} AS h1, ${mixSqlExpr("h0b")} AS h2
+       |  FROM hashed0),
+       |cells AS (
+       |  SELECT s, ((h1 + s * h2) % $CmsW)::BIGINT AS idx, count(*)::BIGINT AS cnt
+       |  FROM hashed, (SELECT unnest([0,1,2,3]) AS s)
+       |  GROUP BY 1, 2),
+       |truec AS (SELECT g, count(*)::BIGINT AS true_cnt FROM grams GROUP BY g),
+       |probes AS (
+       |  SELECT g AS gram, true_cnt FROM (
+       |    SELECT g, true_cnt,
+       |      row_number() OVER (ORDER BY true_cnt DESC, g) AS rn FROM truec)
+       |  WHERE rn <= 100),
+       |probeh AS (
+       |  SELECT gram, true_cnt, ${fnvOf("gram")} AS p0a,
+       |    ${fnvOf("concat(gram, chr(1))")} AS p0b
+       |  FROM probes),
+       |probemix AS (
+       |  SELECT gram, true_cnt, ${mixSqlExpr("p0a")} AS h1,
+       |    ${mixSqlExpr("p0b")} AS h2
+       |  FROM probeh),
+       |probecells AS (
+       |  SELECT p.gram, p.true_cnt, s.s,
+       |    ((p.h1 + s.s * p.h2) % $CmsW)::BIGINT AS idx
+       |  FROM probemix p, (SELECT unnest([0,1,2,3]) AS s) s)
+       |SELECT pc.gram, max(pc.true_cnt) AS true_cnt, min(c.cnt) AS est_cnt
+       |FROM probecells pc JOIN cells c ON c.s = pc.s AND c.idx = pc.idx
+       |GROUP BY pc.gram ORDER BY true_cnt DESC, gram""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // sx02 — KMV pairwise source overlap (k=128, word trigrams)
+  // ---------------------------------------------------------------------
+
+  private val KmvK = 128
+
+  /** Pairwise trigram-vocabulary overlap between every two sources, in
+    * sketch space ([[Sketches.kmvSketch]]/[[Sketches.kmvOverlap]]): the
+    * Jaccard estimate comes from merging two 128-hash sketches — the
+    * corpora themselves are never joined. `exact_common` is the audit
+    * contrast (a full gram-equality join, deliberately corpus-bound);
+    * the sketch columns are the 100 TB path.
+    */
+  private def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val grams = docs
+      .select(col("source"), explode(gramCol(3)).as("g"))
+      .where(length(col("g")) > 0)
+    val sketch = Sketches.kmvSketch(grams, col("g"), "source", KmvK)
+    val est = Sketches.kmvOverlap(sketch, "source", KmvK)
+    val dist = grams.distinct()
+    val exact = dist.toDF("src_a", "g").join(dist.toDF("src_b", "g2"),
+        col("g") === col("g2") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_common"))
+    est.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_union_k"), col("kth_min"),
+        col("n_common"), col("est_jacc_bp"),
+        coalesce(col("exact_common"), lit(0L)).as("exact_common"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+  private val kmvOverlapSql = {
+    val h = TextQueries.fnvFoldSql("g")
+    s"""WITH $toksSqlCte,
+       |${gramsSqlCte(3, distinctPerSource = true)},
+       |hashed0 AS (SELECT source, $h AS h0 FROM grams),
+       |mixed AS (SELECT source, ${mixSqlExpr("h0")} AS hm FROM hashed0),
+       |hashed AS (
+       |  SELECT DISTINCT source,
+       |    (CASE WHEN hm >= 9223372036854775808::HUGEINT
+       |          THEN hm - 18446744073709551616::HUGEINT ELSE hm END)::BIGINT AS h
+       |  FROM mixed),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM hashed) WHERE rn <= $KmvK),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM (SELECT DISTINCT source FROM sk) a
+       |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+       |cand AS (
+       |  SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN sk s ON s.source = p.src_a
+       |    UNION ALL
+       |    SELECT p.src_a, p.src_b, s.h, 0, 1
+       |    FROM pairs p JOIN sk s ON s.source = p.src_b)
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+       |  FROM cand),
+       |kmv AS (
+       |  SELECT src_a, src_b, count(*)::BIGINT AS n_union_k, max(h) AS kth_min,
+       |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_common
+       |  FROM ranked WHERE rn <= $KmvK GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS exact_common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT k.src_a, k.src_b, k.n_union_k, k.kth_min, k.n_common,
+       |  (10000 * k.n_common // k.n_union_k)::BIGINT AS est_jacc_bp,
+       |  coalesce(e.exact_common, 0)::BIGINT AS exact_common
+       |FROM kmv k LEFT JOIN exact e ON e.src_a = k.src_a AND e.src_b = k.src_b
+       |ORDER BY k.src_a, k.src_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // sx03 — HLL vocabulary size per source (p=9, word trigrams)
+  // ---------------------------------------------------------------------
+
+  private val HllP = 9
+
+  /** Per-source distinct-trigram HLL sketch summary vs the exact distinct
+    * count ([[Sketches.hllRegisters]]): n_set/max_rank/sum_rank summarize
+    * the 512 registers and regs_fp fingerprints their full content
+    * (FNV over the sorted "reg:rank" list), so the sketch is bit-gated
+    * without emitting 512 rows per source. `exact_distinct` is the audit
+    * contrast; the float HLL estimate ([[Sketches.hllEstimate]]) is
+    * spec-gated in SketchSpec (within ~1.04/sqrt(m) of exact).
+    */
+  private def hllVocab(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir).documents
+      .select(col("source"), explode(gramCol(3)).as("g"))
+      .where(length(col("g")) > 0)
+      .distinct()
+    val regs = Sketches.hllRegisters(grams, col("g"), Seq("source"), HllP)
+    val summary = regs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_set"),
+        max(col("max_rank")).cast("long").as("max_rank"),
+        sum(col("max_rank")).as("sum_rank"),
+        HashExprs.fnv64(array_join(sort_array(collect_list(
+          concat_ws(":", col("reg").cast("string"), col("max_rank").cast("string")))),
+          ",")).as("regs_fp"))
+    val exact = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    summary.join(exact, "source")
+      .select(col("source"), col("n_set"), col("max_rank"), col("sum_rank"),
+        col("regs_fp"), col("exact_distinct"))
+      .orderBy(col("source"))
+  }
+  private val hllVocabSql = {
+    val suffixBits = 64 - HllP           // 55
+    val suffixMod  = 1L << suffixBits    // 2^55
+    s"""WITH $toksSqlCte,
+       |${gramsSqlCte(3, distinctPerSource = true)},
+       |hashed0 AS (SELECT source, ${TextQueries.fnvFoldSql("g")} AS h0 FROM grams),
+       |hashed AS (SELECT source, ${mixSqlExpr("h0")} AS h FROM hashed0),
+       |regs AS (
+       |  SELECT source, (h >> $suffixBits)::INT AS reg,
+       |    max(CASE WHEN h % $suffixMod::HUGEINT = 0 THEN ${suffixBits + 1}
+       |         ELSE ${suffixBits + 1}
+       |              - length(bin((h % $suffixMod::HUGEINT)::UBIGINT)) END)::INT AS r
+       |  FROM hashed GROUP BY 1, 2),
+       |summary AS (
+       |  SELECT source, count(*)::BIGINT AS n_set, max(r)::BIGINT AS max_rank,
+       |    sum(r)::BIGINT AS sum_rank,
+       |    array_to_string(list_sort(list(concat(reg::VARCHAR, ':', r::VARCHAR))), ',') AS js
+       |  FROM regs GROUP BY source),
+       |fp AS (
+       |  SELECT source, n_set, max_rank, sum_rank,
+       |    ${TextQueries.fnvFoldSql("js")} AS h
+       |  FROM summary),
+       |exact AS (SELECT source, count(DISTINCT g)::BIGINT AS exact_distinct
+       |          FROM grams GROUP BY source)
+       |SELECT f.source, f.n_set, f.max_rank, f.sum_rank,
+       |  ${TextQueries.fnvSignSql} AS regs_fp, e.exact_distinct
+       |FROM fp f JOIN exact e ON e.source = f.source
+       |ORDER BY f.source""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "sx01_cms_freq"    -> QueryDef(cmsFreq, Some(cmsFreqSql), benchmark = true),
+    "sx02_kmv_overlap" -> QueryDef(kmvOverlap, Some(kmvOverlapSql), benchmark = true),
+    "sx03_hll_vocab"   -> QueryDef(hllVocab, Some(hllVocabSql), benchmark = true))
+}

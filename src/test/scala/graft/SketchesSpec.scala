@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Mergeable-sketch operators ([[graft.operators.Sketches]]): register
+  * content vs a hand-rolled reference, the merge laws that make each
+  * sketch a one-pass corpus statistic, and the estimator guarantees
+  * (HLL tolerance, CMS never-underestimates).
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** JVM reference of the pinned FNV-1a-64 over code points. */
+  private def fnv(s: String): Long = {
+    var h = -3750763034362895579L // 14695981039346656037 as signed
+    s.codePoints().toArray.foreach { cp => h = (h ^ cp) * 1099511628211L }
+    h
+  }
+
+  /** JVM reference of the murmur3 fmix64 finisher ([[Sketches.mix64]]). */
+  private def H(s: String): Long = {
+    var h = fnv(s)
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  private val words =
+    ('a' to 'z').map(_.toString) ++ (0 until 600).map(i => s"w$i")
+  private val df = words.zipWithIndex
+    .map { case (w, i) => (if (i % 2 == 0) "g1" else "g2", w) }
+    .toDF("grp", "k")
+
+  test("hllRegisters matches a hand-rolled HLL (p=9) register table") {
+    val got = Sketches.hllRegisters(df, $"k", Seq("grp"), p = 9)
+      .as[(String, Int, Int)].collect()
+      .map { case (g, r, mr) => ((g, r), mr) }.toMap
+    val want = words.zipWithIndex
+      .map { case (w, i) => (if (i % 2 == 0) "g1" else "g2", H(w)) }
+      .groupMapReduce { case (g, h) => (g, (h >>> 55).toInt) } { case (_, h) =>
+        val suffix = h & ((1L << 55) - 1)
+        if (suffix == 0L) 56 else 56 - java.lang.Long.toBinaryString(suffix).length
+      }(math.max)
+    assert(got == want)
+  }
+
+  test("hllMerge of shard sketches equals the sketch of the union") {
+    val shard1 = Sketches.hllRegisters(df.where($"k" < lit("m")), $"k", Seq("grp"))
+    val shard2 = Sketches.hllRegisters(df.where($"k" >= lit("m")), $"k", Seq("grp"))
+    val merged = Sketches.hllMerge(shard1.unionAll(shard2), Seq("grp"))
+      .as[(String, Int, Int)].collect().toSet
+    val whole = Sketches.hllRegisters(df, $"k", Seq("grp"))
+      .as[(String, Int, Int)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("hllEstimate is within HLL tolerance of the exact distinct count") {
+    val regs = Sketches.hllRegisters(df, $"k", Seq("grp"))
+    val est = Sketches.hllEstimate(regs, Seq("grp"))
+      .as[(String, Double)].collect().toMap
+    val exact = df.distinct().groupBy($"grp").count()
+      .as[(String, Long)].collect().toMap
+    // standard error 1.04/sqrt(512) ≈ 4.6%; allow 4σ
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.19,
+        s"group $g: estimate ${est(g)} vs exact $n")
+    }
+  }
+
+  test("cmsSketch merge law and cmsLookup never underestimates") {
+    // multiset: word i appears (i % 7) + 1 times
+    val rows = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(i % 7 + 1)(w) }
+    val occ = rows.toDF("k")
+    val d = 4; val w = 64 // narrow sketch → real collisions
+    val whole = Sketches.cmsSketch(occ, $"k", d, w)
+      .as[(Int, Int, Long)].collect().toSet
+    // merge = cell-wise sum of shard sketches
+    val (h1, h2s) = rows.splitAt(rows.length / 2)
+    val merged = Sketches.cmsSketch(h1.toDF("k"), $"k", d, w)
+      .unionAll(Sketches.cmsSketch(h2s.toDF("k"), $"k", d, w))
+      .groupBy($"s", $"idx").agg(sum($"cnt").as("cnt"))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(merged == whole)
+
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = truth.keys.toSeq.toDF("k")
+    val est = Sketches.cmsLookup(Sketches.cmsSketch(occ, $"k", d, w), probes, $"k", d, w)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (key, n) =>
+      assert(est(key) >= n, s"CMS underestimated $key: ${est(key)} < $n")
+    }
+    // with 626 keys in 64 buckets, at least one probe must collide
+    assert(truth.exists { case (key, n) => est(key) > n },
+      "no collisions in a deliberately narrow sketch — indices degenerate?")
+  }
+
+  test("kmvSketch keeps the k smallest distinct hashes; overlap bounds hold") {
+    val sketch = Sketches.kmvSketch(df, $"k", "grp", k = 32)
+    val got = sketch.as[(String, Long)].collect().groupBy(_._1)
+    val wantAll = words.zipWithIndex
+      .map { case (w, i) => (if (i % 2 == 0) "g1" else "g2", H(w)) }
+      .distinct.groupBy(_._1)
+    got.foreach { case (g, rows) =>
+      assert(rows.map(_._2).sorted.toSeq ==
+        wantAll(g).map(_._2).distinct.sorted.take(32).toSeq)
+    }
+    val ov = Sketches.kmvOverlap(sketch, "grp", k = 32)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(ov.length == 1)
+    val (a, b, nUnionK, _, nCommon, jbp) = ov.head
+    assert((a, b) == ("g1", "g2"))
+    assert(nUnionK == 32 && nCommon == 0 && jbp == 0) // disjoint key sets
+  }
+
+  test("kmvOverlap estimates a known Jaccard within sketch tolerance") {
+    // two groups sharing half their keys: J = 1/3
+    val shared  = (0 until 400).map(i => s"s$i")
+    val only    = (0 until 400).map(i => s"o$i")
+    val d2 = (shared.map(("a", _)) ++ only.map(("a", _)) ++
+      shared.map(("b", _)) ++ only.map(w => ("b", w + "x"))).toDF("grp", "k")
+    val ov = Sketches.kmvOverlap(Sketches.kmvSketch(d2, $"k", "grp", 128), "grp", 128)
+      .select($"est_jacc_bp").as[Long].head()
+    assert(math.abs(ov / 10000.0 - 1.0 / 3.0) < 0.15, s"est_jacc_bp $ov vs J=1/3")
+  }
+}
