@@ -266,14 +266,7 @@ object SketchQueries {
     // shuffle — that's the point of the sketch (the exact side below
     // still dedupes; it is the audit contrast).
     val regs = Sketches.hllRegisters(grams, col("g"), Seq("source"), HllP)
-    val summary = regs.groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_set"),
-        max(col("max_rank")).cast("long").as("max_rank"),
-        sum(col("max_rank")).as("sum_rank"),
-        HashExprs.fnv64(array_join(sort_array(collect_list(
-          concat_ws(":", col("reg").cast("string"), col("max_rank").cast("string")))),
-          ",")).as("regs_fp"))
+    val summary = hllSummary(regs, "source")
     val exact = grams.distinct().groupBy(col("source"))
       .agg(count(lit(1)).as("exact_distinct"))
     summary.join(exact, "source")
@@ -281,35 +274,60 @@ object SketchQueries {
         col("regs_fp"), col("exact_distinct"))
       .orderBy(col("source"))
   }
-  private val hllVocabSql = {
+  /** SQL CTE chain `hashed0 → hashed → regs → summary → fp` computing the
+    * p=9 HLL register table and its fingerprint summary over `(grp,
+    * keyExpr)` rows from CTE `srcCte` — the DuckDB mirror of
+    * [[Sketches.hllRegisters]] + [[hllSummary]], shared by sx03 and the
+    * streaming st26.
+    */
+  private[queries] def hllRegsSummaryCtes(srcCte: String, grp: String,
+      keyExpr: String): String = {
     val suffixBits = 64 - HllP           // 55
     val suffixMod  = 1L << suffixBits    // 2^55
-    s"""WITH $toksSqlCte,
-       |${gramsSqlCte(3, distinctPerSource = true)},
-       |hashed0 AS (SELECT source, ${TextQueries.fnvFoldSql("g")} AS h0 FROM grams),
-       |hashed AS (SELECT source, ${mixSqlExpr("h0")} AS h FROM hashed0),
+    s"""hashed0 AS (SELECT $grp, ${TextQueries.fnvFoldSql(keyExpr)} AS h0 FROM $srcCte),
+       |hashed AS (SELECT $grp, ${mixSqlExpr("h0")} AS h FROM hashed0),
        |regs AS (
-       |  SELECT source, (h >> $suffixBits)::INT AS reg,
+       |  SELECT $grp, (h >> $suffixBits)::INT AS reg,
        |    max(CASE WHEN h % $suffixMod::HUGEINT = 0 THEN ${suffixBits + 1}
        |         ELSE ${suffixBits + 1}
        |              - length(bin((h % $suffixMod::HUGEINT)::UBIGINT)) END)::INT AS r
        |  FROM hashed GROUP BY 1, 2),
        |summary AS (
-       |  SELECT source, count(*)::BIGINT AS n_set, max(r)::BIGINT AS max_rank,
+       |  SELECT $grp, count(*)::BIGINT AS n_set, max(r)::BIGINT AS max_rank,
        |    sum(r)::BIGINT AS sum_rank,
        |    array_to_string(list_sort(list(concat(reg::VARCHAR, ':', r::VARCHAR))), ',') AS js
-       |  FROM regs GROUP BY source),
+       |  FROM regs GROUP BY $grp),
        |fp AS (
-       |  SELECT source, n_set, max_rank, sum_rank,
+       |  SELECT $grp, n_set, max_rank, sum_rank,
        |    ${TextQueries.fnvFoldSql("js")} AS h
-       |  FROM summary),
+       |  FROM summary)""".stripMargin
+  }
+
+  /** Spark-side fingerprint summary of a register table — one row per
+    * group: set-register count, max/sum rank, and an FNV fingerprint of
+    * the full sorted register content (bit-gates the sketch without
+    * emitting m rows per group). Mirror of the `summary`/`fp` CTEs.
+    */
+  private[queries] def hllSummary(regs: DataFrame, grp: String): DataFrame =
+    regs.groupBy(col(grp))
+      .agg(
+        count(lit(1)).as("n_set"),
+        max(col("max_rank")).cast("long").as("max_rank"),
+        sum(col("max_rank")).as("sum_rank"),
+        HashExprs.fnv64(array_join(sort_array(collect_list(
+          concat_ws(":", col("reg").cast("string"), col("max_rank").cast("string")))),
+          ",")).as("regs_fp"))
+
+  private val hllVocabSql =
+    s"""WITH $toksSqlCte,
+       |${gramsSqlCte(3, distinctPerSource = true)},
+       |${hllRegsSummaryCtes("grams", "source", "g")},
        |exact AS (SELECT source, count(DISTINCT g)::BIGINT AS exact_distinct
        |          FROM grams GROUP BY source)
        |SELECT f.source, f.n_set, f.max_rank, f.sum_rank,
        |  ${TextQueries.fnvSignSql} AS regs_fp, e.exact_distinct
        |FROM fp f JOIN exact e ON e.source = f.source
        |ORDER BY f.source""".stripMargin
-  }
 
   val defs: Map[String, QueryDef] = Map(
     "sx01_cms_freq"    -> QueryDef(cmsFreq, Some(cmsFreqSql), benchmark = true),

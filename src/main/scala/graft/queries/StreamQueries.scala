@@ -977,7 +977,52 @@ object StreamQueries {
        |      FROM documents) t
        |ORDER BY fp""".stripMargin
 
+  /** Streaming HLL: per-event-type distinct-user registers maintained
+    * incrementally over the event stream — [[graft.operators.Sketches.hllRegisters]]
+    * lifted onto readStream unchanged (same per-row reg/rank projection,
+    * streaming groupBy max in Complete mode). max() is order- and
+    * batching-insensitive and an append-only stream never retracts, so
+    * the run-to-completion register table is bit-identical to the batch
+    * build — the batch DuckDB oracle hash-gates the true streaming path
+    * (the st02/st25 convention, now for a SKETCH aggregate). The state
+    * store holds ≤ |types|·m register rows however long the stream runs:
+    * the sketch IS the state — the always-on form of ev31's persisted
+    * sketch table, and the streaming face of sx03.
+    */
+  private def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.parquetStream(spark, dir, "events.parquet")
+      .select(col("event_type"),
+        coalesce(col("user_id").cast("string"), lit("")).as("k"))
+    val regs = graft.operators.Sketches.hllRegisters(src, col("k"), Seq("event_type"))
+    val done = StreamOps.runToMemory(spark, regs,
+      s"graft_stream_hll_${System.nanoTime()}")
+    val exact = graft.core.Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(coalesce(col("user_id").cast("string"), lit("")))
+        .as("exact_distinct"))
+    SketchQueries.hllSummary(done, "event_type")
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_set"), col("max_rank"), col("sum_rank"),
+        col("regs_fp"), col("exact_distinct"))
+      .orderBy(col("event_type"))
+  }
+  private val streamHllSql =
+    s"""WITH keyed AS (
+       |  SELECT event_type, coalesce(CAST(user_id AS VARCHAR), '') AS k
+       |  FROM events),
+       |${SketchQueries.hllRegsSummaryCtes("keyed", "event_type", "k")},
+       |exact AS (
+       |  SELECT event_type,
+       |    count(DISTINCT coalesce(CAST(user_id AS VARCHAR), ''))::BIGINT
+       |      AS exact_distinct
+       |  FROM events GROUP BY 1)
+       |SELECT f.event_type, f.n_set, f.max_rank, f.sum_rank,
+       |  ${TextQueries.fnvSignSql} AS regs_fp, e.exact_distinct
+       |FROM fp f JOIN exact e ON e.event_type = f.event_type
+       |ORDER BY f.event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st26_stream_hll" -> QueryDef(streamHll, Some(streamHllSql), benchmark = true),
     "st25_stream_dedup_state" -> QueryDef(streamDedupState,
       Some(streamDedupStateSql), benchmark = true),
     "st24_stream_quality_score" -> QueryDef(streamQualityScore,

@@ -115,6 +115,23 @@ class SketchesSpec extends SparkSpec {
     assert(nUnionK == 32 && nCommon == 0 && jbp == 0) // disjoint key sets
   }
 
+  test("streaming HLL registers equal the batch build (st26 parity)") {
+    import graft.streaming.StreamOps
+    val key = coalesce(col("user_id").cast("string"), lit(""))
+    val src = StreamOps.parquetStream(spark, sf0001, "events.parquet")
+      .select(col("event_type"), key.as("k"))
+    val streamed = StreamOps.runToMemory(spark,
+        Sketches.hllRegisters(src, $"k", Seq("event_type")),
+        s"graft_spec_stream_hll_${System.nanoTime()}")
+      .as[(String, Int, Int)].collect().toSet
+    val batch = Sketches.hllRegisters(
+        spark.read.parquet(s"$sf0001/events.parquet")
+          .select(col("event_type"), key.as("k")),
+        $"k", Seq("event_type"))
+      .as[(String, Int, Int)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("kmvOverlap estimates a known Jaccard within sketch tolerance") {
     // two groups sharing half their keys: J = 1/3
     val shared  = (0 until 400).map(i => s"s$i")
