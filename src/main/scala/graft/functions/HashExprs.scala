@@ -124,6 +124,18 @@ object HashImpl {
   def fnv64(s: org.apache.spark.unsafe.types.UTF8String): Long =
     fnv64(s, FnvBasis)
 
+  /** [[fnv64]] finished with murmur3's fmix64 avalanche (public-domain
+    * constants, Appleby 2011) — the sketch-domain hash; see [[FnvMix64]].
+    * Java `*`/`^`/`>>>` wrap mod 2^64 regardless of session ANSI mode.
+    */
+  def fnvMix64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    var h = fnv64(s)
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
   /** Same code-point fold with a caller-chosen offset basis — lets stubs
     * (e.g. [[graft.operators.Multimodal.FakeDecoder]]) share the decoder
     * and the oracle-parity guarantees while keeping a distinct constant.
@@ -355,6 +367,32 @@ case class Fnv64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `fnv_mix64(text)` → bigint: [[Fnv64]] finished with murmur3's fmix64
+  * avalanche — the sketch-domain hash (`operators/Sketches.scala`). FNV-1a
+  * alone leaves the HIGH bits underdispersed on short keys (register
+  * indexes collapse — measured in Sketches.mix64's doc); the finisher
+  * fixes that. A native expression rather than Column arithmetic so the
+  * 64-bit wraparound is Java semantics — independent of
+  * `spark.sql.ansi.enabled` (Column `*` THROWS on overflow under ANSI,
+  * which the failure drill's cluster session caught).
+  */
+case class FnvMix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv_mix64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpl.fnvMix64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.fnvMix64($c)")
+  override protected def withNewChildInternal(newChild: Expression): FnvMix64 =
+    copy(child = newChild)
+}
+
 /** `simhash64(tokens)` → bigint fingerprint. */
 case class SimHash64(child: Expression) extends TokenArrayExpression {
   override def dataType: DataType = LongType
@@ -395,6 +433,8 @@ object HashExprs {
     ColumnShim.column(WinnowFps(ColumnShim.expression(tokens), k, w))
   def fnv64(text: Column): Column =
     ColumnShim.column(Fnv64(ColumnShim.expression(text)))
+  def fnvMix64(text: Column): Column =
+    ColumnShim.column(FnvMix64(ColumnShim.expression(text)))
   def firstEqIndex(a: Column, b: Column): Column =
     ColumnShim.column(FirstEqIndex(ColumnShim.expression(a), ColumnShim.expression(b)))
   def sortedIntersectSize(a: Column, b: Column): Column =

@@ -55,25 +55,23 @@ import graft.plans.TopKPerKey
   */
 object Sketches {
 
-  /** murmur3 fmix64 finisher (public-domain constants from MurmurHash3,
-    * Appleby 2011) over the pinned FNV hash. FNV-1a alone leaves the HIGH
-    * bits underdispersed on short keys — measured: a 512-register HLL over
-    * 313 distinct 2–3-char tokens estimated 8 (the raw FNV values of short
+  /** The sketch-domain hash: pinned FNV-1a-64 finished with murmur3's
+    * fmix64 avalanche ([[graft.functions.HashExprs.fnvMix64]] — a native
+    * codegen expression, so the mod-2^64 wrap is Java semantics,
+    * independent of `spark.sql.ansi.enabled`; a first Column-arithmetic
+    * version threw ARITHMETIC_OVERFLOW the moment the failure drill ran
+    * it in an ANSI-default session).
+    *
+    * Why the finisher matters, measured: FNV-1a alone leaves the HIGH
+    * bits underdispersed on short keys — a 512-register HLL over 313
+    * distinct 2–3-char tokens estimated 8 (the raw FNV values of short
     * strings share their top bits, collapsing the register index), and a
-    * KMV Jaccard of a J=1/3 construction read 0.70. With the finisher both
-    * land inside standard sketch tolerance (SketchesSpec pins this).
-    * Pure built-in Column ops (xor/multiply/unsigned shift, ANSI-off Long
-    * wrap = mod 2^64), so the whole hash stays inside whole-stage codegen;
-    * mirrored in DuckDB by `SketchQueries.mixSqlExpr` with the 64×64
+    * KMV Jaccard of a J=1/3 construction read 0.70. With the finisher
+    * both land inside standard sketch tolerance (SketchesSpec pins this).
+    * Mirrored in DuckDB by `SketchQueries.mixSqlExpr` with the 64×64
     * multiply split into 32-bit halves (int128 would overflow).
     */
-  private[graft] def mix64(h: Column): Column = {
-    def xs(c: Column) = c.bitwiseXOR(shiftrightunsigned(c, 33))
-    xs(xs(xs(h) * lit(0xff51afd7ed558ccdL)) * lit(0xc4ceb9fe1a85ec53L))
-  }
-
-  /** The sketch-domain hash: pinned FNV-1a-64, avalanche-finished. */
-  private[graft] def hash64(key: Column): Column = mix64(HashExprs.fnv64(key))
+  private[graft] def hash64(key: Column): Column = HashExprs.fnvMix64(key)
 
   // ---------------------------------------------------------------------
   // HyperLogLog (Flajolet et al. 2007, "HyperLogLog: the analysis of a
@@ -204,13 +202,16 @@ object Sketches {
     */
   private def h2(key: Column): Column = hash64(concat(key, lit("\u0001")))
 
-  /** CMS cell index for depth `s`: (h1 + s·h2) mod w. Long arithmetic
-    * wraps mod 2^64 (ANSI off) and w divides 2^64, so the signed wrap
-    * is invisible mod w — `pmod` then yields the exact unsigned index,
-    * bit-identical to DuckDB's HUGEINT arithmetic.
+  /** CMS cell index for depth `s`: (h1 + s·h2) mod w. Each hash is
+    * reduced mod w BEFORE the combine: w divides 2^64, so `pmod(h, w)`
+    * of the signed long equals the unsigned value mod w, and every
+    * intermediate then stays ≤ d·w — no overflow under ANY ANSI mode.
+    * Bit-identical to DuckDB's full-width HUGEINT `(h1 + s·h2) % w`
+    * by plain modular arithmetic.
     */
   private def cellIdx(key: Column, s: Column, w: Int): Column =
-    pmod(hash64(key) + s * h2(key), lit(w.toLong)).cast("int")
+    pmod(pmod(hash64(key), lit(w.toLong)) + s * pmod(h2(key), lit(w.toLong)),
+      lit(w.toLong)).cast("int")
 
   /** Count-Min sketch of the occurrences of `key` (multiset — one
     * increment per input row): d×w counter cells as rows (s, idx, cnt).

@@ -84,7 +84,7 @@ object SketchQueries {
   private def gramCol(n: Int) =
     TextFunctions.wordNgrams(lower(coalesce(col("text"), lit(""))), n)
 
-  /** DuckDB mirror of [[Sketches.mix64]] (murmur3 fmix64 over the FNV
+  /** DuckDB mirror of [[graft.functions.HashImpl.fnvMix64]] (murmur3 fmix64 over the FNV
     * fold, HUGEINT in [0, 2^64)). The 64×64-bit multiplies are split into
     * 32-bit halves because int128 cannot hold a full 2^64·2^64 product:
     * (m·c) mod 2^64 = (m·c_lo + ((m·c_hi) mod 2^32)·2^32) mod 2^64.

@@ -84,8 +84,14 @@ object FailureDrill {
     // store from the streaming checkpoint + changelog on a surviving
     // executor. Batch drills prove the ckpt() path; this proves the
     // OTHER durability machinery a 100 TB always-on pipeline leans on.
+    // ... and (round 11) sx02: its KMV sketch sits behind a swap-tracked
+    // MEMORY_AND_DISK persist consumed from both sides of the pair join,
+    // so the kill deletes live cached blocks and recovery must recompute
+    // them from lineage on the survivors — the third durability mechanism
+    // (cache-block loss) alongside reliable checkpoints and the state
+    // store.
     val queries = Seq("dd07_dup_clusters", "gr06_kcore",
-      "tx40_quality_classifier", "st20_stream_ewma")
+      "tx40_quality_classifier", "st20_stream_ewma", "sx02_kmv_overlap")
 
     // reference digests from an undisturbed local run
     val ref = {
@@ -100,6 +106,7 @@ object FailureDrill {
       // (in the cluster session) would unpersist against a stopped context
       graft.operators.Graph.releaseCaches()
       graft.queries.TextQueries.releaseCaches()
+      graft.queries.SketchQueries.releaseCaches()
       spark.stop()
       // the standalone master/worker below must not reuse this context
       org.apache.spark.sql.SparkSession.clearActiveSession()
@@ -123,6 +130,9 @@ object FailureDrill {
       // run classpath is NOT propagated in local-cluster mode
       .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
       .config("spark.sql.shuffle.partitions", "8")
+      // match the judged sessions (GraftSession/Verify): the repo-wide
+      // fixed-point and hash-fold arithmetic contract is 64-bit wraparound
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.graft.checkpoint.dir", ckptDir)
       // survive the kill: retry the stage/tasks instead of aborting fast
       .config("spark.task.maxFailures", "8")
