@@ -95,14 +95,16 @@ object Sketches {
   def hllRegisters(in: DataFrame, key: Column, groupCols: Seq[String], p: Int = 9): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val suffixBits = 64 - p
-    val h      = hash64(key)
+    val h      = col("__sk_h")
     val reg    = shiftrightunsigned(h, suffixBits).cast("int")
     val suffix = h.bitwiseAND(lit((1L << suffixBits) - 1))
     // rank = leading zeros of the suffix within (64-p) bits, + 1
     //      = (64-p) - bitLength(suffix) + 1; bin(0) = "0" needs the CASE.
     val rank = when(suffix === 0L, lit(suffixBits + 1))
       .otherwise(lit(suffixBits + 1) - length(bin(suffix)))
-    in.select(groupCols.map(col) :+ reg.as("reg") :+ rank.cast("int").as("rank"): _*)
+    in.select(groupCols.map(col) :+ hash64(key).as("__sk_h"): _*)
+      .where(h.isNotNull) // null keys don't count (SQL count(distinct) convention)
+      .select(groupCols.map(col) :+ reg.as("reg") :+ rank.cast("int").as("rank"): _*)
       .groupBy(groupCols.map(col) :+ col("reg"): _*)
       .agg(max(col("rank")).as("max_rank"))
   }
@@ -154,7 +156,9 @@ object Sketches {
     */
   def kmvSketch(in: DataFrame, key: Column, groupCol: String, k: Int = 128): DataFrame = {
     require(k > 0, "k must be positive")
-    val hashed = in.select(col(groupCol), hash64(key).as("h")).distinct()
+    val hashed = in.select(col(groupCol), hash64(key).as("h"))
+      .where(col("h").isNotNull) // null keys don't count (SQL convention)
+      .distinct()
     TopKPerKey.perKey(hashed, Seq(groupCol), Seq(("h", false)), k)
   }
 
@@ -223,6 +227,7 @@ object Sketches {
     require(d >= 1 && d <= 8, s"d must be in [1,8], got $d")
     require(w >= 2, s"w must be >= 2, got $w")
     in.select(key.as("k"))
+      .where(col("k").isNotNull) // null keys don't count (SQL convention)
       .select(col("k"), explode(lit((0 until d).toArray)).as("s"))
       .select(col("s"), cellIdx(col("k"), col("s"), w).as("idx"))
       .groupBy(col("s"), col("idx"))

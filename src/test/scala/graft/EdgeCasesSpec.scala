@@ -141,6 +141,32 @@ class EdgeCasesSpec extends SparkSpec {
     assert(r == Seq((1L, "x")))
   }
 
+  test("sketch operators survive empty and degenerate corpora") {
+    import graft.operators.Sketches
+    // empty input: every sketch is the empty table, estimators don't throw
+    val e = emptyDocs.select($"text".as("k"))
+    assert(Sketches.hllRegisters(emptyDocs.withColumn("g", $"text"),
+      $"g", Seq("doc_id")).count() == 0)
+    assert(Sketches.hllEstimate(
+      Sketches.hllRegisters(e, $"k", Seq("k")), Seq("k")).count() == 0)
+    assert(Sketches.cmsSketch(e, $"k").count() == 0)
+    assert(Sketches.cmsLookup(Sketches.cmsSketch(e, $"k"), e, $"k").count() == 0)
+    val emptyKmv = Sketches.kmvSketch(e, $"k", "k")
+    assert(emptyKmv.count() == 0)
+    assert(Sketches.kmvOverlap(emptyKmv, "k").count() == 0)
+    // single group: overlap has no pairs, registers/cells still build
+    val one = Seq(("g", "a"), ("g", "b")).toDF("grp", "k")
+    assert(Sketches.kmvOverlap(Sketches.kmvSketch(one, $"k", "grp"), "grp")
+      .count() == 0)
+    assert(Sketches.hllRegisters(one, $"k", Seq("grp")).count() == 2)
+    // null keys: hash of NULL is NULL → rows drop out of every sketch
+    // instead of poisoning a register/cell (callers coalesce when a null
+    // key should count, the st26/dedupSpans convention)
+    val nulls = Seq((1L, null: String), (2L, "x")).toDF("doc_id", "k")
+    assert(Sketches.hllRegisters(nulls, $"k", Seq("doc_id")).count() == 1)
+    assert(Sketches.cmsSketch(nulls, $"k").agg(sum($"cnt")).head().getLong(0) == 4)
+  }
+
   test("tx43 repetition: spam is cut, prose is kept, short docs pass") {
     // "spam spam ... spam" x 40: every 2-gram is the same gram ->
     // dup2 = (39-1)/39, top2 = 39/39 -> keep = 0; a distinct-token doc
