@@ -837,4 +837,72 @@ object Similarity {
     selected.map { case (r, id, _, s) => (r, id, s) }.toSeq
       .toDF("rank", "neighbor_id", "score")
   }
+
+  /** Cluster-balanced diversity sampling — the embedding-space coreset
+    * draw a curation pipeline runs to keep a budget's worth of data
+    * SPREAD across semantic clusters instead of mirroring the corpus
+    * skew (cf. Sorscher et al. 2022, "Beyond neural scaling laws": the
+    * uniform-per-cluster form of prototypicality sampling):
+    *
+    *  1. assign every vector to its nearest seed centroid — the ann08
+    *     map-side blocking (literalized centroids, no join, and only
+    *     (id, cell) rows past this point — vectors never shuffle);
+    *  2. give each cluster a sqrt-flattened share of the budget:
+    *     b_c = budget·⌊√n_c⌋ div Σ⌊√n_c⌋ (integer arithmetic; IEEE sqrt
+    *     is correctly rounded so both engines floor the same double —
+    *     the tx38 α=0.5 flattening, cluster-space instead of
+    *     language-space);
+    *  3. pick each cluster's b_c members deterministically by avalanche
+    *     hash of the id ([[graft.functions.HashExprs.fnvMix64]]) — a
+    *     uniform draw that needs no RNG state and re-picks identically
+    *     on re-runs. The pre-selection is the native TopKPerKey heap
+    *     operator at k = max budget, so the per-cell exchange carries at
+    *     most max-budget rows per cell; the exact per-cell rank runs on
+    *     those bounded survivors.
+    *
+    * Output: (cell, n_cell, budget, pick_rank, vec_id). Σ picks ≤ budget
+    * (truncating division; clusters with b_c = 0 contribute nothing).
+    */
+  def clusterSample(
+      corpus: DataFrame,
+      budget: Long,
+      nCells: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    // FIXED default cell count, unlike semanticDedup's n/128 auto-sizing:
+    // dedup must bound within-cell PAIRS (quadratic in occupancy), but
+    // sampling has no pair stage — its only corpus-sized cost is the
+    // assignment itself, n·cells cosines, so cells growing with n would
+    // make the op quadratic (measured: auto-sized 156 cells at sf1 ran
+    // 11× the 10×-rows cost; fixed cells restore linear). At 100 TB the
+    // production shape is the same: train a FIXED k on a sample
+    // ([[kmeansCentroids]]), assignment stays one map-side projection.
+    val cells = if (nCells > 0) nCells else 64
+    val cents = collectCentroids(seedCentroids(corpus, cells, idCol, vecCol))
+    val assigned = c.select(col("vec_id"), nearestCell(col("v"), cents).as("cell"))
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+      .withColumn("w", floor(sqrt(col("n_cell").cast("double"))).cast("long"))
+    val budgets = sizes
+      .crossJoin(broadcast(sizes.agg(sum(col("w")).as("wt"))))
+      .select(col("cell"), col("n_cell"),
+        expr(s"(${budget}L * w) div wt").as("budget"))
+    // heap bound for the native top-k: every b_c ≤ budget (w_c ≤ Σw), so
+    // the total budget is a safe static k — no extra job to compute the
+    // exact max (an earlier version collected max(budget) and paid a full
+    // assignment pass for it). A budget far above per-cell occupancy just
+    // means heaps that never fill; typical curation budgets ≪ corpus.
+    val k = budget.min(Int.MaxValue.toLong).toInt
+    val hashed = assigned.withColumn("h",
+      graft.functions.HashExprs.fnvMix64(col("vec_id").cast("string")))
+    val pre = graft.plans.TopKPerKey.perKey(hashed, Seq("cell"),
+      Seq(("h", false), ("vec_id", false)), k)
+    val w = Window.partitionBy(col("cell")).orderBy(col("h"), col("vec_id"))
+    pre.join(broadcast(budgets), "cell")
+      .withColumn("pick_rank", row_number().over(w))
+      .where(col("pick_rank") <= col("budget"))
+      .select(col("cell"), col("n_cell"), col("budget"),
+        col("pick_rank").cast("long").as("pick_rank"), col("vec_id"))
+  }
 }

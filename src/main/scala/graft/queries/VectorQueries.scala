@@ -566,7 +566,57 @@ object VectorQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Cluster-balanced diversity sampling ([[Similarity.clusterSample]]):
+    * nearest-seed-centroid assignment (ann08's map-side blocking, FIXED
+    * 64 cells — sampling has no pair stage, so cells must not grow with
+    * n or the assignment itself turns quadratic; see the operator doc), a
+    * sqrt-flattened integer budget per cluster, picks by avalanche hash
+    * of the id. Budget auto-scales with the corpus (max(60, n/100)) so
+    * the draw stays non-degenerate across sf. The oracle
+    * replays assignment, allocation, and the hash draw exactly — every
+    * pick and rank hash-gated.
+    */
+  private def annClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val budget = math.max(60L, emb.count() / 100L)
+    Similarity.clusterSample(emb, budget)
+      .orderBy(col("cell"), col("pick_rank"))
+  }
+  private val annClusterSampleSql =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS mv
+       |          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 64) s),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.mv) DESC, c.cell) AS rn
+       |    FROM emb e CROSS JOIN cent0 c) t WHERE rn = 1),
+       |sizes AS (SELECT cell, count(*)::BIGINT AS n_cell,
+       |                 CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+       |          FROM assigned GROUP BY cell),
+       |tot AS (SELECT sum(w) AS wt FROM sizes),
+       |bud AS (SELECT (SELECT greatest(60, count(*)//100) FROM emb)::BIGINT AS b),
+       |alloc AS (SELECT cell, n_cell, ((b * w) // wt)::BIGINT AS budget
+       |          FROM sizes, tot, bud),
+       |hashed0 AS (SELECT vec_id, cell,
+       |  ${TextQueries.fnvFoldSql("CAST(vec_id AS VARCHAR)")} AS h0 FROM assigned),
+       |hashedm AS (SELECT vec_id, cell, ${SketchQueries.mixSqlExpr("h0")} AS hm
+       |  FROM hashed0),
+       |hashed AS (SELECT vec_id, cell,
+       |  (CASE WHEN hm >= 9223372036854775808::HUGEINT
+       |        THEN hm - 18446744073709551616::HUGEINT ELSE hm END)::BIGINT AS h
+       |  FROM hashedm),
+       |ranked AS (SELECT cell, vec_id,
+       |  row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS rk
+       |  FROM hashed)
+       |SELECT r.cell, a.n_cell, a.budget, r.rk::BIGINT AS pick_rank, r.vec_id
+       |FROM ranked r JOIN alloc a ON a.cell = r.cell
+       |WHERE r.rk <= a.budget
+       |ORDER BY r.cell, pick_rank""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ann14_cluster_sample"  -> QueryDef(annClusterSample, Some(annClusterSampleSql), benchmark = true),
     "ann13_sq_rescore"      -> QueryDef(annSq, Some(annSqSql), benchmark = true),
     "ann12_ivf_recall"      -> QueryDef(annIvfRecall, Some(annIvfRecallSql), benchmark = true),
     "ann11_mmr_topk"        -> QueryDef(annMmr, Some(annMmrSql)),

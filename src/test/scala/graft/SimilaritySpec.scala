@@ -335,4 +335,28 @@ class SimilaritySpec extends SparkSpec {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     assert(sq == again, "SQ search must be deterministic")
   }
+
+  test("clusterSample flattens cluster skew and honors per-cell budgets") {
+    // 900 vectors along e1, 100 along e2; ids 0 and 1 are one of each, so
+    // the two seed centroids are the two cluster directions
+    val rows =
+      Seq((0L, Array(1.0f, 0.01f)), (1L, Array(0.01f, 1.0f))) ++
+        (2L until 901L).map(i => (i, Array(1.0f, (i % 7).toFloat / 1000f))) ++
+        (901L until 1000L).map(i => (i, Array((i % 5).toFloat / 1000f, 1.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val picked = Similarity.clusterSample(emb, budget = 100L, nCells = 2)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    val byCell = picked.groupBy(_._1)
+    // floor(sqrt(900))=30, floor(sqrt(100))=10 → budgets 75 / 25: the
+    // small cluster holds 10% of the corpus but 25% of the draw
+    assert(byCell(1).map(_._3).head == 75 && byCell(1).length == 75)
+    assert(byCell(2).map(_._3).head == 25 && byCell(2).length == 25)
+    // ranks are 1..b_c and the draw is deterministic
+    assert(byCell(1).map(_._4).sorted.toSeq == (1L to 75L))
+    val again = Similarity.clusterSample(emb, budget = 100L, nCells = 2)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(again == picked.toSet)
+    // a budget smaller than the cell count yields a partial (not failing) draw
+    assert(Similarity.clusterSample(emb, budget = 1L, nCells = 2).count() <= 1)
+  }
 }
