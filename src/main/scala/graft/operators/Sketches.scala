@@ -235,17 +235,21 @@ object Sketches {
   }
 
   /** Point-query the sketch for each probe key: the estimate is the MIN
-    * over the d cells the key hashes to (guaranteed >= true count).
-    * The sketch side is at most d·w rows — broadcast it; the probe scan
-    * stays shuffle-free.
+    * over the d cells the key hashes to (guaranteed >= true count). The
+    * sketch table is SPARSE — a cell no key ever incremented is simply
+    * absent and counts as 0, so the join must be LEFT outer: a probe key
+    * with any empty cell estimates 0 (exactly right for never-inserted
+    * keys); an inner join would silently drop it or report the min of
+    * its non-empty cells only. The sketch side is at most d·w rows —
+    * broadcast it; the probe scan stays shuffle-free.
     */
   def cmsLookup(sketch: DataFrame, probes: DataFrame, key: Column, d: Int = 4,
                 w: Int = 1024): DataFrame = {
     val cells = probes
       .select(probes.columns.map(col) :+ explode(lit((0 until d).toArray)).as("s"): _*)
       .withColumn("idx", cellIdx(key, col("s"), w))
-    cells.join(broadcast(sketch), Seq("s", "idx"))
+    cells.join(broadcast(sketch), Seq("s", "idx"), "left_outer")
       .groupBy(probes.columns.map(col): _*)
-      .agg(min(col("cnt")).as("est_cnt"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 }

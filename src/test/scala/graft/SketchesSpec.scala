@@ -95,6 +95,15 @@ class SketchesSpec extends SparkSpec {
     // with 626 keys in 64 buckets, at least one probe must collide
     assert(truth.exists { case (key, n) => est(key) > n },
       "no collisions in a deliberately narrow sketch — indices degenerate?")
+
+    // never-inserted probe against a SPARSE sketch: some of its cells are
+    // empty (absent rows = 0), so the correct CMS estimate is 0 — an
+    // inner join would drop the probe or report only its non-empty cells
+    val tiny = Sketches.cmsSketch(Seq("only-key").toDF("k"), $"k", d = 4, w = 4096)
+    val unseen = Sketches.cmsLookup(tiny,
+        Seq("never-inserted-key").toDF("k"), $"k", d = 4, w = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(unseen("never-inserted-key") == 0L)
   }
 
   test("kmvSketch keeps the k smallest distinct hashes; overlap bounds hold") {
