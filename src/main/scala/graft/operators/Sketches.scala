@@ -234,6 +234,70 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  // ---------------------------------------------------------------------
+  // Bloom filter (Bloom 1970, "Space/time trade-offs in hash coding with
+  // allowable errors")
+  // ---------------------------------------------------------------------
+
+  /** Bloom filter over the distinct values of `key`, materialized as a
+    * SPARSE 64-bit word table: one row per word index that has any bit
+    * set, `bits` = the OR of `1 << (pos % 64)` over the d positions of
+    * every inserted key. `mBits` must be a power of two (so the mod-2^64
+    * double-hash reduction stays exact — same argument as [[cmsSketch]]'s
+    * cell index) and the filter is at most mBits/64 rows however large
+    * the corpus.
+    *
+    * Like the other sketches, the groupBy IS the build AND the merge:
+    * `bit_or` is associative/commutative/idempotent, so partial
+    * aggregation builds per-partition filters map-side (duplicate keys
+    * cost nothing — no pre-distinct needed) and at most mBits/64 rows per
+    * shard cross the exchange. This is the operator form of what dd13
+    * reaches via Spark's opaque `bloom_filter_agg`: a plain integer table
+    * that can be stored, OR-merged across corpus shards
+    * ([[bloomMerge]]), and hash-gated cross-engine bit-for-bit.
+    */
+  def bloomBits(in: DataFrame, key: Column, mBits: Int = 65536, d: Int = 5): DataFrame = {
+    require(d >= 1 && d <= 8, s"d must be in [1,8], got $d")
+    require(mBits >= 128 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 128, got $mBits")
+    in.select(key.as("k"))
+      .where(col("k").isNotNull) // null keys don't count (SQL convention)
+      .select(col("k"), explode(lit((0 until d).toArray)).as("s"))
+      .select(cellIdx(col("k"), col("s"), mBits).as("pos"))
+      .groupBy(shiftright(col("pos"), 6).as("word"))
+      .agg(bit_or(expr("shiftleft(cast(1 as bigint), pos & 63)")).as("bits"))
+  }
+
+  /** Merge word tables built over disjoint corpus shards: per word, OR
+    * the bits. Losslessly equals the filter of the unioned input — the
+    * property that makes the Bloom filter a one-pass, re-aggregable
+    * membership summary.
+    */
+  def bloomMerge(filters: DataFrame): DataFrame =
+    filters.groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+
+  /** Membership probe: for each probe row, `maybe` is true iff ALL d of
+    * the key's bit positions are set. No false negatives (every inserted
+    * key probes true); false positives at the standard (1-e^{-dn/m})^d
+    * rate. The word table is at most mBits/64 rows — broadcast it; a
+    * probe whose word row is absent has that bit 0 (the sparse-table
+    * convention [[cmsLookup]] also follows), hence the LEFT join +
+    * coalesce-to-0.
+    */
+  def bloomProbe(filter: DataFrame, probes: DataFrame, key: Column,
+                 mBits: Int = 65536, d: Int = 5): DataFrame = {
+    val cells = probes
+      .select(probes.columns.map(col) :+ explode(lit((0 until d).toArray)).as("s"): _*)
+      .withColumn("pos", cellIdx(key, col("s"), mBits))
+      .withColumn("word", shiftright(col("pos"), 6))
+    cells.join(broadcast(filter), Seq("word"), "left_outer")
+      // arithmetic >> is fine for single-bit extraction: (x >> 63) & 1
+      // reads the sign bit correctly even though the shift replicates it.
+      .withColumn("hit", coalesce(expr("(bits >> (pos & 63)) & 1"), lit(0L)))
+      .groupBy(probes.columns.map(col): _*)
+      .agg((min(col("hit")) === 1L).as("maybe"))
+  }
+
   /** Point-query the sketch for each probe key: the estimate is the MIN
     * over the d cells the key hashes to (guaranteed >= true count). The
     * sketch table is SPARSE — a cell no key ever incremented is simply

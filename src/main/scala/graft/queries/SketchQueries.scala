@@ -329,8 +329,89 @@ object SketchQueries {
        |FROM fp f JOIN exact e ON e.source = f.source
        |ORDER BY f.source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sx04 — Bloom membership filter (m=2^16 bits, d=5, word trigrams)
+  // ---------------------------------------------------------------------
+
+  private val BloomM = 65536
+  private val BloomD = 5
+
+  /** Bloom-filter membership of 100 probe grams against the corpus
+    * trigram set ([[Sketches.bloomBits]]/[[Sketches.bloomProbe]]): the 50
+    * most frequent trigrams (all inserted — `maybe` MUST be true, the
+    * no-false-negative guarantee) plus their §-suffixed twins (never in
+    * the corpus — the tokenizer splits on whitespace and the fixture text
+    * is ASCII words, so `present` is exact truth by construction; any
+    * `maybe=true` among them IS the filter's false-positive rate, gated
+    * exactly because both engines set the same bits). The filter is at
+    * most mBits/64 = 1024 word rows however large the corpus — the probe
+    * join broadcasts it.
+    */
+  private def bloomContain(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir).documents
+      .select(explode(gramCol(3)).as("g"))
+      .where(length(col("g")) > 0)
+    val filter = Sketches.bloomBits(grams, col("g"), BloomM, BloomD)
+    val top = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g"))
+      .limit(50)
+    val probes = top.select(col("g").as("gram"), lit(true).as("present"))
+      .unionAll(top.select(concat(col("g"), lit("§")).as("gram"),
+        lit(false).as("present")))
+    Sketches.bloomProbe(filter, probes, col("gram"), BloomM, BloomD)
+      .select(col("gram"), col("present"), col("maybe"))
+      .orderBy(col("present").desc, col("gram"))
+  }
+  private val bloomContainSql = {
+    def fnvOf(c: String) = TextQueries.fnvFoldSql(c)
+    val sSet = (0 until BloomD).mkString("[", ",", "]")
+    s"""WITH $toksSqlCte,
+       |${gramsSqlCte(3, distinctPerSource = false)},
+       |keys AS (SELECT DISTINCT g FROM grams),
+       |hashed0 AS (
+       |  SELECT g, ${fnvOf("g")} AS h0a, ${fnvOf("concat(g, chr(1))")} AS h0b
+       |  FROM keys),
+       |hashed AS (
+       |  SELECT g, ${mixSqlExpr("h0a")} AS h1, ${mixSqlExpr("h0b")} AS h2
+       |  FROM hashed0),
+       |pos AS (
+       |  SELECT ((h1 % $BloomM + s.s * (h2 % $BloomM)) % $BloomM)::BIGINT AS pos
+       |  FROM hashed, (SELECT unnest($sSet) AS s) s),
+       |words AS (
+       |  SELECT pos // 64 AS word, bit_or(1::UBIGINT << (pos % 64)::INT) AS bits
+       |  FROM pos GROUP BY 1),
+       |truec AS (SELECT g, count(*)::BIGINT AS cnt FROM grams GROUP BY g),
+       |top AS (
+       |  SELECT g FROM (
+       |    SELECT g, row_number() OVER (ORDER BY cnt DESC, g) AS rn FROM truec)
+       |  WHERE rn <= 50),
+       |probes AS (
+       |  SELECT g AS gram, true AS present FROM top
+       |  UNION ALL
+       |  SELECT concat(g, '§'), false FROM top),
+       |probeh AS (
+       |  SELECT gram, present, ${fnvOf("gram")} AS p0a,
+       |    ${fnvOf("concat(gram, chr(1))")} AS p0b
+       |  FROM probes),
+       |probemix AS (
+       |  SELECT gram, present, ${mixSqlExpr("p0a")} AS h1,
+       |    ${mixSqlExpr("p0b")} AS h2
+       |  FROM probeh),
+       |probecells AS (
+       |  SELECT gram, present,
+       |    ((h1 % $BloomM + s.s * (h2 % $BloomM)) % $BloomM)::BIGINT AS pos
+       |  FROM probemix, (SELECT unnest($sSet) AS s) s)
+       |SELECT pc.gram, pc.present,
+       |  (min(coalesce((w.bits >> (pc.pos % 64)::INT) & 1::UBIGINT, 0::UBIGINT))
+       |     = 1::UBIGINT) AS maybe
+       |FROM probecells pc LEFT JOIN words w ON w.word = pc.pos // 64
+       |GROUP BY pc.gram, pc.present
+       |ORDER BY pc.present DESC, pc.gram""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "sx01_cms_freq"    -> QueryDef(cmsFreq, Some(cmsFreqSql), benchmark = true),
     "sx02_kmv_overlap" -> QueryDef(kmvOverlap, Some(kmvOverlapSql), benchmark = true),
-    "sx03_hll_vocab"   -> QueryDef(hllVocab, Some(hllVocabSql), benchmark = true))
+    "sx03_hll_vocab"   -> QueryDef(hllVocab, Some(hllVocabSql), benchmark = true),
+    "sx04_bloom_contain" -> QueryDef(bloomContain, Some(bloomContainSql), benchmark = true))
 }

@@ -106,6 +106,53 @@ class SketchesSpec extends SparkSpec {
     assert(unseen("never-inserted-key") == 0L)
   }
 
+  test("bloomBits matches a hand-rolled reference; merge law; probe guarantees") {
+    val m = 4096; val d = 5 // narrow filter → real false positives
+    def positions(k: String): Seq[Long] = {
+      val h1 = H(k) & (m - 1)
+      val h2 = H(k + "\u0001") & (m - 1)
+      (0 until d).map(s => (h1 + s * h2) & (m - 1))
+    }
+    val got = Sketches.bloomBits(df, $"k", m, d)
+      .as[(Int, Long)].collect().toMap
+    val want = words.flatMap(positions)
+      .groupMapReduce(p => (p >> 6).toInt)(p => 1L << (p & 63))(_ | _)
+    assert(got == want)
+
+    // merge = word-wise OR of shard filters
+    val shard1 = Sketches.bloomBits(df.where($"k" < lit("m")), $"k", m, d)
+    val shard2 = Sketches.bloomBits(df.where($"k" >= lit("m")), $"k", m, d)
+    val merged = Sketches.bloomMerge(shard1.unionAll(shard2))
+      .as[(Int, Long)].collect().toMap
+    assert(merged == got)
+
+    // no false negatives: every inserted key probes true
+    val filter = Sketches.bloomBits(df, $"k", m, d)
+    val hits = Sketches.bloomProbe(filter, words.toDF("k"), $"k", m, d)
+      .as[(String, Boolean)].collect().toMap
+    assert(words.forall(hits(_)), "a Bloom filter must never miss an inserted key")
+
+    // 626 keys × 5 bits in 4096 cells → ~53% fill; absent keys must show
+    // SOME false positives (the narrow filter is chosen to force them)
+    // but far from all — and a sparse-table miss (absent word row) is
+    // false, not an error.
+    val absent = words.map(_ + "!absent")
+    val fp = Sketches.bloomProbe(filter, absent.toDF("k"), $"k", m, d)
+      .as[(String, Boolean)].collect().count(_._2)
+    assert(fp > 0, "no false positives in a deliberately narrow filter — bits degenerate?")
+    assert(fp < absent.size / 2, s"false-positive rate implausibly high: $fp/${absent.size}")
+
+    // null keys don't count (SQL convention shared by the whole family)
+    val withNull = df.unionAll(Seq(("g1", null: String)).toDF("grp", "k"))
+    val fNull = Sketches.bloomBits(withNull, $"k", m, d)
+      .as[(Int, Long)].collect().toMap
+    assert(fNull == got)
+
+    intercept[IllegalArgumentException] {
+      Sketches.bloomBits(df, $"k", mBits = 1000, d = 5) // not a power of two
+    }
+  }
+
   test("kmvSketch keeps the k smallest distinct hashes; overlap bounds hold") {
     val sketch = Sketches.kmvSketch(df, $"k", "grp", k = 32)
     val got = sketch.as[(String, Long)].collect().groupBy(_._1)
