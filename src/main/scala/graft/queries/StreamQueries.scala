@@ -1021,7 +1021,79 @@ object StreamQueries {
        |FROM fp f JOIN exact e ON e.event_type = f.event_type
        |ORDER BY f.event_type""".stripMargin
 
+  /** Streaming Count-Min: a per-user event-frequency sketch maintained
+    * incrementally over the event stream —
+    * [[graft.operators.Sketches.cmsSketch]] lifted onto readStream
+    * unchanged (same per-row cell projection, streaming groupBy count in
+    * Complete mode). Where st26 gates the MAX-merged sketch (HLL), this
+    * gates the SUM-merged one: count() is additive and an append-only
+    * stream never retracts, so the run-to-completion counter table is
+    * bit-identical to the batch build and the batch DuckDB oracle
+    * hash-gates the true streaming path. State is bounded at d·w = 4096
+    * counter cells however long the stream runs — the always-on
+    * frequency-tracking shape (per-key rate estimation without per-key
+    * state). The probe side (top-100 users by exact count) runs
+    * batch-side against the materialized sketch: est_cnt >= true_cnt
+    * always, the gap gated exactly because both engines hash the same
+    * cells.
+    */
+  private def streamCms(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 1024
+    val src = StreamOps.parquetStream(spark, dir, "events.parquet")
+      .select(coalesce(col("user_id").cast("string"), lit("")).as("k"))
+    val sketch = graft.operators.Sketches.cmsSketch(src, col("k"), d, w)
+    val done = StreamOps.runToMemory(spark, sketch,
+      s"graft_stream_cms_${System.nanoTime()}")
+    val probes = graft.core.Tables(spark, dir).events
+      .select(coalesce(col("user_id").cast("string"), lit("")).as("uid"))
+      .groupBy(col("uid")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("uid"))
+      .limit(100)
+    graft.operators.Sketches.cmsLookup(done, probes, col("uid"), d, w)
+      .select(col("uid"), col("true_cnt"), col("est_cnt"))
+      .orderBy(col("true_cnt").desc, col("uid"))
+  }
+  private val streamCmsSql = {
+    def fnvOf(c: String) = TextQueries.fnvFoldSql(c)
+    val w = 1024
+    s"""WITH keyed AS (
+       |  SELECT coalesce(CAST(user_id AS VARCHAR), '') AS k FROM events),
+       |hashed0 AS (
+       |  SELECT k, ${fnvOf("k")} AS h0a, ${fnvOf("concat(k, chr(1))")} AS h0b
+       |  FROM keyed),
+       |hashed AS (
+       |  SELECT k, ${SketchQueries.mixSqlExpr("h0a")} AS h1,
+       |    ${SketchQueries.mixSqlExpr("h0b")} AS h2
+       |  FROM hashed0),
+       |cells AS (
+       |  SELECT s, ((h1 + s * h2) % $w)::BIGINT AS idx, count(*)::BIGINT AS cnt
+       |  FROM hashed, (SELECT unnest([0,1,2,3]) AS s)
+       |  GROUP BY 1, 2),
+       |truec AS (SELECT k, count(*)::BIGINT AS true_cnt FROM keyed GROUP BY k),
+       |probes AS (
+       |  SELECT k AS uid, true_cnt FROM (
+       |    SELECT k, true_cnt,
+       |      row_number() OVER (ORDER BY true_cnt DESC, k) AS rn FROM truec)
+       |  WHERE rn <= 100),
+       |probeh AS (
+       |  SELECT uid, true_cnt, ${fnvOf("uid")} AS p0a,
+       |    ${fnvOf("concat(uid, chr(1))")} AS p0b
+       |  FROM probes),
+       |probemix AS (
+       |  SELECT uid, true_cnt, ${SketchQueries.mixSqlExpr("p0a")} AS h1,
+       |    ${SketchQueries.mixSqlExpr("p0b")} AS h2
+       |  FROM probeh),
+       |probecells AS (
+       |  SELECT p.uid, p.true_cnt, s.s,
+       |    ((p.h1 + s.s * p.h2) % $w)::BIGINT AS idx
+       |  FROM probemix p, (SELECT unnest([0,1,2,3]) AS s) s)
+       |SELECT pc.uid, max(pc.true_cnt) AS true_cnt, min(c.cnt) AS est_cnt
+       |FROM probecells pc JOIN cells c ON c.s = pc.s AND c.idx = pc.idx
+       |GROUP BY pc.uid ORDER BY true_cnt DESC, uid""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "st27_stream_cms" -> QueryDef(streamCms, Some(streamCmsSql), benchmark = true),
     "st26_stream_hll" -> QueryDef(streamHll, Some(streamHllSql), benchmark = true),
     "st25_stream_dedup_state" -> QueryDef(streamDedupState,
       Some(streamDedupStateSql), benchmark = true),

@@ -188,6 +188,22 @@ class SketchesSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming CMS counters equal the batch build (st27 parity)") {
+    import graft.streaming.StreamOps
+    val key = coalesce(col("user_id").cast("string"), lit(""))
+    val src = StreamOps.parquetStream(spark, sf0001, "events.parquet")
+      .select(key.as("k"))
+    val streamed = StreamOps.runToMemory(spark,
+        Sketches.cmsSketch(src, $"k", d = 4, w = 256),
+        s"graft_spec_stream_cms_${System.nanoTime()}")
+      .as[(Int, Int, Long)].collect().toSet
+    val batch = Sketches.cmsSketch(
+        spark.read.parquet(s"$sf0001/events.parquet").select(key.as("k")),
+        $"k", d = 4, w = 256)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("kmvOverlap estimates a known Jaccard within sketch tolerance") {
     // two groups sharing half their keys: J = 1/3
     val shared  = (0 until 400).map(i => s"s$i")
