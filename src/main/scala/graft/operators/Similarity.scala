@@ -905,4 +905,102 @@ object Similarity {
       .select(col("cell"), col("n_cell"), col("budget"),
         col("pick_rank").cast("long").as("pick_rank"), col("vec_id"))
   }
+
+  /** Johnson-Lindenstrauss random projection (Achlioptas 2003's ±1
+    * database-friendly form): compress `vecCol` from `inDim` to `outDim`
+    * dimensions via a deterministic sign matrix, `out_j = Σ_i s(i,j)·v_i`
+    * with `s(i,j) = ±1` drawn from the repo's pinned hash
+    * ([[graft.functions.HashImpl.fnvMix64]] of `"jl:i:j"`, low bit) — no
+    * RNG state, so the matrix is identical on every executor, every run,
+    * and every ENGINE (the DuckDB oracle regenerates it from the same
+    * hash).
+    *
+    * Determinism: inputs are first quantized to integer 2^-20 ticks
+    * (`floor(x·2^20 + 0.5)` — same asymmetric formula both engines), so
+    * every projected coordinate is a sum of INTEGERS carried in doubles:
+    * |q_i| ≤ ~2^21, 64-term sums ≤ 2^27·2^21 ≪ 2^53 — exact integer
+    * arithmetic, associative, bit-identical under ANY fold order or
+    * partitioning. Cosines over the projected vectors are then dots/norms
+    * of exact integers (≤ 2^53) — also bit-exact cross-engine, which is
+    * what lets ann15 hash-gate projected-space ranks instead of
+    * bounds-gating them.
+    *
+    * Plan shape: the sign matrix is LITERALIZED into the projection
+    * expression (outDim static sums of inDim signed terms — whole-stage
+    * codegen, no lambda dispatch, no join, no shuffle): the projection is
+    * a pure map over the corpus scan. At 100 TB this is the
+    * dimensionality-reduction pass that makes a 4×-smaller ANN index; the
+    * quantization costs one floor per term and preserves ~6 significant
+    * digits of the unit-scale fixture embeddings.
+    */
+  def jlProject(
+      df: DataFrame,
+      inDim: Int,
+      outDim: Int,
+      vecCol: String = "embedding",
+      projCol: String = "proj"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      s"need 1 <= outDim <= inDim, got inDim=$inDim outDim=$outDim")
+    import org.apache.spark.unsafe.types.UTF8String
+    def sign(i: Int, j: Int): Double =
+      if ((graft.functions.HashImpl.fnvMix64(
+        UTF8String.fromString(s"jl:$i:$j")) & 1L) == 0L) 1.0 else -1.0
+    val v = col(vecCol).cast("array<double>")
+    def q(i: Int): Column = floor(element_at(v, i + 1) * lit(1048576.0) + lit(0.5))
+    val outs = (0 until outDim).map { j =>
+      (0 until inDim).map(i => q(i) * lit(sign(i, j))).reduce(_ + _)
+    }
+    df.withColumn(projCol, array(outs: _*))
+  }
+
+  /** JL-compressed top-k: candidate generation by cosine in the
+    * [[jlProject]]ed space (top `cand` per query), then full-precision
+    * cosine rescore of the survivors — the [[sqTopK]] two-stage shape
+    * with dimensionality reduction instead of scalar quantization as the
+    * compressed first pass. At outDim = inDim/2 the candidate scan reads
+    * half the floats of a brute-force pass (and the projected table is
+    * the only thing that needs to be resident); the exact pass touches
+    * only |queries|·cand vectors.
+    *
+    * Both stages are deterministic bit-exact cross-engine: the projected
+    * cosines are ratios of exact integers (see [[jlProject]]) and the
+    * rescore is the pinned ann01 cosine — so the CANDIDATE SET, not just
+    * the final ranks, is reproducible, and ann15's oracle gates the
+    * whole pipeline.
+    */
+  def jlTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      cand: Int = 100,
+      inDim: Int = 64,
+      outDim: Int = 32,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cp = jlProject(c, inDim, outDim, vecCol = "cv", projCol = "cp")
+      .select(col("neighbor_id"), col("cp"))
+    val qp = jlProject(q, inDim, outDim, vecCol = "qv", projCol = "qp")
+      .select(col("query_id"), col("qp"))
+    val wD = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val cands = cp.join(broadcast(qp), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qp"), col("cp")).as("pcos"))
+      .withColumn("crank", row_number().over(wD))
+      .where(col("crank") <= cand)
+      .select(col("query_id"), col("neighbor_id"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wC))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 }

@@ -615,7 +615,94 @@ object VectorQueries {
        |WHERE r.rk <= a.budget
        |ORDER BY r.cell, pick_rank""".stripMargin
 
+  /** JL-compressed retrieve-then-rescore recall audit
+    * ([[Similarity.jlTopK]] — Achlioptas ±1 matrix off the pinned hash,
+    * inputs quantized to integer 2^-20 ticks so projected sums AND
+    * projected cosines are exact integer arithmetic in doubles,
+    * bit-identical cross-engine under any fold order): top-100
+    * candidates by cosine in the 32-dim projected space, full-precision
+    * rescore to top-5, integer hit counts vs the exact 64-dim top-5 per
+    * query (the ann12 audit shape, for the dimensionality-reduction
+    * operator instead of the IVF index). The oracle regenerates the SAME
+    * sign matrix from the same hash and replays the same
+    * quantize→project→candidate→rescore chain, so the CANDIDATE SET, not
+    * just the final ranks, is hash-gated. Raw 32-dim ranking alone is
+    * chance-level on this near-isotropic fixture (measured: recall@3 ≈
+    * 0 at outDim=16) — which is exactly why the operator is the
+    * two-stage form; the audit reports the pipeline's true recall
+    * (~0.7–0.8 here) the way ann06's PQ audit honestly reports 0.63.
+    */
+  private def annJlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.where(col("vec_id") < 10)
+    val approx = Similarity.jlTopK(queries, emb, k = 5, cand = 100,
+        inDim = 64, outDim = 32)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), lit(5L).as("k"), col("n_hits"),
+        (col("n_hits") * 2000L).as("recall_bp"))
+      .orderBy(col("query_id"))
+  }
+  private val annJlRecallSql: String = {
+    val keyExpr = "concat('jl:', (i - 1)::VARCHAR, ':', j::VARCHAR)"
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |odims AS (SELECT unnest(generate_series(0, 31)) AS j),
+       |sgn0 AS (
+       |  SELECT i, j, ${TextQueries.fnvFoldSql(keyExpr)} AS h0
+       |  FROM dims, odims),
+       |signs AS (
+       |  SELECT i, j,
+       |    CASE WHEN (${SketchQueries.mixSqlExpr("h0")}) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM sgn0),
+       |qe AS (
+       |  SELECT e.vec_id, d.i, floor(e.v[d.i] * 1048576.0 + 0.5) AS q
+       |  FROM emb e, dims d),
+       |proj AS (
+       |  SELECT qe.vec_id, s.j, sum(s.sgn * qe.q) AS pv
+       |  FROM qe JOIN signs s ON s.i = qe.i
+       |  GROUP BY qe.vec_id, s.j),
+       |pvecs AS (SELECT vec_id, list(pv ORDER BY j) AS pv FROM proj GROUP BY vec_id),
+       |cands AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.pv, c.pv) DESC, c.vec_id) AS crank
+       |    FROM pvecs q JOIN pvecs c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 10) t
+       |  WHERE crank <= 100),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT cd.query_id, cd.neighbor_id,
+       |      row_number() OVER (PARTITION BY cd.query_id
+       |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, cd.neighbor_id) AS rank
+       |    FROM cands cd
+       |    JOIN emb q ON q.vec_id = cd.query_id
+       |    JOIN emb c ON c.vec_id = cd.neighbor_id) t
+       |  WHERE rank <= 5),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+       |    FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 10) t
+       |  WHERE rank <= 5)
+       |SELECT e.query_id, CAST(5 AS BIGINT) AS k,
+       |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(count(a.neighbor_id) * 2000 AS BIGINT) AS recall_bp
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "ann15_jl_recall"       -> QueryDef(annJlRecall, Some(annJlRecallSql), benchmark = true),
     "ann14_cluster_sample"  -> QueryDef(annClusterSample, Some(annClusterSampleSql), benchmark = true),
     "ann13_sq_rescore"      -> QueryDef(annSq, Some(annSqSql), benchmark = true),
     "ann12_ivf_recall"      -> QueryDef(annIvfRecall, Some(annIvfRecallSql), benchmark = true),
