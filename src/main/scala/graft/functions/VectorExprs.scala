@@ -74,6 +74,60 @@ object VectorImpl {
     }
     bucket
   }
+
+  /** Memoized ±1 JL sign matrices, keyed by (inDim, outDim): row j of the
+    * flat array is the inDim signs of output dimension j, drawn from the
+    * pinned hash ([[HashImpl.fnvMix64]] of `"jl:i:j"`, low bit) — fully
+    * deterministic, so every executor (and the DuckDB oracle) regenerates
+    * the identical matrix; the cache only avoids re-hashing 2 048 strings
+    * per ROW.
+    */
+  private val jlSignCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  def jlSigns(inDim: Int, outDim: Int): Array[Double] =
+    jlSignCache.computeIfAbsent((inDim, outDim), { case (in, out) =>
+      val a = new Array[Double](in * out)
+      var j = 0
+      while (j < out) {
+        var i = 0
+        while (i < in) {
+          val h = HashImpl.fnvMix64(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"jl:$i:$j"))
+          a(j * in + i) = if ((h & 1L) == 0L) 1.0 else -1.0
+          i += 1
+        }
+        j += 1
+      }
+      a
+    })
+
+  /** JL ±1 projection of a double vector: out_j = Σ_i s(i,j)·q_i with the
+    * input quantized to integer 2^-20 ticks (floor(x·2^20 + 0.5)) so every
+    * output coordinate is exact integer arithmetic in doubles — order-free
+    * and bit-identical cross-engine (see [[graft.operators.Similarity.jlProject]]).
+    * One JVM loop per row: the literalized Column formulation this
+    * replaces was a 2 048-node expression tree that fell out of
+    * whole-stage codegen (measured 16 s for the sf0.1 ann15 pipeline;
+    * this form runs it in ~1 s).
+    */
+  def jlProject(v: ArrayData, inDim: Int, outDim: Int): ArrayData = {
+    val signs = jlSigns(inDim, outDim)
+    val n = math.min(inDim, v.numElements())
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      val base = j * inDim
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += math.floor(v.getDouble(i) * 1048576.0 + 0.5) * signs(base + i)
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 private[functions] trait DoubleArrayInputs extends Expression {
@@ -119,9 +173,30 @@ case class SrpBucket(child: Expression, nPlanes: Int, planeOffset: Int)
     copy(child = newChild)
 }
 
+/** `jl_project(vec, inDim, outDim)` → array<double> JL projection. */
+case class JlProject(child: Expression, inDim: Int, outDim: Int)
+    extends UnaryExpression with DoubleArrayInputs {
+  require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+    s"need 1 <= outDim <= inDim, got inDim=$inDim outDim=$outDim")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "jl_project"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (arrayOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    VectorImpl.jlProject(input.asInstanceOf[ArrayData], inDim, outDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorImpl.jlProject($c, $inDim, $outDim)")
+  override protected def withNewChildInternal(newChild: Expression): JlProject =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.column(CosineSim(ColumnShim.expression(a), ColumnShim.expression(b)))
   def srpBucket(vec: Column, nPlanes: Int, planeOffset: Int): Column =
     ColumnShim.column(SrpBucket(ColumnShim.expression(vec), nPlanes, planeOffset))
+  def jlProject(vec: Column, inDim: Int, outDim: Int): Column =
+    ColumnShim.column(JlProject(ColumnShim.expression(vec), inDim, outDim))
 }

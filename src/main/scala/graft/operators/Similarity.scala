@@ -925,11 +925,14 @@ object Similarity {
     * what lets ann15 hash-gate projected-space ranks instead of
     * bounds-gating them.
     *
-    * Plan shape: the sign matrix is LITERALIZED into the projection
-    * expression (outDim static sums of inDim signed terms — whole-stage
-    * codegen, no lambda dispatch, no join, no shuffle): the projection is
-    * a pure map over the corpus scan. At 100 TB this is the
-    * dimensionality-reduction pass that makes a 4×-smaller ANN index; the
+    * Plan shape: one native codegen'd loop per row
+    * ([[graft.functions.JlProject]] — the memoized sign matrix lives in
+    * the kernel, NOT in the plan: a first literalized-Column version was
+    * a 2 048-node expression tree that fell out of whole-stage codegen
+    * and ran the sf0.1 audit in 16 s; the kernel form runs it in ~1 s):
+    * no lambda dispatch, no join, no shuffle — the projection is a pure
+    * map over the corpus scan. At 100 TB this is the
+    * dimensionality-reduction pass that makes a 2×-smaller ANN index; the
     * quantization costs one floor per term and preserves ~6 significant
     * digits of the unit-scale fixture embeddings.
     */
@@ -941,16 +944,8 @@ object Similarity {
       projCol: String = "proj"): DataFrame = {
     require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
       s"need 1 <= outDim <= inDim, got inDim=$inDim outDim=$outDim")
-    import org.apache.spark.unsafe.types.UTF8String
-    def sign(i: Int, j: Int): Double =
-      if ((graft.functions.HashImpl.fnvMix64(
-        UTF8String.fromString(s"jl:$i:$j")) & 1L) == 0L) 1.0 else -1.0
-    val v = col(vecCol).cast("array<double>")
-    def q(i: Int): Column = floor(element_at(v, i + 1) * lit(1048576.0) + lit(0.5))
-    val outs = (0 until outDim).map { j =>
-      (0 until inDim).map(i => q(i) * lit(sign(i, j))).reduce(_ + _)
-    }
-    df.withColumn(projCol, array(outs: _*))
+    df.withColumn(projCol, graft.functions.VectorExprs.jlProject(
+      col(vecCol).cast("array<double>"), inDim, outDim))
   }
 
   /** JL-compressed top-k: candidate generation by cosine in the
