@@ -494,9 +494,23 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sh"))
-    val chunked = sh.select(col("doc_id"), col("sh"),
+      textCol: String = "text"): DataFrame =
+    fingerprintDupPairs(
+      docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sh")),
+      maxHamming)
+
+  /** The fingerprint-agnostic core of [[simhashDupPairs]]: near-dup pairs
+    * of any 64-bit content fingerprint table `fps` = (doc_id, sh) with
+    * Hamming distance ≤ maxHamming — same 4×16-bit pigeonhole blocking
+    * (exact for maxHamming ≤ 3: a pair within distance 3 must agree on
+    * one whole chunk), same `first_eq_index` per-row multi-chunk dedup,
+    * same plan shape (one shuffle per chunk key, no cartesian, no
+    * aggregate between join and verify). Callers: SimHash over text
+    * (dd04) and perceptual aHash over decoded images (mm10) — the same
+    * dedup machinery serving two modalities is the point.
+    */
+  def fingerprintDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = fps.select(col("doc_id"), col("sh"),
       array((0 until 4).map(c =>
         shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*).as("ck"))
       .select(col("doc_id"), col("sh"), col("ck"), posexplode(col("ck")))

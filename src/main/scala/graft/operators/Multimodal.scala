@@ -151,6 +151,116 @@ object Multimodal {
     }
   }
 
+  /** The raster codec SEAM — like [[MediaCodec]] but yielding the decoded
+    * LUMINANCE raster (per-pixel sum of every band's sample, row-major)
+    * instead of scalar features, for operators that hash CONTENT
+    * ([[imageAHash]]). Band-sum luminance, not ITU weights: integer, band
+    * -order-independent (BGR readback sums the same), and exactly
+    * SQL-recomputable for the synthetic fixtures. None = undecodable —
+    * tag, don't kill, the task.
+    */
+  trait RasterCodec extends Serializable {
+    def decodeLum(payload: Array[Byte]): Option[(Int, Int, Array[Long])]
+  }
+
+  /** REAL raster decode: JDK `javax.imageio`, same row-buffered
+    * band fold as [[ImageIoCodec]] but accumulated per PIXEL.
+    */
+  object ImageIoRaster extends RasterCodec {
+    def decodeLum(payload: Array[Byte]): Option[(Int, Int, Array[Long])] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val lum = new Array[Long](w * h)
+        val rowBuf = new Array[Int](w)
+        var b = 0
+        while (b < bands) {
+          var y = 0
+          while (y < h) {
+            raster.getSamples(0, y, w, 1, b, rowBuf)
+            var x = 0
+            while (x < w) { lum(y * w + x) += rowBuf(x); x += 1 }
+            y += 1
+          }
+          b += 1
+        }
+        Some((w, h, lum))
+      }
+    }
+  }
+
+  /** Average-hash (aHash) of a luminance raster: 8×8 block grid with
+    * floor boundaries (`[⌊b·w/8⌋, ⌊(b+1)·w/8⌋)`), bit (by·8+bx) set iff
+    * the block's mean luminance exceeds the image mean — compared by
+    * integer CROSS-MULTIPLICATION (`blockSum·totalPixels >
+    * totalSum·blockPixels`), no division, no floats, so the hash is
+    * bit-identical in any engine that can reproduce the raster.
+    * Exposed for specs and the mm10 oracle derivation; 0L for degenerate
+    * rasters (w or h < 8 has empty blocks — their bits stay 0).
+    */
+  def aHash64(w: Int, h: Int, lum: Array[Long]): Long = {
+    if (w < 8 || h < 8) return 0L
+    var total = 0L
+    var i = 0
+    while (i < lum.length) { total += lum(i); i += 1 }
+    val totalPixels = w.toLong * h.toLong
+    var hash = 0L
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+        var bs = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { bs += lum(y * w + x); x += 1 }
+          y += 1
+        }
+        val blockPixels = (y1 - y0).toLong * (x1 - x0).toLong
+        if (bs * totalPixels > total * blockPixels) hash |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
+  /** Perceptual average-hash per image: decode through the
+    * [[RasterCodec]] seam, hash with [[aHash64]] — one fused
+    * partition-local map (payload bytes never cross an exchange; only
+    * (id, w, h, ahash) rows leave the stage). Undecodable payloads emit
+    * w=h=0, ahash=0 — filter `width >= 8` downstream. This is the image
+    * face of dd04's SimHash: 64-bit content fingerprint, hamming-distance
+    * near-dup semantics, and it feeds the same pigeonhole pairing
+    * ([[Dedup.fingerprintDupPairs]]).
+    */
+  def imageAHash(media: DataFrame, codec: RasterCodec = ImageIoRaster): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray
+                        else r.getAs[Array[Byte]](1)
+          codec.decodeLum(payload) match {
+            case Some((w, h, lum)) => Row(id, w, h, aHash64(w, h, lum))
+            case None              => Row(id, 0, 0, 0L)
+          }
+        }
+      }(enc)
+  }
+
   /** Partition-wise batched decode: one decoder instance per partition
     * (mirrors per-batch codec init in a Pandas-UDF/`mapInPandas` setup),
     * rows streamed — never materialized per-partition. `codec` is the
@@ -244,6 +354,53 @@ object Multimodal {
             | (math.floorMod(id * 7L, 256L).toInt << 8)
             | math.floorMod(id * 13L, 256L).toInt)
           Row(id, renderPng(w, h, rgb))
+        }
+      }(enc)
+  }
+
+  /** Deterministic synthetic GRADIENT PNG table for the perceptual-hash
+    * gate (mm10): 16×16 real PNGs whose per-pixel channels are pure
+    * integer arithmetic in (id, x, y) — unlike [[syntheticPngs]]' constant
+    * fills (whose aHash would degenerate to 0: every block mean equals
+    * the image mean), gradients give every image a non-trivial 64-bit
+    * hash that the DuckDB oracle still recomputes from the id alone.
+    * Near-dup structure by construction: ids sharing `id div 3` render
+    * the same gradient, with variants `id mod 3 > 0` brightened by
+    * `64·(id mod 3)` on the top-left 2×2 pixels (one aHash block) — so
+    * each triple yields pairs at hamming ≈ 0–2 while unrelated bases
+    * diverge. Channels: r = (37·base + 11x) % 256, g = (29·base + 5y)
+    * % 256, b = (13·base + 3x + 2y) % 256, base = id div 3.
+    */
+  def syntheticGradientPngs(ids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    spreadIds(ids.select(col("media_id")))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val base = Math.floorDiv(id, 3L)
+          val v = math.floorMod(id, 3L).toInt
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val r0 = math.floorMod(base * 37L + 11L * x, 256L).toInt
+              val rr = if (v > 0 && x < 2 && y < 2)
+                (r0 + v * 64) % 256 else r0
+              val gg = math.floorMod(base * 29L + 5L * y, 256L).toInt
+              val bb = math.floorMod(base * 13L + 3L * x + 2L * y, 256L).toInt
+              img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          Row(id, baos.toByteArray)
         }
       }(enc)
   }

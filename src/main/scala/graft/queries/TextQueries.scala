@@ -884,6 +884,58 @@ object TextQueries {
       |FROM documents WHERE doc_id < 200
       |ORDER BY media_id""".stripMargin
 
+  /** Perceptual-hash image near-dup, correctness-gated (mm10): one
+    * deterministic 16×16 GRADIENT PNG per doc
+    * ([[Multimodal.syntheticGradientPngs]] — real `ImageIO.write`,
+    * near-dup triples by construction), decoded back through the REAL
+    * `javax.imageio` raster codec and average-hashed
+    * ([[Multimodal.imageAHash]]: 8×8 block means vs image mean, integer
+    * cross-multiplied — no floats anywhere), then paired by the SAME
+    * pigeonhole hamming machinery dd04 uses for text SimHash
+    * ([[Dedup.fingerprintDupPairs]], exact for maxHamming ≤ 3). The
+    * oracle recomputes every pixel, block sum, hash bit, and pairwise
+    * hamming distance from `doc_id` arithmetic alone — one wrong pixel
+    * in the encode→decode→hash loop flips the gate. The oracle's
+    * quadratic self-join is the fixture-affordable audit contrast; the
+    * Spark side runs the bounded chunk-join blocking (the 100 TB path).
+    * Scale shape: generate + decode + hash are one fused partition-local
+    * map; only (id, 64-bit hash) rows reach the pairing exchange.
+    */
+  private def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir).documents.where(col("doc_id") < 200)
+      .select(col("doc_id").as("media_id"))
+    val hashed = Multimodal.imageAHash(Multimodal.syntheticGradientPngs(ids))
+      .select(col("media_id").as("doc_id"), col("ahash").as("sh"))
+    Dedup.fingerprintDupPairs(hashed, maxHamming = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val imageNearDupSql =
+    """WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+      |px AS (
+      |  SELECT media_id, x.x, y.y,
+      |    (((media_id // 3) * 37 + 11 * x.x) % 256
+      |       + CASE WHEN (media_id % 3) > 0 AND x.x < 2 AND y.y < 2
+      |              THEN (media_id % 3) * 64 ELSE 0 END) % 256
+      |    + ((media_id // 3) * 29 + 5 * y.y) % 256
+      |    + ((media_id // 3) * 13 + 3 * x.x + 2 * y.y) % 256 AS lum
+      |  FROM ids,
+      |    (SELECT unnest(generate_series(0, 15)) AS x) x,
+      |    (SELECT unnest(generate_series(0, 15)) AS y) y),
+      |blk AS (
+      |  SELECT media_id, (y // 2) * 8 + (x // 2) AS bit, sum(lum) AS bs
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (SELECT media_id, sum(lum) AS ts FROM px GROUP BY 1),
+      |hash AS (
+      |  SELECT b.media_id,
+      |    bit_or(CASE WHEN b.bs * 64 > t.ts THEN 1::UBIGINT << b.bit::INT
+      |                ELSE 0::UBIGINT END) AS ah
+      |  FROM blk b JOIN tot t USING (media_id) GROUP BY 1)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming
+      |FROM hash a JOIN hash b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.ah, b.ah)) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** REAL audio decode, correctness-gated (mm08 — the audio modality
     * beside mm07's images): one deterministic PCM16 WAV per doc
     * ([[Multimodal.syntheticWavs]] — canonical RIFF bytes written
@@ -4000,6 +4052,7 @@ object TextQueries {
     "mm07_real_decode"       -> QueryDef(realDecode, Some(realDecodeSql)),
     "mm08_real_audio_decode" -> QueryDef(realAudioDecode, Some(realAudioDecodeSql)),
     "mm09_video_frames"      -> QueryDef(videoFrames, Some(videoFramesSql)),
+    "mm10_image_near_dup"    -> QueryDef(imageNearDup, Some(imageNearDupSql)),
     "tx20_bigrams"           -> QueryDef(bigrams, Some(bigramsSql)),
     "tx21_budget_select"     -> QueryDef(budgetSelect, Some(budgetSelectSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),

@@ -112,6 +112,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash64 matches a hand-rolled reference; imageAHash round-trips gradient PNGs") {
+    // hand-rolled: 8×8 raster (1×1 blocks), lum = x + 8y ⇒ bit set iff
+    // lum > mean = 31.5 ⇒ exactly the top half of the gradient
+    val lum = Array.tabulate(64)(i => (i % 8 + 8 * (i / 8)).toLong)
+    val want = (0 until 64).filter(lum(_) > 31).map(1L << _).reduce(_ | _)
+    assert(Multimodal.aHash64(8, 8, lum) == want)
+    // degenerate rasters hash to 0 rather than throwing
+    assert(Multimodal.aHash64(4, 4, Array.fill(16)(1L)) == 0L)
+    // constant fill: no block exceeds the mean — all bits 0 (why mm10
+    // uses gradient fixtures instead of mm07's constant fills)
+    assert(Multimodal.aHash64(16, 16, Array.fill(256)(7L)) == 0L)
+
+    // encode→decode→hash round trip: the REAL codec path equals hashing
+    // the id-arithmetic raster directly (pins PNG losslessness for the
+    // gradient generator, the identity mm10's oracle relies on)
+    val idVals = Seq(0L, 1L, 2L, 3L, 100L, 199L)
+    def lumOf(id: Long): Array[Long] = {
+      val base = id / 3; val v = (id % 3).toInt
+      Array.tabulate(256) { i =>
+        val x = i % 16; val y = i / 16
+        val r0 = (base * 37 + 11 * x) % 256
+        val rr = if (v > 0 && x < 2 && y < 2) (r0 + v * 64) % 256 else r0
+        rr + (base * 29 + 5 * y) % 256 + (base * 13 + 3 * x + 2 * y) % 256
+      }
+    }
+    val got = Multimodal.imageAHash(
+        Multimodal.syntheticGradientPngs(idVals.toDF("media_id")))
+      .select($"media_id", $"width", $"height", $"ahash")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    for (id <- idVals)
+      assert(got(id) == ((id, 16, 16, Multimodal.aHash64(16, 16, lumOf(id)))),
+        s"id=$id")
+
+    // near-dup structure: variants of one base differ by ≤ 2 bits (the
+    // perturbation touches one block); undecodable payloads tag w=h=0
+    val triple = got(0L)._4 :: got(1L)._4 :: got(2L)._4 :: Nil
+    for (a <- triple; b <- triple)
+      assert(java.lang.Long.bitCount(a ^ b) <= 2)
+    val bad = Multimodal.imageAHash(
+        Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"))
+      .select($"width", $"height", $"ahash").as[(Int, Int, Long)].head()
+    assert(bad == ((0, 0, 0L)))
+  }
+
   test("syntheticWavs → JavaSoundCodec: decoded PCM folds match the known waveform") {
     // the mm08 loop in miniature: write a real RIFF/WAVE per id, decode it
     // with the real javax.sound codec, and check every feature equals the
