@@ -324,6 +324,77 @@ object Graph {
     }
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") for a FIXED number of rounds over a
+    * DIRECTED edge set, in exact integer fixed point: authority(v) =
+    * Σ_{u→v} hub(u), hub(u) = Σ_{u→v} authority(v), each score vector
+    * renormalized per round to L∞ = 2^20 by one integer division
+    * (`x·2^20 div max` — the max-norm variant of the classic L2
+    * normalization: same fixed point direction, but rational, so both
+    * engines compute bit-identical BIGINTs where an L2 sqrt would
+    * diverge in the last ulp). Nodes with no in-edges hold authority 0,
+    * no out-edges hub 0; hubs and authorities are genuinely different
+    * rankings on asymmetric graphs — the two-sided centrality gr01's
+    * PageRank (one score, follows mass) cannot express.
+    *
+    * Scale shape (the pageRankFixedPoint patterns): the caller's edge
+    * derivation is materialized ONCE and lineage-cut; the per-round
+    * normalizing max is a 1-ROW aggregate crossJoin-broadcast back (the
+    * model-as-row convention — never collected); each round's raw sums
+    * are lineage-cut because they are referenced twice (max + normalize)
+    * and the doubled reference would otherwise double the plan per round
+    * (the kCore/gr09 exponential-tower lesson). Every loop exchange
+    * carries node-sized rows; edges cross one exchange per round in the
+    * score join, map-side-combined.
+    */
+  def hitsFixedPoint(
+      spark: SparkSession,
+      edges: DataFrame, // directed (src, dst), Long
+      iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val One = 1048576L // 2^20 fixed-point unit
+    val e = Dedup.ckpt(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val edgeCount = e.count()
+    val loopWidth = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (edgeCount + 1999999) / 2000000)).toInt
+    withConf(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> loopWidth.toString) {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      // one integer sum into `outCol` of the previous scores joined over
+      // the edge side `joinCol`, zero-unioned so scoreless nodes persist,
+      // then L∞-normalized to 2^20 off a 1-row broadcast max
+      def round(prev: DataFrame, joinCol: String): DataFrame = {
+        val p = prev.hint("merge")
+        val raw = Dedup.ckpt(
+          e.join(p, e(joinCol) === p("node"))
+            .select(e(if (joinCol == "src") "dst" else "src").as("node"),
+              col("score").as("mass"))
+            .union(nodes.select(col("node"), lit(0L).as("mass")))
+            .groupBy(col("node"))
+            .agg(sum(col("mass")).as("raw")))
+        val mx = raw.agg(greatest(max(col("raw")), lit(1L)).as("mx"))
+        raw.crossJoin(broadcast(mx))
+          .select(col("node"), expr(s"(raw * $One) div mx").as("score"))
+      }
+      var hubs = nodes.select(col("node"), lit(One).as("score"))
+      var auths: DataFrame = null
+      for (_ <- 1 to iters) {
+        auths = round(hubs, "src")  // authority: in-edges' hub mass
+        hubs = round(auths, "dst")  // hub: out-edges' authority mass
+      }
+      val out = Dedup.ckpt(
+        nodes
+          .join(hubs.select(col("node"), col("score").as("hub")), Seq("node"))
+          .join(auths.select(col("node"), col("score").as("auth")), Seq("node")))
+      out.foreach(_ => ())
+      out
+    }
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
     * time algorithm to detect community structures in large-scale
     * networks") for a FIXED number of rounds, in the deterministic

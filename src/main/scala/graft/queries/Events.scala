@@ -787,6 +787,83 @@ object Events {
       |       FROM nodes n LEFT JOIN m3 m ON n.node = m.dst)
       |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
 
+  /** HITS hubs/authorities (gr10 — [[Graph.hitsFixedPoint]], 3 rounds,
+    * exact integer L∞-normalized fixed point) over the TIME-DIRECTED
+    * co-purchase graph: within each 10-minute bucket, each purchaser
+    * links to its next ≤16 bucket-mates by first-purchase time
+    * (ties → user id) — influence flows from earlier to later
+    * purchasers, and the successor cap keeps the edge derivation
+    * node-linear (the gr09 verdict lesson applied from day one: no raw
+    * quadratic pairing). Hubs (early purchasers whose followers are
+    * authoritative) and authorities (late purchasers endorsed by strong
+    * hubs) are genuinely different rankings on this asymmetric graph —
+    * the two-sided centrality gr01's PageRank cannot express. The oracle
+    * unrolls the three (authority, hub) half-rounds as CTEs with the
+    * same integer normalization.
+    */
+  private val HitsCap = 16L
+  private def hitsQ(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Tables(spark, dir).events
+      .where(col("event_type") === "purchase")
+      .select(window(col("ts"), "10 minutes")("start").as("b"),
+        col("user_id").as("u"), col("ts"))
+      .groupBy(col("b"), col("u")).agg(min(col("ts")).as("mt"))
+    val ordered = byUser.groupBy(col("b"))
+      .agg(sort_array(collect_list(struct(col("mt"), col("u")))).as("us"))
+      .withColumn("n", size(col("us")))
+    val idx = ordered
+      .select(col("b"), col("n"), posexplode(col("us")).as(Seq("i", "s")))
+      .select(col("b"), col("n"), col("i"), col("s.u").as("u"))
+    val src = idx.where(col("i") < col("n") - 1)
+      .select(col("b"), col("u").as("src"),
+        explode(expr(s"sequence(i+1, least(i+$HitsCap, n-1))")).as("j"))
+    val dst = idx.select(col("b"), col("i").as("j"), col("u").as("dst"))
+    val edges = src.join(dst, Seq("b", "j")).select(col("src"), col("dst"))
+      .distinct()
+    Graph.hitsFixedPoint(spark, edges, iters = 3)
+      .orderBy(col("node"))
+  }
+  private val hitsSql = {
+    // MATERIALIZED at every round boundary: DuckDB inlines plain CTEs,
+    // and the (score join → max → normalize) chain references each
+    // predecessor twice — uninlined, the edge-derivation subtree
+    // re-expands exponentially across the 6 half-rounds (OOM at sf1;
+    // the gr09 oracle's lesson)
+    def round(prev: String, out: String, joinEdge: String, emitEdge: String) =
+      s"""${out}r AS MATERIALIZED (
+         |  SELECT n.node, CAST(coalesce(s.m, 0) AS BIGINT) AS raw
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.$emitEdge AS node, sum(p.score) AS m
+         |    FROM e JOIN $prev p ON p.node = e.$joinEdge GROUP BY 1) s
+         |  USING (node)),
+         |${out}m AS (SELECT greatest(max(raw), 1) AS mx FROM ${out}r),
+         |$out AS MATERIALIZED (
+         |  SELECT node, (raw * 1048576) // (SELECT mx FROM ${out}m) AS score
+         |  FROM ${out}r)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS b, user_id AS u,
+       |    min(ts) AS mt
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT b, u, row_number() OVER (PARTITION BY b ORDER BY mt, u) - 1 AS i
+       |  FROM p),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.u AS src, c.u AS dst
+       |  FROM idx a JOIN idx c
+       |    ON a.b = c.b AND c.i > a.i AND c.i <= a.i + $HitsCap),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1048576 AS BIGINT) AS score FROM nodes),
+       |${round("h0", "a1", "src", "dst")},
+       |${round("a1", "h1", "dst", "src")},
+       |${round("h1", "a2", "src", "dst")},
+       |${round("a2", "h2", "dst", "src")},
+       |${round("h2", "a3", "src", "dst")},
+       |${round("a3", "h3", "dst", "src")}
+       |SELECT n.node, h.score AS hub, a.score AS auth
+       |FROM nodes n JOIN h3 h ON h.node = n.node JOIN a3 a ON a.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   /** OHLC time-bar downsampling: per (hour, event_type), the first/last/
     * max/min of `value` — the classic market-data resample, and the shape
     * every metrics pipeline uses to roll raw events into bars. `min_by`/
@@ -1791,6 +1868,7 @@ object Events {
 
   val defs: Map[String, QueryDef] = Map(
     "gr08_modularity"      -> QueryDef(modularity, Some(modularitySql)),
+    "gr10_hits"            -> QueryDef(hitsQ, Some(hitsSql), benchmark = true),
     "gr09_lpa_hubcap"      -> QueryDef(labelPropHubCap, Some(labelPropHubCapSql),
       benchmark = true),
     "gr07_label_prop"      -> QueryDef(labelProp, Some(labelPropSql), benchmark = true),

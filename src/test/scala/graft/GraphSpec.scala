@@ -252,4 +252,42 @@ class GraphSpec extends SparkSpec {
     assert(byNode == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     assert(sizes == Map(1L -> 3L, 10L -> 2L))
   }
+
+  test("hitsFixedPoint matches a hand-rolled HITS reference; hubs and authorities diverge") {
+    // 1 and 2 both point at 3 and 4; 3 points at 5. Hubs: 1,2 (point at
+    // the strong authorities); authorities: 3,4 (pointed at by the strong
+    // hubs). 5 has no out-edges (hub 0); 1,2 no in-edges (auth 0).
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 5L))
+    val One = 1048576L
+    def reference(iters: Int): Map[Long, (Long, Long)] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var h = nodes.map(_ -> One).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val ar = nodes.map(n => n -> edges.filter(_._2 == n).map(e => h(e._1)).sum).toMap
+        val am = math.max(ar.values.max, 1L)
+        a = ar.map { case (n, v) => n -> v * One / am }
+        val hr = nodes.map(n => n -> edges.filter(_._1 == n).map(e => a(e._2)).sum).toMap
+        val hm = math.max(hr.values.max, 1L)
+        h = hr.map { case (n, v) => n -> v * One / hm }
+      }
+      nodes.map(n => n -> ((h(n), a(n)))).toMap
+    }
+    val got = graft.operators.Graph.hitsFixedPoint(
+        spark, edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, hub, auth) => n -> ((hub, auth)) }.toMap
+    assert(got == reference(3))
+    // structure: 1,2 are the max hubs with zero authority; 3,4 the max
+    // authorities; 3 carries SOME hub mass (it points at 5) — two-sided
+    assert(got(1L) == ((One, 0L)) && got(2L) == ((One, 0L)))
+    assert(got(3L)._2 == One && got(4L)._2 == One)
+    assert(got(3L)._1 > 0L && got(5L)._1 == 0L)
+    // partition-count invariance (the fixed-point-integer contract)
+    val re = graft.operators.Graph.hitsFixedPoint(
+        spark, edges.toDF("src", "dst").repartition(5), iters = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, hub, auth) => n -> ((hub, auth)) }.toMap
+    assert(re == got)
+  }
 }
