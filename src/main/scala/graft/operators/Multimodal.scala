@@ -470,6 +470,104 @@ object Multimodal {
     }
   }
 
+  /** The PCM codec SEAM — [[RasterCodec]]'s audio twin: the decoded
+    * 16-bit sample stream (all channels interleaved, widened to Int),
+    * for operators that hash audio CONTENT ([[audioEnergyHash]]).
+    * None = undecodable / non-PCM16 — tag, don't kill, the task.
+    */
+  trait PcmCodec extends Serializable {
+    def decodePcm(payload: Array[Byte]): Option[Array[Int]]
+  }
+
+  /** REAL PCM decode: JDK `javax.sound.sampled`, the same PCM16-LE
+    * container walk as [[JavaSoundCodec]] but yielding the samples.
+    */
+  object JavaSoundPcm extends PcmCodec {
+    def decodePcm(payload: Array[Byte]): Option[Array[Int]] = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (ais == null) None
+      else try {
+        val fmt = ais.getFormat
+        val signed16le =
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+        if (!signed16le) None
+        else {
+          val bytes = ais.readAllBytes()
+          val out = new Array[Int](bytes.length / 2)
+          var i = 0
+          while (i + 1 < bytes.length) {
+            out(i / 2) = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toInt
+            i += 2
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    }
+  }
+
+  /** 1-D energy average-hash of a PCM sample stream — [[aHash64]]'s audio
+    * twin: 64 time windows with floor boundaries, bit w set iff the
+    * window's mean ENERGY (Σ sample², the RMS building block mm08
+    * already folds) exceeds the stream mean — integer cross-multiplied
+    * (`windowEnergy·nSamples > totalEnergy·windowSamples`), no floats,
+    * engine-reproducible from the exact sample values. Streams shorter
+    * than 64 samples leave their empty windows' bits 0 (a blanket
+    * short-stream→0 rule would collide every short clip at hamming 0);
+    * empty streams hash to 0.
+    */
+  def energyHash64(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < n) { val s = samples(i).toLong; total += s * s; i += 1 }
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      val a = w * n / 64; val b = (w + 1) * n / 64
+      var we = 0L
+      var j = a
+      while (j < b) { val s = samples(j).toLong; we += s * s; j += 1 }
+      if (we * n > total * (b - a)) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  /** Audio content fingerprint per payload: decode through the
+    * [[PcmCodec]] seam, hash with [[energyHash64]] — one fused
+    * partition-local map, only (id, n_samples, 64-bit hash) rows leave
+    * the stage. The audio face of mm10's image aHash; feeds the same
+    * pigeonhole hamming pairing ([[Dedup.fingerprintDupPairs]]).
+    * Undecodable payloads emit n_samples=0, ehash=0.
+    */
+  def audioEnergyHash(media: DataFrame, codec: PcmCodec = JavaSoundPcm): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("ehash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray
+                        else r.getAs[Array[Byte]](1)
+          codec.decodePcm(payload) match {
+            case Some(s) => Row(id, s.length, energyHash64(s))
+            case None    => Row(id, 0, 0L)
+          }
+        }
+      }(enc)
+  }
+
   /** Partition-wise batched audio decode — [[decodeFeatures]]' shape for
     * the audio modality: payloads never pass the driver, decode is
     * partition-local, zero shuffles introduced.

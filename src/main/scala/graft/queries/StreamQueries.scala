@@ -1092,7 +1092,94 @@ object StreamQueries {
        |GROUP BY pc.uid ORDER BY true_cnt DESC, uid""".stripMargin
   }
 
+  /** Streaming Bloom filter: the membership word-table maintained
+    * incrementally over the event stream —
+    * [[graft.operators.Sketches.bloomBits]] lifted onto readStream
+    * unchanged (per-row position projection, streaming groupBy bit_or in
+    * Complete mode). Completes the streaming-sketch merge-law trio:
+    * st26 gates the MAX-merged sketch (HLL), st27 the SUM-merged one
+    * (CMS), this the OR-merged one — bit_or is idempotent,
+    * order-insensitive, and an append-only stream never retracts, so the
+    * run-to-completion word table is bit-identical to the batch build
+    * and the batch DuckDB oracle hash-gates the streaming path. State
+    * bounded at mBits/64 = 1024 word rows however long the stream runs —
+    * the always-on membership shape (duplicate-user admission checks
+    * without per-user state). Probes: the 50 most frequent users (all
+    * inserted — `maybe` MUST be true) and their §-suffixed absent twins
+    * (user keys are decimal digits, so `present` is exact truth; sx04's
+    * construction, on the stream-built filter).
+    */
+  private def streamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val m = 65536; val d = 5
+    val src = StreamOps.parquetStream(spark, dir, "events.parquet")
+      .select(coalesce(col("user_id").cast("string"), lit("")).as("k"))
+    val filter = graft.operators.Sketches.bloomBits(src, col("k"), m, d)
+    val done = StreamOps.runToMemory(spark, filter,
+      s"graft_stream_bloom_${System.nanoTime()}")
+    val top = graft.core.Tables(spark, dir).events
+      .select(coalesce(col("user_id").cast("string"), lit("")).as("uid"))
+      .groupBy(col("uid")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("uid"))
+      .limit(50)
+    val probes = top.select(col("uid"), lit(true).as("present"))
+      .unionAll(top.select(concat(col("uid"), lit("§")).as("uid"),
+        lit(false).as("present")))
+    graft.operators.Sketches.bloomProbe(done, probes, col("uid"), m, d)
+      .select(col("uid"), col("present"), col("maybe"))
+      .orderBy(col("present").desc, col("uid"))
+  }
+  private val streamBloomSql = {
+    def fnvOf(c: String) = TextQueries.fnvFoldSql(c)
+    val m = 65536
+    s"""WITH keyed AS (
+       |  SELECT DISTINCT coalesce(CAST(user_id AS VARCHAR), '') AS k FROM events),
+       |hashed0 AS (
+       |  SELECT k, ${fnvOf("k")} AS h0a, ${fnvOf("concat(k, chr(1))")} AS h0b
+       |  FROM keyed),
+       |hashed AS (
+       |  SELECT k, ${SketchQueries.mixSqlExpr("h0a")} AS h1,
+       |    ${SketchQueries.mixSqlExpr("h0b")} AS h2
+       |  FROM hashed0),
+       |pos AS (
+       |  SELECT ((h1 % $m + s.s * (h2 % $m)) % $m)::BIGINT AS pos
+       |  FROM hashed, (SELECT unnest([0,1,2,3,4]) AS s) s),
+       |words AS (
+       |  SELECT pos // 64 AS word, bit_or(1::UBIGINT << (pos % 64)::INT) AS bits
+       |  FROM pos GROUP BY 1),
+       |truec AS (
+       |  SELECT coalesce(CAST(user_id AS VARCHAR), '') AS uid,
+       |    count(*)::BIGINT AS cnt
+       |  FROM events GROUP BY 1),
+       |top AS (
+       |  SELECT uid FROM (
+       |    SELECT uid, row_number() OVER (ORDER BY cnt DESC, uid) AS rn FROM truec)
+       |  WHERE rn <= 50),
+       |probes AS (
+       |  SELECT uid, true AS present FROM top
+       |  UNION ALL
+       |  SELECT concat(uid, '§'), false FROM top),
+       |probeh AS (
+       |  SELECT uid, present, ${fnvOf("uid")} AS p0a,
+       |    ${fnvOf("concat(uid, chr(1))")} AS p0b
+       |  FROM probes),
+       |probemix AS (
+       |  SELECT uid, present, ${SketchQueries.mixSqlExpr("p0a")} AS h1,
+       |    ${SketchQueries.mixSqlExpr("p0b")} AS h2
+       |  FROM probeh),
+       |probecells AS (
+       |  SELECT uid, present,
+       |    ((h1 % $m + s.s * (h2 % $m)) % $m)::BIGINT AS pos
+       |  FROM probemix, (SELECT unnest([0,1,2,3,4]) AS s) s)
+       |SELECT pc.uid, pc.present,
+       |  (min(coalesce((w.bits >> (pc.pos % 64)::INT) & 1::UBIGINT, 0::UBIGINT))
+       |     = 1::UBIGINT) AS maybe
+       |FROM probecells pc LEFT JOIN words w ON w.word = pc.pos // 64
+       |GROUP BY pc.uid, pc.present
+       |ORDER BY pc.present DESC, pc.uid""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "st28_stream_bloom" -> QueryDef(streamBloom, Some(streamBloomSql), benchmark = true),
     "st27_stream_cms" -> QueryDef(streamCms, Some(streamCmsSql), benchmark = true),
     "st26_stream_hll" -> QueryDef(streamHll, Some(streamHllSql), benchmark = true),
     "st25_stream_dedup_state" -> QueryDef(streamDedupState,

@@ -936,6 +936,59 @@ object TextQueries {
       |WHERE bit_count(xor(a.ah, b.ah)) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Audio energy-hash near-dup, correctness-gated (mm11 — mm10's audio
+    * twin): the deterministic PCM16 WAVs ([[Multimodal.syntheticWavs]],
+    * arithmetic waveforms) decoded back through the REAL
+    * `javax.sound.sampled` PCM seam and fingerprinted by
+    * [[Multimodal.energyHash64]] (64 time windows, window mean energy vs
+    * stream mean, integer cross-multiplied), then paired by the SAME
+    * pigeonhole hamming machinery as dd04/mm10
+    * ([[Dedup.fingerprintDupPairs]], exact for maxHamming ≤ 3). The
+    * oracle recomputes every sample, window energy, hash bit, and
+    * pairwise distance from `doc_id` arithmetic alone — the mm08
+    * sampleSqSum identity, sharpened from one scalar fold to 64
+    * window-resolved bits. One fused generate→decode→hash map; only
+    * (id, 64-bit hash) rows reach the pairing exchange.
+    */
+  private def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir).documents.where(col("doc_id") < 200)
+      .select(col("doc_id").as("media_id"))
+    val hashed = Multimodal.audioEnergyHash(Multimodal.syntheticWavs(ids))
+      .select(col("media_id").as("doc_id"), col("ehash").as("sh"))
+    Dedup.fingerprintDupPairs(hashed, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val audioNearDupSql =
+    """WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+      |s AS (
+      |  SELECT media_id, (media_id % 101 + 40) AS n, i.i,
+      |    ((media_id * 31 + i.i * 17) % 2048 - 1024) AS v
+      |  FROM ids, (SELECT unnest(generate_series(0, 140)) AS i) i
+      |  WHERE i.i < media_id % 101 + 40),
+      |e AS (SELECT media_id, n, i, v * v AS en FROM s),
+      |winb AS (
+      |  SELECT d.media_id, d.n, w.w,
+      |    (w.w * d.n) // 64 AS a, ((w.w + 1) * d.n) // 64 AS b
+      |  FROM (SELECT DISTINCT media_id, n FROM s) d,
+      |    (SELECT unnest(generate_series(0, 63)) AS w) w),
+      |we AS (
+      |  SELECT wb.media_id, wb.w, wb.b - wb.a AS wn,
+      |    coalesce(sum(e.en), 0) AS wen
+      |  FROM winb wb LEFT JOIN e
+      |    ON e.media_id = wb.media_id AND e.i >= wb.a AND e.i < wb.b
+      |  GROUP BY 1, 2, 3),
+      |tot AS (SELECT media_id, max(n) AS n, sum(en) AS ten FROM e GROUP BY 1),
+      |hash AS (
+      |  SELECT t.media_id,
+      |    bit_or(CASE WHEN we.wen * t.n > t.ten * we.wn
+      |                THEN 1::UBIGINT << we.w::INT ELSE 0::UBIGINT END) AS eh
+      |  FROM we JOIN tot t USING (media_id) GROUP BY 1)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(bit_count(xor(a.eh, b.eh)) AS INT) AS hamming
+      |FROM hash a JOIN hash b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.eh, b.eh)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** REAL audio decode, correctness-gated (mm08 — the audio modality
     * beside mm07's images): one deterministic PCM16 WAV per doc
     * ([[Multimodal.syntheticWavs]] — canonical RIFF bytes written
@@ -4053,6 +4106,7 @@ object TextQueries {
     "mm08_real_audio_decode" -> QueryDef(realAudioDecode, Some(realAudioDecodeSql)),
     "mm09_video_frames"      -> QueryDef(videoFrames, Some(videoFramesSql)),
     "mm10_image_near_dup"    -> QueryDef(imageNearDup, Some(imageNearDupSql)),
+    "mm11_audio_near_dup"    -> QueryDef(audioNearDup, Some(audioNearDupSql)),
     "tx20_bigrams"           -> QueryDef(bigrams, Some(bigramsSql)),
     "tx21_budget_select"     -> QueryDef(budgetSelect, Some(budgetSelectSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),

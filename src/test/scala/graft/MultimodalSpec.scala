@@ -156,6 +156,50 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == ((0, 0, 0L)))
   }
 
+  test("energyHash64 matches a hand-rolled reference; audioEnergyHash round-trips WAVs") {
+    // hand-rolled: 128 samples, energy ramp ⇒ bits set exactly on the
+    // windows whose mean energy exceeds the stream mean
+    val ramp = Array.tabulate(128)(i => i)
+    def reference(s: Array[Int]): Long = {
+      val n = s.length
+      val en = s.map(x => x.toLong * x)
+      val tot = en.sum
+      (0 until 64).foldLeft(0L) { (h, w) =>
+        val a = w * n / 64; val b = (w + 1) * n / 64
+        val we = (a until b).map(en(_)).sum
+        if (we * n > tot * (b - a)) h | (1L << w) else h
+      }
+    }
+    assert(Multimodal.energyHash64(ramp) == reference(ramp))
+    // short streams: empty windows stay 0, no blanket zeroing (40-sample
+    // clips must NOT all collide at hash 0)
+    val short1 = Array.tabulate(40)(i => (i * 7) % 50 - 25)
+    val short2 = Array.tabulate(40)(i => (i * 11) % 50 - 25)
+    assert(Multimodal.energyHash64(short1) == reference(short1))
+    assert(Multimodal.energyHash64(short1) != Multimodal.energyHash64(short2))
+    assert(Multimodal.energyHash64(Array.empty[Int]) == 0L)
+
+    // encode→decode→hash round trip through the REAL javax.sound PCM
+    // seam equals hashing the id-arithmetic waveform directly
+    val idVals = Seq(0L, 1L, 63L, 100L, 199L)
+    def wave(id: Long): Array[Int] = {
+      val n = (id % 101 + 40).toInt
+      Array.tabulate(n)(i => ((id * 31 + i * 17) % 2048 - 1024).toInt)
+    }
+    val got = Multimodal.audioEnergyHash(
+        Multimodal.syntheticWavs(idVals.toDF("media_id")))
+      .select($"media_id", $"n_samples", $"ehash")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+    for (id <- idVals)
+      assert(got(id) == ((id, wave(id).length, reference(wave(id)))), s"id=$id")
+
+    // undecodable payloads tag instead of throwing
+    val bad = Multimodal.audioEnergyHash(
+        Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"))
+      .select($"n_samples", $"ehash").as[(Int, Long)].head()
+    assert(bad == ((0, 0L)))
+  }
+
   test("syntheticWavs → JavaSoundCodec: decoded PCM folds match the known waveform") {
     // the mm08 loop in miniature: write a real RIFF/WAVE per id, decode it
     // with the real javax.sound codec, and check every feature equals the

@@ -106,6 +106,22 @@ class SketchesSpec extends SparkSpec {
     assert(unseen("never-inserted-key") == 0L)
   }
 
+  test("streaming Bloom word table equals the batch build (st28 parity)") {
+    import graft.streaming.StreamOps
+    val key = coalesce(col("user_id").cast("string"), lit(""))
+    val src = StreamOps.parquetStream(spark, sf0001, "events.parquet")
+      .select(key.as("k"))
+    val streamed = StreamOps.runToMemory(spark,
+        Sketches.bloomBits(src, $"k", mBits = 4096, d = 5),
+        s"graft_spec_stream_bloom_${System.nanoTime()}")
+      .as[(Int, Long)].collect().toSet
+    val batch = Sketches.bloomBits(
+        spark.read.parquet(s"$sf0001/events.parquet").select(key.as("k")),
+        $"k", mBits = 4096, d = 5)
+      .as[(Int, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("bloomBits matches a hand-rolled reference; merge law; probe guarantees") {
     val m = 4096; val d = 5 // narrow filter → real false positives
     def positions(k: String): Seq[Long] = {
