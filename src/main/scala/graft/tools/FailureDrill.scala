@@ -89,9 +89,13 @@ object FailureDrill {
     // so the kill deletes live cached blocks and recovery must recompute
     // them from lineage on the survivors — the third durability mechanism
     // (cache-block loss) alongside reliable checkpoints and the state
-    // store.
+    // store. gr10 (round 11b) drills the HITS loop: SIX interleaved
+    // reliable cuts per run (one per half-round) with 1-row broadcast
+    // normalizers between them — the kill lands mid-tower and recovery
+    // must rebuild from whichever round's durable files survive.
     val queries = Seq("dd07_dup_clusters", "gr06_kcore",
-      "tx40_quality_classifier", "st20_stream_ewma", "sx02_kmv_overlap")
+      "tx40_quality_classifier", "st20_stream_ewma", "sx02_kmv_overlap",
+      "gr10_hits")
 
     // reference digests from an undisturbed local run
     val ref = {
