@@ -289,6 +289,68 @@ object Similarity {
     cents.toDF("cell", "mv")
   }
 
+  /** K-means training with its CONVERGENCE CURVE exposed: the same
+    * deterministic Lloyd rounds as [[kmeansCentroids]] (seeded from the
+    * first-`nCells` embeddings, fixed-point integer centroid sums,
+    * empty cells keep their previous centroid), returning one row per
+    * (round, cell) with the assignment count and the cell's summed
+    * assignment cosine in integer 2^-20 ticks (`floor(cos·2^20)` —
+    * monotone in clustering tightness, integer so the corpus-order-free
+    * sum is bit-identical cross-engine). This is the pre-deployment
+    * acceptance artifact for every consumer of the trainer (ann05/ann06
+    * indexes, ann14 sampling): rising per-round cos_ticks IS the
+    * convergence evidence, and a judged gate on it pins the whole
+    * training loop — assignment, tie-breaks, update arithmetic — not
+    * just the final index's recall (ann12's angle).
+    *
+    * Scale shape: identical to [[kmeansCentroids]] — one corpus pass per
+    * round (assignment is a literalized map-side projection, no join, no
+    * vector exchange), and the per-round stats ride the SAME
+    * cells×dims rollup the update already collects (the dim-0 slice
+    * carries per-cell n and cos_ticks) — zero extra passes, zero extra
+    * exchanges for the curve.
+    */
+  def kmeansTrainingCurve(
+      corpus: DataFrame,
+      nCells: Int,
+      rounds: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    var cents = collectCentroids(seedCentroids(corpus, nCells, idCol, vecCol))
+    val curve = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long)]()
+    for (r <- 1 to rounds) {
+      val best = array_max(centroidScores(col("v"), cents))
+      val sums = c
+        .select((-best.getField("negcell")).as("cell"),
+          floor(best.getField("c") * lit(KmeansQuantScale.toDouble))
+            .cast("long").as("cq"),
+          posexplode(col("v")))
+        .select(col("cell"), col("cq"), col("pos").as("dim"),
+          floor(col("col") * lit(KmeansQuantScale.toDouble) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"),
+          sum(col("cq")).as("ct"))
+        .collect() // ≤ nCells·dims aggregated rows — model parameters
+      curve ++= sums.filter(_.getInt(1) == 0).map(row =>
+        (r, row.getInt(0), row.getLong(3), row.getLong(4)))
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (cell, mv0) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            (cell, rows.sortBy(_.getInt(1)).map(row =>
+              row.getLong(2).toDouble / row.getLong(3).toDouble /
+                KmeansQuantScale.toDouble).toIndexedSeq: Seq[Double])
+          case None => (cell, mv0)
+        }
+      }
+    }
+    curve.toSeq.toDF("round", "cell", "n", "cos_ticks")
+  }
+
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * `nCells` Voronoi cells around centroids, then search each query only
     * in the `nProbe` cells whose centroids are nearest to it, rescoring

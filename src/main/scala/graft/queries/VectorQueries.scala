@@ -701,7 +701,61 @@ object VectorQueries {
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
   }
 
+  /** K-means convergence curve ([[Similarity.kmeansTrainingCurve]] — 8
+    * cells, 3 Lloyd rounds): one gated row per (round, cell) with the
+    * assignment count and fixed-point summed assignment cosine. The
+    * oracle replays seed → assign → integer-sum update for every round
+    * (the ann05 CTE machinery, with the per-round stats surfaced), so the
+    * gate pins the ENTIRE training trajectory — assignment tie-breaks,
+    * empty-cell holds, update arithmetic — not just a final artifact.
+    * Training telemetry as a first-class, cross-engine-verified query.
+    */
+  private def annKmeansCurve(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansTrainingCurve(Tables(spark, dir).embeddings,
+        nCells = 8, rounds = 3)
+      .select(col("round").cast("long").as("round"),
+        col("cell").cast("long").as("cell"), col("n"), col("cos_ticks"))
+      .orderBy(col("round"), col("cell"))
+  private val annKmeansCurveSql: String = {
+    val q = Similarity.KmeansQuantScale
+    val dims = 64
+    def roundCtes(r: Int): String =
+      s"""best$r AS MATERIALIZED (
+         |  SELECT vec_id, v, cell, cos FROM (
+         |    SELECT e.vec_id, e.v, c.cell,
+         |      list_cosine_similarity(e.v, c.mv) AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.mv) DESC, c.cell) AS rn
+         |    FROM emb e CROSS JOIN cent${r - 1} c) t WHERE rn = 1),
+         |stat$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round, cell, count(*)::BIGINT AS n,
+         |    CAST(sum(CAST(floor(cos * $q.0) AS BIGINT)) AS BIGINT) AS cos_ticks
+         |  FROM best$r GROUP BY cell),
+         |sums$r AS (
+         |  SELECT cell, dim,
+         |    sum(CAST(floor(v[dim] * $q.0 + 0.5) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM best$r CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS dim) d
+         |  GROUP BY cell, dim),
+         |cent$r AS MATERIALIZED (
+         |  SELECT c0.cell, coalesce(t.mv, c0.mv) AS mv
+         |  FROM cent${r - 1} c0 LEFT JOIN (
+         |    SELECT cell,
+         |      list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / $q.0 ORDER BY dim) AS mv
+         |    FROM sums$r GROUP BY cell) t ON c0.cell = t.cell)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS mv
+       |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8) s),
+       |${(1 to 3).map(roundCtes).mkString(",\n")}
+       |SELECT round, cell, n, cos_ticks
+       |FROM (SELECT * FROM stat1 UNION ALL SELECT * FROM stat2
+       |      UNION ALL SELECT * FROM stat3)
+       |ORDER BY round, cell""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "ann16_kmeans_curve"    -> QueryDef(annKmeansCurve, Some(annKmeansCurveSql), benchmark = true),
     "ann15_jl_recall"       -> QueryDef(annJlRecall, Some(annJlRecallSql), benchmark = true),
     "ann14_cluster_sample"  -> QueryDef(annClusterSample, Some(annClusterSampleSql), benchmark = true),
     "ann13_sq_rescore"      -> QueryDef(annSq, Some(annSqSql), benchmark = true),

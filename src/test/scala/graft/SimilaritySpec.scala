@@ -360,6 +360,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.clusterSample(emb, budget = 1L, nCells = 2).count() <= 1)
   }
 
+  test("kmeansTrainingCurve: full grid, Lloyd-monotone totals, partition invariance") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val curve = Similarity.kmeansTrainingCurve(emb, nCells = 8, rounds = 3)
+      .as[(Int, Int, Long, Long)].collect()
+    // one row per (round, cell) — no cell lost, assignment counts conserve
+    assert(curve.length == 24)
+    val n = emb.count()
+    (1 to 3).foreach { r =>
+      assert(curve.filter(_._1 == r).map(_._3).sum == n, s"round $r loses rows")
+    }
+    // Lloyd monotonicity on the summed assignment cosine: each round's
+    // TOTAL is >= the previous round's (assignment step can only improve
+    // per-vector cosine against the centroids it chose; the update step
+    // then improves within-cell fit — ticks quantization can only shave
+    // < 1 tick per vector, far below the measured per-round gains)
+    val totals = (1 to 3).map(r => curve.filter(_._1 == r).map(_._4).sum)
+    assert(totals == totals.sorted, s"curve not monotone: $totals")
+    // deterministic under repartitioning (the fixed-point contract)
+    val re = Similarity.kmeansTrainingCurve(emb.repartition(7), nCells = 8, rounds = 3)
+      .as[(Int, Int, Long, Long)].collect()
+    assert(re.sortBy(r => (r._1, r._2)).toSeq == curve.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("jlProject: hand-rolled reference, integer-exact outputs, JL recall beats chance") {
     import org.apache.spark.unsafe.types.UTF8String
     def sign(i: Int, j: Int): Double =
