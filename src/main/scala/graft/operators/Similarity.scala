@@ -372,6 +372,47 @@ object Similarity {
     * (query_id, neighbor_id, cos) triples (PlanSpec asserts no shuffle
     * carries an array column). No corpus × query product anywhere.
     */
+  /** IVF top-k SERVING on a query STREAM (train-offline / serve-online,
+    * the st24 convention for retrieval): `centroids` is an
+    * offline-trained table ([[kmeansCentroids]]) — literalized into
+    * map-side assignment expressions exactly like [[ivfTopK]] — the
+    * static corpus is cell-assigned once, and each arriving query row
+    * probes its `nProbe` nearest cells via ONE stream-static equi-join
+    * (no stream-stream state, no watermark). The per-query top-k is a
+    * Complete-mode aggregate collecting each query's candidates into a
+    * sorted bounded slice: state is per-IN-FLIGHT-query and bounded by
+    * the probed cells' fan-in — the always-on retrieval endpoint shape.
+    * Returns the aggregated streaming frame (query_id, top:
+    * array<struct<nc, neighbor_id>>), `nc = -cos` so ascending struct
+    * order IS (cos DESC, neighbor_id ASC) — run it to completion and
+    * explode batch-side (posexplode → rank); bit-identical to the batch
+    * [[ivfTopK]] under the same centroids, which is what lets st29 reuse
+    * ann05's oracle text verbatim.
+    */
+  def ivfTopKStreaming(
+      queryStream: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), cents))
+    val q = queryStream.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, nProbe)))
+    q.join(c, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("cos")).as("nc"), col("neighbor_id")))), 1, k).as("top"))
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,

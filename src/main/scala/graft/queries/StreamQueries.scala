@@ -1178,7 +1178,37 @@ object StreamQueries {
        |ORDER BY pc.present DESC, pc.uid""".stripMargin
   }
 
+  /** Streaming ANN serving (st29 — the retrieval endpoint shape):
+    * centroids trained OFFLINE (the batch k-means ann05/ann16 gate),
+    * then arriving query vectors are served on the stream —
+    * [[graft.operators.Similarity.ivfTopKStreaming]]: map-side probe
+    * assignment against the literalized centroids, ONE stream-static
+    * equi-join to the cell-assigned static corpus, per-query top-k as a
+    * Complete-mode bounded-slice aggregate. Zero stream-stream state;
+    * per-query state bounded by probed-cell fan-in. Bit-identical to the
+    * batch ivfTopK under the same trained centroids, so the gate reuses
+    * ann05's oracle text VERBATIM (the st22/st24 convention: the
+    * always-on form answers to the same oracle as its batch twin).
+    */
+  private def streamAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables(spark, dir).embeddings
+    val centroids = graft.operators.Similarity.kmeansCentroids(
+      emb, nCells = 16, rounds = 5)
+    val qs = StreamOps.parquetStream(spark, dir, "embeddings.parquet")
+      .where(col("vec_id") < 10)
+    val agg = graft.operators.Similarity.ivfTopKStreaming(
+      qs, emb, centroids, k = 3, nProbe = 6)
+    val done = StreamOps.runToMemory(spark, agg,
+      s"graft_stream_ann_${System.nanoTime()}")
+    done.select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), (-col("col.nc")).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "st29_stream_ann_serve" -> QueryDef(streamAnnServe,
+      Some(VectorQueries.annIvfSql), benchmark = true),
     "st28_stream_bloom" -> QueryDef(streamBloom, Some(streamBloomSql), benchmark = true),
     "st27_stream_cms" -> QueryDef(streamCms, Some(streamCmsSql), benchmark = true),
     "st26_stream_hll" -> QueryDef(streamHll, Some(streamHllSql), benchmark = true),

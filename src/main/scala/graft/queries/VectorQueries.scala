@@ -233,7 +233,7 @@ object VectorQueries {
       nCells = ivfCells, nProbe = 6, trainRounds = ivfRounds)
       .orderBy(col("query_id"), col("rank"))
   }
-  private val annIvfSql: String = {
+  private[queries] val annIvfSql: String = {
     val dims = 64 // embeddings fixture dimensionality (TESTDATA.md)
     val q = Similarity.KmeansQuantScale // 2^20 fixed-point ticks
     def roundCtes(r: Int): String =
