@@ -128,6 +128,46 @@ class EdgeCasesSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  test("round-11b operators survive empty and degenerate inputs") {
+    import graft.operators.{Multimodal, Sketches}
+    val emptyKeys = Seq.empty[(String, String)].toDF("grp", "k")
+    // sketches: empty corpus → empty sketch tables; probing an EMPTY
+    // filter answers false (absent word rows = no bits), never errors
+    assert(Sketches.bloomBits(emptyKeys, $"k").count() == 0)
+    val probeEmpty = Sketches.bloomProbe(
+        Sketches.bloomBits(emptyKeys, $"k"), Seq("x").toDF("k"), $"k")
+      .as[(String, Boolean)].collect()
+    assert(probeEmpty.toSeq == Seq(("x", false)))
+    // fingerprint pairing: empty and single-row inputs yield no pairs
+    assert(Dedup.fingerprintDupPairs(
+      Seq.empty[(Long, Long)].toDF("doc_id", "sh")).count() == 0)
+    assert(Dedup.fingerprintDupPairs(
+      Seq((1L, 42L)).toDF("doc_id", "sh")).count() == 0)
+    // JL: empty corpus projects to empty; top-k over an empty corpus is empty
+    val emptyEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.jlProject(emptyEmb, 4, 2).count() == 0)
+    assert(Similarity.jlTopK(emptyEmb, emptyEmb, k = 3, cand = 10,
+      inDim = 4, outDim = 2).count() == 0)
+    // media hashing: empty media tables, null payloads
+    val nullPayload = Seq((1L, null: Array[Byte])).toDF("media_id", "payload")
+    assert(Multimodal.imageAHash(nullPayload)
+      .as[(Long, Int, Int, Long)].head() == ((1L, 0, 0, 0L)))
+    assert(Multimodal.audioEnergyHash(nullPayload)
+      .as[(Long, Int, Long)].head() == ((1L, 0, 0L)))
+    // HITS: empty edge set → empty result, no division, no throw
+    assert(graft.operators.Graph.hitsFixedPoint(spark,
+      Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 2).count() == 0)
+    // k-means curve: corpus smaller than nCells still yields a full grid
+    // over the seeded cells that exist
+    val tiny = (0L until 3L).map(i =>
+        (i, Seq.tabulate(4)(d => math.cos(i * 3.0 + d))))
+      .toDF("vec_id", "embedding")
+    val curve = Similarity.kmeansTrainingCurve(tiny, nCells = 8, rounds = 2)
+      .as[(Int, Int, Long, Long)].collect()
+    assert(curve.map(_._1).toSet == Set(1, 2) &&
+      curve.filter(_._1 == 1).map(_._3).sum == 3)
+  }
+
   test("round-4 operators survive empty inputs") {
     import graft.operators.{FuzzyJoin, IncrementalAgg, Merge}
     assert(Dedup.dedupSpans(emptyDocs).count() == 0)
