@@ -57,6 +57,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("mm10/mm11: fingerprint pairing is an equi-join over chunk keys — no product") {
+    // the fingerprint core shared with dd04: media hashes pair through
+    // the 4×16-bit pigeonhole equi-join, and the hamming verify is a
+    // per-row filter — aggregate-free and product-free like dd04's
+    for (q <- Seq("mm10_image_near_dup", "mm11_audio_near_dup")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("ann15/jl: no shuffle carries a vector column — projection is map-side") {
+    // same contract as ann05: the JL projection and both cosine stages
+    // happen where the vectors are scanned; only (query_id, neighbor_id,
+    // score) triples cross exchanges
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    import spark.implicits._
+    val emb = (0L until 200L).map(i =>
+        (i, Seq.tabulate(16)(d => math.sin(i * 13.0 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.operators.Similarity.jlTopK(
+        emb.where($"vec_id" < 5), emb, k = 3, cand = 20, inDim = 16, outDim = 8)
+      val plan = out.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, plan.toString)
+      shuffles.foreach { e =>
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"shuffle carries an array column: ${e.output}\n$plan")
+      }
+      assert(out.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
   test("dd09: incremental dedup sketches ONLY the batch — index consumed as stored") {
     val p = planOf("dd09_incremental")
     val sketches = "minhash_buckets".r.findAllIn(p).size
