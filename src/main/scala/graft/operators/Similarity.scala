@@ -34,11 +34,16 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query row.
     *
-    * Plan shape: queries (small) are broadcast; the corpus is scanned once,
-    * each partition computes scores locally; ranking shuffles only
-    * (query, score, id) tuples — at 100 TB the corpus never moves.
-    * For very large k·|queries|, swap row_number for a per-partition
-    * bounded heap (TakeOrderedAndProject does this for global top-k).
+    * Plan shape: queries (small) are broadcast; the corpus is scanned
+    * once, each partition computes scores locally; then the native
+    * [[graft.plans.TopKPerKey]] heaps pre-select per-partition — so the
+    * ranking exchange carries AT MOST partitions×|queries|×k (query,
+    * score, id) triples, not one row per scored candidate. At 100 TB
+    * that is the difference between shuffling |corpus|×|queries| scored
+    * rows and shuffling a few thousand: the corpus never moves, and now
+    * neither does the candidate stream. The row_number window that
+    * assigns ranks runs AFTER the heaps, over ≤ |queries|×k survivors —
+    * same (cos DESC, neighbor_id) order, bit-identical output.
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -50,9 +55,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val pre = graft.plans.TopKPerKey.perKey(scored, Seq("query_id"),
+      Seq(("cos", true), ("neighbor_id", false)), k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    pre.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
@@ -434,12 +441,19 @@ object Similarity {
       col("neighbor_id"), col("cv"), nearestCell(col("cv"), cents).as("cell"))
     val probes = q.select(col("query_id"), col("qv"),
       explode(nearestCells(col("qv"), cents, nProbe)).as("cell"))
-    // search only the probed cells; exact rescore
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    // search only the probed cells; exact rescore. The scored candidate
+    // stream is still corpus-FRACTION-sized (≈ nProbe/nCells of the
+    // corpus), so the native TopKPerKey heaps pre-select before the
+    // ranking exchange — ≤ partitions×|queries|×k triples cross the
+    // wire (the bruteForceTopK argument); the rank window then runs
+    // over ≤ |queries|×k survivors.
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
+    val pre = graft.plans.TopKPerKey.perKey(scored, Seq("query_id"),
+      Seq(("cos", true), ("neighbor_id", false)), k)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    pre.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
@@ -597,12 +611,15 @@ object Similarity {
       nearestCell(col("cv"), coarse).as("cell"), decoded(col("cv")).as("dv"))
     val probes = q.select(col("query_id"), col("qv"),
       explode(nearestCells(col("qv"), coarse, nProbe)).as("cell"))
-    val wCand = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("neighbor_id"))
-    val cand = assigned.join(broadcast(probes), Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("dv")).as("approx"))
-      .withColumn("rn", row_number().over(wCand)).where(col("rn") <= nCand)
+    // ADC candidates are corpus-fraction-sized — heap pre-selection
+    // (native TopKPerKey) bounds the candidate exchange at
+    // partitions×|queries|×nCand rows (the bruteForceTopK argument)
+    val cand = graft.plans.TopKPerKey.perKey(
+        assigned.join(broadcast(probes), Seq("cell"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(col("qv"), col("dv")).as("approx")),
+        Seq("query_id"), Seq(("approx", true), ("neighbor_id", false)), nCand)
       .select(col("query_id"), col("neighbor_id"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -697,14 +714,20 @@ object Similarity {
         srpBucketArray(col(vecCol).cast("array<double>"), nPlanes, nTables).as("cbk"))
       .select(col("neighbor_id"), col("cv"), col("cbk"), posexplode(col("cbk")))
       .withColumnRenamed("pos", "ctable").withColumnRenamed("col", "cbucket")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cb.join(if (broadcastQueries) broadcast(qb) else qb,
+    // LSH candidates are design-bounded but still corpus-proportional at
+    // fixed plane counts — heap pre-selection (native TopKPerKey) keeps
+    // the ranking exchange at partitions×|queries|×k triples (the
+    // bruteForceTopK argument)
+    val scored = cb.join(if (broadcastQueries) broadcast(qb) else qb,
         col("table") === col("ctable") && col("bucket") === col("cbucket") &&
           col("query_id") =!= col("neighbor_id"))
       .where(graft.functions.HashExprs.firstEqIndex(col("qbk"), col("cbk")) === col("ctable"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
+    val pre = graft.plans.TopKPerKey.perKey(scored, Seq("query_id"),
+      Seq(("cos", true), ("neighbor_id", false)), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pre.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
@@ -785,14 +808,15 @@ object Similarity {
       .select(col("neighbor_id"), expr(quant.format("cv")).as("cq"))
     val qq = q.crossJoin(broadcast(stats))
       .select(col("query_id"), expr(quant.format("qv")).as("qq"))
-    val wD = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("neighbor_id"))
-    val cands = cq.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        expr("aggregate(zip_with(qq, cq, (a, b) -> cast((a - b) * (a - b) as bigint)), " +
-          "cast(0 as bigint), (s, x) -> s + x)").as("dist"))
-      .withColumn("crank", row_number().over(wD))
-      .where(col("crank") <= cand)
+    // int8 candidate metric over the whole corpus — heap pre-selection
+    // (native TopKPerKey) keeps the candidate exchange at
+    // partitions×|queries|×cand rows (the bruteForceTopK argument)
+    val cands = graft.plans.TopKPerKey.perKey(
+        cq.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            expr("aggregate(zip_with(qq, cq, (a, b) -> cast((a - b) * (a - b) as bigint)), " +
+              "cast(0 as bigint), (s, x) -> s + x)").as("dist")),
+        Seq("query_id"), Seq(("dist", false), ("neighbor_id", false)), cand)
       .select(col("query_id"), col("neighbor_id"))
     // rescore the tiny survivor set at full precision
     val wC = Window.partitionBy(col("query_id"))
@@ -1083,13 +1107,15 @@ object Similarity {
       .select(col("neighbor_id"), col("cp"))
     val qp = jlProject(q, inDim, outDim, vecCol = "qv", projCol = "qp")
       .select(col("query_id"), col("qp"))
-    val wD = Window.partitionBy(col("query_id"))
-      .orderBy(col("pcos").desc, col("neighbor_id"))
-    val cands = cp.join(broadcast(qp), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qp"), col("cp")).as("pcos"))
-      .withColumn("crank", row_number().over(wD))
-      .where(col("crank") <= cand)
+    // candidate pre-selection through the native heaps: the projected
+    // scores are the corpus-sized stream here — the heap keeps the
+    // exchange at partitions×|queries|×cand rows (the bruteForceTopK
+    // argument, one stage earlier)
+    val cands = graft.plans.TopKPerKey.perKey(
+        cp.join(broadcast(qp), col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(col("qp"), col("cp")).as("pcos")),
+        Seq("query_id"), Seq(("pcos", true), ("neighbor_id", false)), cand)
       .select(col("query_id"), col("neighbor_id"))
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
