@@ -93,9 +93,13 @@ object FailureDrill {
     // reliable cuts per run (one per half-round) with 1-row broadcast
     // normalizers between them — the kill lands mid-tower and recovery
     // must rebuild from whichever round's durable files survive.
+    // st29 (round 11b) drills the serve path: the kill lands either in
+    // the offline k-means train (multi-job, driver-held model — pure
+    // lineage recompute) or mid-micro-batch in the stream-static
+    // serving join — both must recover to the bit-identical top-k.
     val queries = Seq("dd07_dup_clusters", "gr06_kcore",
       "tx40_quality_classifier", "st20_stream_ewma", "sx02_kmv_overlap",
-      "gr10_hits")
+      "gr10_hits", "st29_stream_ann_serve")
 
     // reference digests from an undisturbed local run
     val ref = {
