@@ -3993,6 +3993,74 @@ object TextQueries {
     * are ids only) + dd11's two narrow span shuffles + one source-bounded
     * rollup. Nothing corpus-sized crosses the wire twice.
     */
+  /** Per-source KL divergence from the corpus mixture (tx45 — the
+    * data-mixture DIAGNOSTIC the tx23/tx38 weighting family was
+    * missing): KL(P_source ‖ P_corpus) over unigram distributions,
+    * entirely in integers — per-token-type term
+    * `c · [(l2fp(c) + l2fp(N)) − (l2fp(N_s) + l2fp(g))]` with the
+    * shared fixed-point log2 ([[Unigram.l2fp]], the tx35–38 contract),
+    * summed exactly (Σ_t c = N_s bounds the numerator at N_s·maxlog —
+    * no overflow at any corpus size that fits a Long token count) and
+    * divided ONCE at the end (Spark `div` and DuckDB `//` BOTH truncate
+    * toward zero on integers — verified, (-7)//2 = -3 in DuckDB — so
+    * the plain quotient is bit-identical even where the fixed-point
+    * sum of a near-identical source dips a few ticks below zero).
+    * No smoothing needed: every source token exists in the corpus
+    * (g ≥ c ≥ 1), so every log argument is ≥ 1. High kl_ticks = the
+    * source is distributionally far from the mix — the signal
+    * temperature-mixing (tx38) and DSIR (tx28) act on, now as a gated
+    * per-source scalar. One tokenize pass: global counts roll up from
+    * the per-source rollup, never from a second corpus scan.
+    */
+  private def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    import Unigram.{l2fp => lg}
+    val toks = Tables(spark, dir).documents
+      .select(col("source"),
+        explode(TextFunctions.tokenize(lower(coalesce(col("text"), lit("")))))
+          .as("t"))
+      .where(length(col("t")) > 0)
+    val sc = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val g  = sc.groupBy(col("t")).agg(sum(col("c")).as("g"))
+    val ns = sc.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s"), count(lit(1)).as("vocab"))
+    val n  = ns.agg(sum(col("n_s")).as("n"))
+    sc.join(g, "t").join(broadcast(ns), "source").crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"), col("vocab"),
+        expr(s"c * ((${lg("c")} + ${lg("n")}) - (${lg("n_s")} + ${lg("g")}))")
+          .as("term"))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_tokens"), first(col("vocab")).as("vocab"),
+        sum(col("term")).as("kl_num"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("kl_num div n_tokens").as("kl_ticks"))
+      .orderBy(col("source"))
+  }
+  private val sourceKlSql = {
+    import Unigram.{l2fpSql => lg}
+    s"""WITH toks AS (
+       |  SELECT source, tok AS t FROM (
+       |    SELECT source, unnest(string_split_regex(
+       |      trim(lower(coalesce(text, ''))), '[\\t\\n\\x0B\\f\\r ]+')) AS tok
+       |    FROM documents) x WHERE length(tok) > 0),
+       |sc AS (SELECT source, t, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       |g  AS (SELECT t, CAST(sum(c) AS BIGINT) AS g FROM sc GROUP BY t),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+       |         count(*)::BIGINT AS vocab
+       |       FROM sc GROUP BY source),
+       |n  AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM ns),
+       |terms AS (
+       |  SELECT sc.source, ns.n_s, ns.vocab,
+       |    sc.c * ((${lg("sc.c")} + ${lg("n.n")})
+       |            - (${lg("ns.n_s")} + ${lg("g.g")})) AS term
+       |  FROM sc JOIN g USING (t) JOIN ns USING (source) CROSS JOIN n),
+       |agg AS (
+       |  SELECT source, max(n_s) AS n_tokens, max(vocab) AS vocab,
+       |    CAST(sum(term) AS BIGINT) AS kl_num
+       |  FROM terms GROUP BY source)
+       |SELECT source, n_tokens, vocab, kl_num // n_tokens AS kl_ticks
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   private def modernPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val repKeep = repetitionFrame(docs)
@@ -4056,6 +4124,7 @@ object TextQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "tx44_modern_pipeline"    -> QueryDef(modernPipeline, Some(modernPipelineSql), benchmark = true),
+    "tx45_source_kl"          -> QueryDef(sourceKl, Some(sourceKlSql), benchmark = true),
     "tx43_repetition_score"   -> QueryDef(repetitionScore, Some(repetitionScoreSql), benchmark = true),
     "tx41_sequence_packing"   -> QueryDef(sequencePacking, Some(sequencePackingSql), benchmark = true),
     "tx40_quality_classifier" -> QueryDef(qualityClassifier, Some(qualityClassifierSql), benchmark = true),
