@@ -324,6 +324,79 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank (Jeh-Widom 2003's topic-sensitive form): the
+    * random walk teleports back to a SEED COHORT instead of everywhere —
+    * the "importance relative to these users/items" primitive behind
+    * recommendation, related-item retrieval, and seed-expansion labeling
+    * (grow a trusted/spam seed set into a corpus-wide score). Exact
+    * integer fixed point like [[pageRankFixedPoint]], in 1e-9 ticks of
+    * probability: seeds start at `10⁹ div |S|`, non-seeds at 0; each
+    * round rank(v) = [v∈S]·(0.15·10⁹ div |S|) + (850·Σ_{u→v} rank(u)
+    * div outdeg(u)) div 1000 — every operation a truncating integer
+    * div on non-negative values, so Spark `div` ≡ DuckDB `//` and the
+    * whole trajectory is bit-identical cross-engine at any partitioning.
+    *
+    * Scale shape: identical loop to [[pageRankFixedPoint]] (edges
+    * lineage-cut once, outdeg pre-joined + hash-partitioned/sorted so
+    * per-round merge joins plant no exchange, one O(nodes) exchange per
+    * round), plus ONE broadcast hash join per round against the seed
+    * table (≤|S| rows, collected never — the model-parameter convention:
+    * only |S| itself, one long, reaches the driver).
+    */
+  def personalizedPageRank(
+      spark: SparkSession,
+      edges: DataFrame, // columns: src, dst (Long)
+      seeds: DataFrame, // column: node (Long)
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    require(iters >= 1, "need at least one iteration")
+    val e = Dedup.ckpt(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val edgeCount = e.count()
+    val s = Dedup.ckpt(seeds.select(col("node").cast("long")).distinct())
+    val sCount = s.count()
+    // empty graph or empty cohort: nothing to rank — empty result, not
+    // a division by zero (the EdgeCases convention)
+    if (edgeCount == 0L || sCount == 0L)
+      return Seq.empty[(Long, Long)].toDF("node", "rank")
+    val teleport = 150000000L / sCount // 0.15·10⁹ ticks over the cohort
+    val initTick = 1000000000L / sCount
+    val loopWidth = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (edgeCount + 1999999) / 2000000)).toInt
+    withConf(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> loopWidth.toString) {
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val ew = Dedup.ckpt(
+        e.join(deg, "src")
+          .select(col("src"), col("dst"), col("outdeg"))
+          .repartition(loopWidth, col("src"))
+          .sortWithinPartitions(col("src")))
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val sb = broadcast(s.withColumn("tp", lit(teleport)))
+      var ranks = nodes.join(sb, Seq("node"), "left")
+        .select(col("node"),
+          when(col("tp").isNotNull, lit(initTick)).otherwise(lit(0L)).as("rank"))
+      for (_ <- 1 to iters) {
+        val r = ranks.hint("merge")
+        ranks = ew
+          .join(r, ew("src") === r("node"))
+          .select(ew("dst").as("node"), expr("rank div outdeg").as("mass"))
+          .union(nodes.select(col("node"), lit(0L).as("mass")))
+          .groupBy(col("node"))
+          .agg(expr("(850 * sum(mass)) div 1000").as("m"))
+          .join(sb, Seq("node"), "left")
+          .select(col("node"),
+            (coalesce(col("tp"), lit(0L)) + col("m")).as("rank"))
+      }
+      val out = Dedup.ckpt(ranks)
+      out.foreach(_ => ())
+      out
+    }
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999, "Authoritative sources
     * in a hyperlinked environment") for a FIXED number of rounds over a
     * DIRECTED edge set, in exact integer fixed point: authority(v) =

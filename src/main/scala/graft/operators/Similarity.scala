@@ -64,6 +64,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * negatives that actually move a metric-learning / dense-retrieval
+    * loss (ANCE/DPR-style), where uniformly drawn negatives are mostly
+    * easy and uninformative. The label-mismatch predicate rides the
+    * broadcast join (evaluated before any cosine leaves the scan stage),
+    * so same-label candidates — including the query itself — are dropped
+    * map-side and never scored past the join.
+    *
+    * Plan contract identical to [[bruteForceTopK]]: queries broadcast,
+    * corpus never crosses an exchange, native [[graft.plans.TopKPerKey]]
+    * heaps bound the ranking exchange at partitions×|queries|×k triples
+    * regardless of corpus size.
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"), col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col(labelCol).as("n_label"))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("n_label"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val pre = graft.plans.TopKPerKey.perKey(scored, Seq("query_id"),
+      Seq(("cos", true), ("neighbor_id", false)), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pre.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Exact cosine radius (range) search: every corpus vector within
     * `minCos` of each query — the threshold sibling of [[bruteForceTopK]]
     * for "all sufficiently-similar", where a fixed k would either truncate
@@ -356,6 +392,64 @@ object Similarity {
       }
     }
     curve.toSeq.toDF("round", "cell", "n", "cos_ticks")
+  }
+
+  /** Embedding-space class-separation audit — the label-quality report a
+    * training pipeline runs BEFORE trusting labels (fine-tune splits,
+    * classifier distillation, hard-negative mining all assume labels
+    * cluster): per-label centroids from exact integer tick sums (the
+    * kmeans update arithmetic — `floor(v·2^20 + 0.5)` summed, one
+    * `s / n / Q` double per dim so both engines fold the same values),
+    * then for every vector the cosine to its OWN label centroid vs the
+    * best OTHER-label centroid, both in `floor(cos·2^20)` integer ticks,
+    * rolled up per label with the count of MARGIN VIOLATIONS (own ≤ best
+    * other — the vectors a relabeling / pruning pass would inspect).
+    *
+    * Scale shape: the centroid rollup is one (label, dim)-keyed hash
+    * aggregate reduced map-side to ≤ |labels|·dims rows; the collected
+    * centroids are literalized model parameters, so the audit pass is a
+    * pure map-side projection over the corpus plus a |labels|-row
+    * rollup — vectors never cross an exchange in either pass.
+    */
+  def classMarginAudit(
+      corpus: DataFrame,
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val qs = KmeansQuantScale.toDouble
+    val c = corpus.select(col(labelCol).cast("int").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sums = c.select(col("label"), posexplode(col("v")))
+      .select(col("label"), col("pos").as("dim"),
+        floor(col("col") * lit(qs) + lit(0.5)).cast("long").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .collect() // ≤ |labels|·dims aggregated rows — model parameters
+    val cents: Seq[(Int, Seq[Double])] = sums.groupBy(_.getInt(0)).toSeq
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_.getInt(1)).map(r =>
+          r.getLong(2).toDouble / r.getLong(3).toDouble / qs)
+          .toIndexedSeq: Seq[Double])
+      }.sortBy(_._1)
+    val scores = array(cents.map { case (l, mv) =>
+      struct(
+        floor(cosine(col("v"), typedLit(mv)) * lit(qs)).cast("long").as("ct"),
+        lit(l).as("clabel"))
+    }: _*)
+    c.select(col("label"), scores.as("sc"))
+      .select(col("label"),
+        element_at(
+          filter(col("sc"), s => s.getField("clabel") === col("label")), 1)
+          .getField("ct").as("own_t"),
+        array_max(
+          transform(
+            filter(col("sc"), s => s.getField("clabel") =!= col("label")),
+            s => s.getField("ct"))).as("other_t"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("own_t")).as("own_ticks"),
+        sum(col("other_t")).as("other_ticks"),
+        sum(when(col("own_t") <= col("other_t"), 1L).otherwise(0L))
+          .as("n_violations"))
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into

@@ -756,6 +756,73 @@ object Events {
     Graph.pageRankFixedPoint(spark, edges, iters = 3)
       .orderBy(col("node"))
   }
+  /** Personalized PageRank ([[Graph.personalizedPageRank]], 3 rounds,
+    * 1e-9 probability ticks): the random walk teleports only to the
+    * seed cohort (graph nodes ≡ 3 mod 10 — a deterministic ~10% user
+    * cohort), producing "importance relative to THESE users" — the
+    * seed-expansion / recommendation primitive gr01's global PageRank
+    * cannot express (its scores are query-independent). Edge derivation
+    * is lineage-cut ONCE in the query and shared by the node/seed
+    * derivation and the loop. Oracle: the gr01-style per-round
+    * materialized tower with the teleport term guarded by the seed
+    * join — every step a truncating integer division on non-negative
+    * values, so the 3-round trajectory is bit-identical cross-engine.
+    */
+  private def pprSeedExpand(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = graft.operators.Dedup.ckpt(
+      pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"))))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val seeds = nodes.where(col("node") % 10 === 3)
+    Graph.personalizedPageRank(spark, edges, seeds, iters = 3)
+      .orderBy(col("node"))
+  }
+  private val pprSeedExpandSql =
+    """WITH p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
+      |             user_id AS u
+      |           FROM events WHERE event_type = 'purchase'),
+      |pairs AS (SELECT DISTINCT a.u AS src, b.u AS dst
+      |          FROM p a JOIN p b ON a.b = b.b AND a.u < b.u),
+      |e AS (SELECT src, dst FROM pairs
+      |      UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |seeds AS (SELECT node FROM nodes WHERE node % 10 = 3),
+      |k AS (SELECT count(*) AS c FROM seeds),
+      |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |r0 AS (SELECT n.node,
+      |         CAST(CASE WHEN s.node IS NOT NULL
+      |           THEN 1000000000 // (SELECT c FROM k) ELSE 0 END AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+      |m1 AS (SELECT e.dst, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS mass
+      |       FROM r0 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT n.node,
+      |         CAST(CASE WHEN s.node IS NOT NULL
+      |             THEN 150000000 // (SELECT c FROM k) ELSE 0 END
+      |           + (850 * COALESCE(m.mass, 0)) // 1000 AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+      |         LEFT JOIN m1 m ON n.node = m.dst),
+      |m2 AS (SELECT e.dst, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS mass
+      |       FROM r1 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT n.node,
+      |         CAST(CASE WHEN s.node IS NOT NULL
+      |             THEN 150000000 // (SELECT c FROM k) ELSE 0 END
+      |           + (850 * COALESCE(m.mass, 0)) // 1000 AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+      |         LEFT JOIN m2 m ON n.node = m.dst),
+      |m3 AS (SELECT e.dst, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS mass
+      |       FROM r2 r JOIN deg d ON r.node = d.src JOIN e ON e.src = r.node
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT n.node,
+      |         CAST(CASE WHEN s.node IS NOT NULL
+      |             THEN 150000000 // (SELECT c FROM k) ELSE 0 END
+      |           + (850 * COALESCE(m.mass, 0)) // 1000 AS BIGINT) AS rank
+      |       FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+      |         LEFT JOIN m3 m ON n.node = m.dst)
+      |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+
   private val pageRankSql =
     """WITH p AS (SELECT DISTINCT time_bucket(INTERVAL '10 minutes', ts) AS b,
       |             user_id AS u
@@ -1892,6 +1959,7 @@ object Events {
     "ev18_scd2"            -> QueryDef(scd2, Some(scd2Sql)),
     "ev19_table_diff"      -> QueryDef(tableDiff, Some(tableDiffSql)),
     "gr01_pagerank"        -> QueryDef(pageRank, Some(pageRankSql), benchmark = true),
+    "gr11_ppr_seed_expand" -> QueryDef(pprSeedExpand, Some(pprSeedExpandSql), benchmark = true),
     "ev15_dynamic_partition_overwrite" ->
       QueryDef(dynPartitionOverwrite, Some(dynPartitionOverwriteSql)),
     "ev14_compaction"      -> QueryDef(compaction, Some(compactionSql)),

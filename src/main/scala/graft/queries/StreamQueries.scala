@@ -1206,7 +1206,43 @@ object StreamQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** st30: tx46's per-source quality thresholds DEPLOYED on the ingest
+    * stream — the curation gate as an always-on admission filter
+    * (thresholds trained offline from the reference corpus's exact
+    * quartile histogram, ≤|sources| rows; arriving documents scored
+    * row-locally and admitted via ONE stream-static broadcast join).
+    * Zero streaming state, Append mode — the st24 serving convention,
+    * now for the threshold family: no watermark, no state store, the
+    * same plan at any ingest rate. Oracle: the identical scored/thr CTEs
+    * as tx46 ([[TextQueries.qualityThresholdCtes]], one definition for
+    * both gates) emitting the kept documents — stream/batch parity of
+    * the full threshold-train + filter chain.
+    */
+  private def streamThresholdPrune(spark: SparkSession, dir: String): DataFrame = {
+    val thr = TextQueries.qualityThresholds(
+        TextQueries.qualityScored(graft.core.Tables(spark, dir).documents))
+      .select(col("source"), col("q_thresh"))
+    val src = StreamOps.fanOut(
+      StreamOps.parquetStream(spark, dir, "documents.parquet"))
+    val kept = TextQueries.qualityScored(src)
+      .join(broadcast(thr), Seq("source"))
+      .where(col("q") >= col("q_thresh"))
+      .select(col("doc_id"), col("source"), col("q"))
+    StreamOps.runToMemory(spark, kept,
+        s"graft_stream_thresh_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append)
+      .orderBy(col("doc_id"))
+  }
+  private val streamThresholdPruneSql =
+    s"""WITH ${TextQueries.qualityThresholdCtes}
+       |SELECT s.doc_id, s.source, s.q
+       |FROM scored s JOIN thr t ON s.source = t.source
+       |WHERE s.q >= t.q_thresh
+       |ORDER BY s.doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st30_stream_threshold_prune" -> QueryDef(streamThresholdPrune,
+      Some(streamThresholdPruneSql), benchmark = true),
     "st29_stream_ann_serve" -> QueryDef(streamAnnServe,
       Some(VectorQueries.annIvfSql), benchmark = true),
     "st28_stream_bloom" -> QueryDef(streamBloom, Some(streamBloomSql), benchmark = true),

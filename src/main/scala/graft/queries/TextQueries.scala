@@ -595,6 +595,114 @@ object TextQueries {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Per-source quality pruning via BROADCAST THRESHOLDS (tx46 — the
+    * 100 TB shape tx29's own scaladoc prescribes, now implemented and
+    * gated): instead of percent_rank-ing every document through a
+    * per-source window (an in-partition sort of the whole corpus), roll
+    * the bounded-precision quality scores up to a per-(source, q)
+    * HISTOGRAM — map-side-combined, ≤ |sources|·|q-domain| rows however
+    * many documents feed it (q is `round(·, 6)` in [0, 1]) — pick each
+    * source's EXACT type-1 lower-quartile value where the running count
+    * crosses ⌈0.25·n⌉ (the q56 histogram-crossing pattern; exact where
+    * the GK-sketch alternative tx29 mentions would be approximate), and
+    * broadcast the ≤|sources| threshold rows back for a MAP-SIDE
+    * `q ≥ t` filter. Tie handling differs from tx29 BY DESIGN: a value
+    * threshold keeps every document tied at the boundary score (the
+    * only broadcast-safe contract — a filter cannot split equal values),
+    * where tx29's percent_rank splits boundary ties by doc_id; both are
+    * exact, this one is the one whose exchange volume is corpus-size-
+    * independent. The corpus is scanned twice (histogram pass + filter
+    * pass) — the rescan-don't-persist convention for 100 TB inputs.
+    * Unscorable docs (NULL/empty text) are excluded from histogram and
+    * keep set alike by an EXPLICIT `length(text) > 0` guard — the
+    * 0-length punctuation ratio is 0.0/0.0, which Spark evaluates to
+    * IEEE NaN but DuckDB to NULL, and the two order differently through
+    * windows; the guard keeps the divergent value out of BOTH engines
+    * (q.isNotNull alone would not: NaN is not null).
+    */
+  /** The row-local scoring half of tx46/st30: (source, doc_id, q) for
+    * every scoreable document (explicit empty/NULL-text guard — see
+    * [[thresholdPrune]]'s NaN-vs-NULL note). Works unchanged on a
+    * streaming DataFrame: pure projection + filter, no state.
+    */
+  def qualityScored(docs: DataFrame): DataFrame =
+    docs.where(length(col("text")) > 0)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+
+  /** The offline threshold half of tx46/st30: per-source exact type-1
+    * lower-quartile quality value off the bounded-precision (source, q)
+    * histogram — ≤ |sources| rows out, broadcastable to any consumer
+    * (the batch filter pass, or st30's always-on serving join).
+    */
+  def qualityThresholds(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col("source"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+    val bySrc = Window.partitionBy(col("source"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(bySrc.orderBy(col("q"))))
+      .withColumn("n", sum(col("cnt")).over(bySrc))
+      .groupBy(col("source"))
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.25) * col("n")), col("q")))
+          .as("q_thresh"),
+        max(col("n")).as("n_docs"))
+  }
+
+  private def thresholdPrune(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScored(Tables(spark, dir).documents)
+    val thr = qualityThresholds(scored)
+    scored.join(broadcast(thr), Seq("source"))
+      .where(col("q") >= col("q_thresh"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        max(col("q_thresh")).as("q_thresh"),
+        count(lit(1)).as("n_kept"),
+        sum(col("q").cast("decimal(12,6)")).cast("double").as("kept_quality"))
+      .orderBy(col("source"))
+  }
+  /** Shared oracle fragment for tx46/st30: the `scored` + `thr` CTE pair
+    * (per-doc quality scores and per-source histogram-crossing quartile
+    * thresholds) — one SQL definition so the batch gate and the streaming
+    * gate pin the identical threshold arithmetic.
+    */
+  val qualityThresholdCtes: String = {
+    val punct = "CAST(length(regexp_replace(text, '[^.,;:!?''\"-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val toks  = "string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')"
+    val stopr = s"CAST(len(list_filter($toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)"
+    s"""scored AS (
+       |  SELECT source, doc_id, q FROM (SELECT source, doc_id,
+       |    round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.5
+       |      + greatest(0.0, 1.0 - ($punct) * 5.0) * 0.3
+       |      + (CASE WHEN ($stopr) > 0.02 THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS q
+       |  FROM documents WHERE length(text) > 0) s),
+       |hist AS (
+       |  SELECT source, q, count(*) AS cnt FROM scored GROUP BY 1, 2),
+       |thr AS (
+       |  SELECT source,
+       |    min(CASE WHEN cum >= ceil(0.25 * n) THEN q END) AS q_thresh,
+       |    max(n) AS n_docs
+       |  FROM (
+       |    SELECT source, q, cnt,
+       |      sum(cnt) OVER (PARTITION BY source ORDER BY q) AS cum,
+       |      sum(cnt) OVER (PARTITION BY source) AS n
+       |    FROM hist) c
+       |  GROUP BY source)""".stripMargin
+  }
+  private val thresholdPruneSql = {
+    s"""WITH $qualityThresholdCtes
+       |SELECT s.source,
+       |  CAST(max(t.n_docs) AS BIGINT) AS n_docs,
+       |  max(t.q_thresh) AS q_thresh,
+       |  count(*) AS n_kept,
+       |  CAST(sum(CAST(s.q AS DECIMAL(12,6))) AS DOUBLE) AS kept_quality
+       |FROM scored s JOIN thr t ON s.source = t.source
+       |WHERE s.q >= t.q_thresh
+       |GROUP BY s.source ORDER BY s.source""".stripMargin
+  }
+
   /** N-gram-heuristic language ID: score = stopword hits per language,
     * winner = (max score, then lexicographically greatest code) — a
     * deterministic total order, mirrored in the oracle CASE chain.
@@ -4125,6 +4233,7 @@ object TextQueries {
   val defs: Map[String, QueryDef] = Map(
     "tx44_modern_pipeline"    -> QueryDef(modernPipeline, Some(modernPipelineSql), benchmark = true),
     "tx45_source_kl"          -> QueryDef(sourceKl, Some(sourceKlSql), benchmark = true),
+    "tx46_threshold_prune"    -> QueryDef(thresholdPrune, Some(thresholdPruneSql), benchmark = true),
     "tx43_repetition_score"   -> QueryDef(repetitionScore, Some(repetitionScoreSql), benchmark = true),
     "tx41_sequence_packing"   -> QueryDef(sequencePacking, Some(sequencePackingSql), benchmark = true),
     "tx40_quality_classifier" -> QueryDef(qualityClassifier, Some(qualityClassifierSql), benchmark = true),

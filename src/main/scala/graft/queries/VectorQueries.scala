@@ -73,6 +73,65 @@ object VectorQueries {
     Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for the first
+    * 10 vectors, the top-5 most-similar corpus vectors with a DIFFERENT
+    * label — the contrastive-training negatives a dense-retrieval
+    * pipeline mines (easy random negatives teach nothing; the near-miss
+    * wrong-label ones carry the gradient). Same exact-cosine contract as
+    * ann01, so the oracle is ann01's window with the label-mismatch
+    * predicate on the join.
+    */
+  private def annHardNeg(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  /** Class-separation margin audit ([[Similarity.classMarginAudit]]):
+    * per-label centroid cosines in integer 2^-20 ticks — own-label vs
+    * best other-label — with margin-violation counts. The oracle rebuilds
+    * the identical centroids (same `floor(v·2^20+0.5)` sums, same
+    * `s/n/2^20` fold order) and the same tick floors, so counts AND tick
+    * sums hash-match bit-exactly.
+    */
+  private def annClassMargin(spark: SparkSession, dir: String): DataFrame =
+    Similarity.classMarginAudit(Tables(spark, dir).embeddings)
+      .orderBy(col("label"))
+  private val annClassMarginSql =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dims AS (SELECT label, unnest(generate_series(1, len(v))) AS dim, v FROM v),
+      |q AS (SELECT label, dim,
+      |    CAST(sum(CAST(floor(v[dim] * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+      |    count(*) AS n
+      |  FROM dims GROUP BY 1, 2),
+      |cent AS (SELECT label, list(CAST(s AS DOUBLE) / n / 1048576.0 ORDER BY dim) AS c
+      |  FROM q GROUP BY label),
+      |scored AS (
+      |  SELECT a.vec_id, a.label AS vlabel, ce.label AS clabel,
+      |    CAST(floor(list_cosine_similarity(a.v, ce.c) * 1048576) AS BIGINT) AS ct
+      |  FROM v a CROSS JOIN cent ce),
+      |per AS (
+      |  SELECT vec_id, vlabel,
+      |    max(CASE WHEN clabel = vlabel THEN ct END) AS own_t,
+      |    max(CASE WHEN clabel <> vlabel THEN ct END) AS other_t
+      |  FROM scored GROUP BY 1, 2)
+      |SELECT vlabel AS label, count(*) AS n,
+      |  CAST(sum(own_t) AS BIGINT) AS own_ticks,
+      |  CAST(sum(other_t) AS BIGINT) AS other_ticks,
+      |  CAST(sum(CASE WHEN own_t <= other_t THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val annHardNegSql =
+    """SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c ON q.label <> c.label
+      |  WHERE q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   private val annBruteSql =
     """SELECT query_id, rank, neighbor_id, cos FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -755,6 +814,8 @@ object VectorQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "ann18_class_margin"    -> QueryDef(annClassMargin, Some(annClassMarginSql), benchmark = true),
+    "ann17_hard_negatives"  -> QueryDef(annHardNeg, Some(annHardNegSql), benchmark = true),
     "ann16_kmeans_curve"    -> QueryDef(annKmeansCurve, Some(annKmeansCurveSql), benchmark = true),
     "ann15_jl_recall"       -> QueryDef(annJlRecall, Some(annJlRecallSql), benchmark = true),
     "ann14_cluster_sample"  -> QueryDef(annClusterSample, Some(annClusterSampleSql), benchmark = true),

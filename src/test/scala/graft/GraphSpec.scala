@@ -35,6 +35,52 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(10L -> 0L, 11L -> 1L))
   }
 
+  test("personalizedPageRank: exact hand-computed trajectory on a 2-cycle") {
+    // 1 ↔ 2, seed {1}: after round 1 the seed holds only its teleport and
+    // node 2 the damped full mass; after round 2 the mass flows back
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r1 = Graph.personalizedPageRank(spark, e, seeds, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 150000000L, 2L -> 850000000L), r1.toString)
+    val r2 = Graph.personalizedPageRank(spark, e, seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 872500000L, 2L -> 127500000L), r2.toString)
+  }
+
+  test("personalizedPageRank: scores concentrate around the seed community") {
+    // two 3-cliques joined by one bridge; seeds in clique A only — every
+    // A node must outrank every B node, and the far B corner least of all
+    val cliqueA = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val cliqueB = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val bridge  = Seq((3L, 4L))
+    val base = (cliqueA ++ cliqueB ++ bridge).toDF("src", "dst")
+    val e = base.union(base.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Seq(1L, 2L).toDF("node")
+    val r = Graph.personalizedPageRank(spark, e, seeds, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val aMin = Seq(1L, 2L, 3L).map(r).min
+    val bMax = Seq(4L, 5L, 6L).map(r).max
+    assert(aMin > bMax, r.toString)
+    assert(Seq(5L, 6L).map(r).max < r(4L), s"bridge head outranks the far corner: $r")
+  }
+
+  test("personalizedPageRank: empty graph / empty cohort return empty, not errors") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(Graph.personalizedPageRank(spark, e.limit(0), Seq(1L).toDF("node"), 2).count() == 0)
+    assert(Graph.personalizedPageRank(spark, e, Seq.empty[Long].toDF("node"), 2).count() == 0)
+  }
+
+  test("personalizedPageRank is partition-count invariant") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(3L).toDF("node")
+    val a = Graph.personalizedPageRank(spark, base, seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.personalizedPageRank(spark, base.repartition(11), seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b && a.nonEmpty)
+  }
+
   test("kCore: peeling cascades, and the fixture converges inside the 8 rounds") {
     // 4-clique (1-4) + a tail 5-6-7 with (1,5),(2,5): node 5 starts at
     // degree 3 and falls below k only AFTER round 1 peels 6 (degree 2) —

@@ -29,6 +29,67 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_._2).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("hard negatives: top-k among DIFFERENT-label candidates only") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 7),
+      (1L, Seq(0.99f, 0.01f), 7),  // nearest overall — but same label: excluded
+      (2L, Seq(0.9f, 0.1f), 3),    // nearest wrong-label: the hard negative
+      (3L, Seq(0.5f, 0.5f), 4),
+      (4L, Seq(-1.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(emb.where($"vec_id" === 0), emb, k = 3)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    // same-label vec 1 (and the query itself) never appear; order is the
+    // exact cosine order over the wrong-label rest
+    assert(r.map(_._2).toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("hard negatives on the fixture: agrees with a naive re-derivation") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val got = Similarity.hardNegatives(emb.where($"vec_id" < 3), emb, k = 5)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val all = emb.select($"vec_id", $"embedding".cast("array<double>"), $"label")
+      .as[(Long, Seq[Double], Int)].collect()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.size) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = all.filter(_._1 < 3).flatMap { case (qid, qv, ql) =>
+      all.filter(_._3 != ql)
+        .map { case (nid, nv, _) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, i + 1, nid) }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("classMarginAudit: separated labels have zero violations; a mislabel is flagged") {
+    // labels 0 and 1 live on orthogonal axes; vec 4 carries label 1 but
+    // points along label 0's axis — exactly one violation, on label 1
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1),
+      (3L, Seq(0.1f, 0.9f), 1),
+      (4L, Seq(1.0f, 0.1f), 1)   // mislabeled
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.classMarginAudit(emb)
+      .select($"label", $"n", $"n_violations").as[(Int, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(r.map(t => (t._1, t._2)) == Seq((0, 2L), (1, 3L)))
+    assert(r.map(_._3) == Seq(0L, 1L), s"violations: $r")
+  }
+
+  test("classMarginAudit is partitioning-invariant (integer tick sums)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val a = Similarity.classMarginAudit(emb).collect().map(_.toSeq).toSet
+    val b = Similarity.classMarginAudit(emb.repartition(13)).collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("LSH top-k recall vs brute force on fixture embeddings") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = emb.where($"vec_id" < 10)
