@@ -1478,6 +1478,80 @@ object TextQueries {
        |FROM wtab CROSS JOIN wtot ORDER BY lang""".stripMargin
   }
 
+  /** Data-constrained epoch allocation (tx47 — the Muennighoff et al.
+    * 2023 planning shape: when the budget exceeds a language's unique
+    * tokens, REPEAT it, but never past the ~4-epoch point where returns
+    * decay to noise): each language requests its tx23 temperature share
+    * (α = 0.5 sqrt weights) of a 3.5×-corpus token budget — the XLM-R
+    * scenario made concrete: flattening over-requests LOW-RESOURCE
+    * languages, which hit the 4-epoch repetition cap, and the unfillable
+    * remainder is redistributed in ONE pass proportional to remaining
+    * headroom (capped again — redistribution can't push a language past
+    * 4 epochs either; on the fixture the small languages cap and en
+    * absorbs the redistribution, measured at every sf). Entirely integer
+    * arithmetic on non-negative values (truncating div ≡ DuckDB floor
+    * //), epochs reported in 2²⁰ ticks; bit-identical cross-engine at
+    * any partitioning. Shape: one corpus pass into a lang-bounded
+    * rollup, then three 1-row broadcast totals (the tx23/tx38
+    * convention) — the whole plan after the rollup is |langs|-sized.
+    */
+  private def epochAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).documents
+      .select(col("lang"), TextFunctions.tokenCount(col("text")).as("t"))
+      .groupBy(col("lang"))
+      .agg(sum(col("t")).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double")) * 1e3).cast("long"))
+    val req = per
+      .crossJoin(broadcast(per.agg(
+        sum(col("w")).as("wsum"), sum(col("n_tokens")).as("nn"))))
+      .withColumn("requested", expr("(w * ((7L * nn) div 2)) div wsum"))
+      .withColumn("cap", expr("4 * n_tokens"))
+      .withColumn("a0", least(col("requested"), col("cap")))
+    req
+      .crossJoin(broadcast(req.agg(
+        sum(col("requested") - col("a0")).as("leftover"),
+        sum(col("cap") - col("a0")).as("headroom"))))
+      .withColumn("extra", when(col("headroom") > 0,
+          least(col("cap") - col("a0"),
+            expr("(leftover * (cap - a0)) div headroom")))
+        .otherwise(lit(0L)))
+      .select(col("lang"), col("n_tokens"), col("requested"),
+        (col("requested") - col("a0")).as("shortfall"),
+        (col("a0") + col("extra")).as("final_tokens"),
+        expr("((a0 + extra) * 1048576L) div greatest(n_tokens, 1L)")
+          .as("epochs_ticks"))
+      .orderBy(col("lang"))
+  }
+  private val epochAllocationSql =
+    """WITH per AS (
+      |  SELECT lang,
+      |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) END) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+      |  FROM per),
+      |req AS (
+      |  SELECT lang, n_tokens,
+      |    (w * ((7 * (SELECT sum(n_tokens) FROM per)) // 2)) // (SELECT sum(w) FROM w) AS requested,
+      |    4 * n_tokens AS cap
+      |  FROM w),
+      |a AS (SELECT *, least(requested, cap) AS a0 FROM req),
+      |tot AS (SELECT CAST(sum(requested - a0) AS BIGINT) AS leftover,
+      |               CAST(sum(cap - a0) AS BIGINT) AS headroom FROM a)
+      |SELECT lang, n_tokens,
+      |  CAST(requested AS BIGINT) AS requested,
+      |  CAST(requested - a0 AS BIGINT) AS shortfall,
+      |  CAST(a0 + extra AS BIGINT) AS final_tokens,
+      |  CAST(((a0 + extra) * 1048576) // greatest(n_tokens, 1) AS BIGINT) AS epochs_ticks
+      |FROM (
+      |  SELECT a.*, CASE WHEN t.headroom > 0
+      |      THEN least(cap - a0, (t.leftover * (cap - a0)) // t.headroom)
+      |      ELSE 0 END AS extra
+      |  FROM a CROSS JOIN tot t) f
+      |ORDER BY lang""".stripMargin
+
   /** Class-balanced deterministic downsampling: every language is cut to
     * the size of the smallest class, keeping the docs with the lowest
     * (fnv64(text), doc_id) rank — a content-hash ranking, so the selected
@@ -4234,6 +4308,7 @@ object TextQueries {
     "tx44_modern_pipeline"    -> QueryDef(modernPipeline, Some(modernPipelineSql), benchmark = true),
     "tx45_source_kl"          -> QueryDef(sourceKl, Some(sourceKlSql), benchmark = true),
     "tx46_threshold_prune"    -> QueryDef(thresholdPrune, Some(thresholdPruneSql), benchmark = true),
+    "tx47_epoch_allocation"   -> QueryDef(epochAllocation, Some(epochAllocationSql)),
     "tx43_repetition_score"   -> QueryDef(repetitionScore, Some(repetitionScoreSql), benchmark = true),
     "tx41_sequence_packing"   -> QueryDef(sequencePacking, Some(sequencePackingSql), benchmark = true),
     "tx40_quality_classifier" -> QueryDef(qualityClassifier, Some(qualityClassifierSql), benchmark = true),

@@ -149,6 +149,27 @@ class PipelineOpsSpec extends SparkSpec {
       "budget is the fixed-point share at 10M-token resolution")
   }
 
+  test("tx47: epoch caps bind, redistribution conserves and respects caps") {
+    val out = SparkEntry.allDefs("tx47_epoch_allocation").fn(spark, sf0001)
+      .select($"lang", $"n_tokens", $"requested", $"shortfall",
+        $"final_tokens", $"epochs_ticks")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // no language past 4 epochs — the whole point of the operator
+    assert(out.forall(r => r._5 <= 4 * r._2), out.toString)
+    assert(out.forall(r => r._6 <= 4L * (1L << 20)), out.toString)
+    // α = 0.5 over-requests low-resource languages: at 3.5×-corpus
+    // budget at least one language caps (shortfall > 0) and the largest
+    // (en) has headroom and absorbs redistributed mass beyond its request
+    assert(out.exists(_._4 > 0), s"no cap bound: $out")
+    val en = out.find(_._1 == "en").get
+    assert(en._4 == 0 && en._5 > en._3 - en._4,
+      s"en should absorb redistribution: $en")
+    // conservation: nothing materializes from nowhere — Σ final ≤ Σ
+    // requested (truncating divisions only ever lose mass)
+    assert(out.map(_._5).sum <= out.map(_._3).sum, out.toString)
+  }
+
   test("tx24: count-min estimates are one-sided (est >= exact, never under)") {
     val out = SparkEntry.allDefs("tx24_countmin").fn(spark, sf0001)
       .select($"exact_cnt", $"est_cnt").as[(Long, Long)].collect()
