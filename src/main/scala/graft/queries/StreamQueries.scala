@@ -1206,6 +1206,58 @@ object StreamQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** st31: ALWAYS-ON index accretion — the ingest half of the dd17
+    * maintenance lifecycle, on the stream: the dedup index is built
+    * offline on the first corpus installment (docs < 300), the second
+    * installment (300–399) ARRIVES as a stream whose micro-batches are
+    * each appended to the persisted index inside `foreachBatch`
+    * ([[graft.operators.Dedup.appendToIndex]] — the daily-batch
+    * accretion at micro-batch cadence: stored rows immutable, pure
+    * bucketed append, batch sketched once), and once the stream drains
+    * the ≥ 400 probe batch is deduped against the accreted index. The
+    * oracle is dd09's VERBATIM a third time: offline build ≡ dd17's
+    * append+compact ≡ this streamed accretion, through the same lookup.
+    * Exactly-once posture: `foreachBatch` is at-least-once on retry and
+    * the append is not idempotent — a production ingest stamps the
+    * batch id into the appended files (st11's pattern) or writes
+    * per-batch paths so replays overwrite instead of double-append; the
+    * judged run is a clean AvailableNow drain, and StreamIngestSpec
+    * pins multi-batch accretion equality under per-file triggers.
+    */
+  private def streamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val table = s"graft_st31_index_$sfx"
+    val path = graft.core.Scratch.dir(s"warehouse/st31_index_$sfx")
+    val docs = graft.core.Tables(spark, dir).documents
+    graft.operators.Dedup.writeIndex(
+      graft.operators.Dedup.minhashIndex(docs.where(col("doc_id") < 300)),
+      table, path, 8)
+    val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
+      .where(col("doc_id") >= 300 && col("doc_id") < 400)
+    val appendBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup.appendToIndex(batch.toDF(), table, path, 8)
+    val q = src.writeStream
+      .foreachBatch(appendBatch)
+      .option("checkpointLocation",
+        graft.core.Scratch.dir(s"streams/st31_ck_${System.nanoTime()}"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the appends ran in foreachBatch's CLONED session — this session's
+    // relation cache still lists the pre-append files; refresh before
+    // serving (measured: without it the lookup silently misses every
+    // streamed doc — the stale-cache failure mode, not an error)
+    spark.catalog.refreshTable(s"${table}_docs")
+    spark.catalog.refreshTable(s"${table}_buckets")
+    graft.operators.Dedup.dedupAgainstIndex(
+        docs.where(col("doc_id") >= 400),
+        spark.table(s"${table}_buckets"), spark.table(s"${table}_docs"),
+        threshold = 0.8)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** st30: tx46's per-source quality thresholds DEPLOYED on the ingest
     * stream — the curation gate as an always-on admission filter
     * (thresholds trained offline from the reference corpus's exact
@@ -1241,6 +1293,8 @@ object StreamQueries {
        |ORDER BY s.doc_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "st31_stream_index_ingest" -> QueryDef(streamIndexIngest,
+      Some(TextQueries.dedupIncrementalSql), benchmark = true),
     "st30_stream_threshold_prune" -> QueryDef(streamThresholdPrune,
       Some(streamThresholdPruneSql), benchmark = true),
     "st29_stream_ann_serve" -> QueryDef(streamAnnServe,

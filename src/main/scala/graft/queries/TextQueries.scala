@@ -464,6 +464,38 @@ object TextQueries {
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
     dd09Lookup(spark, dir, force = true)
 
+  /** dd17: the index MAINTENANCE lifecycle — build once, append a day's
+    * batch, compact, then serve — proven equivalent to a from-scratch
+    * rebuild. The standing corpus (< 400) arrives in two installments:
+    * the index is BUILT on docs < 300, the 300–399 delta is APPENDED
+    * ([[Dedup.appendToIndex]] — stored sketch rows are immutable, so
+    * accretion is a pure bucketed append; the delta is sketched once),
+    * the table is COMPACTED back to one file per bucket
+    * ([[Dedup.compactIndex]] — layout-only, contents untouched), and the
+    * ≥ 400 probe batch is deduped against the result. The oracle is
+    * dd09's VERBATIM (same corpus split, same threshold): the gate pins
+    * build(<300) ∘ append(300–399) ∘ compact ≡ build(<400) through the
+    * full lookup — the invariant that lets a 100 TB pipeline maintain
+    * its dedup index incrementally instead of re-sketching the corpus
+    * on every crawl.
+    */
+  private def indexCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val table = s"graft_dd17_index_$sfx"
+    val path = graft.core.Scratch.dir(s"warehouse/dd17_index_$sfx")
+    val docs = Tables(spark, dir).documents
+    Dedup.writeIndex(
+      Dedup.minhashIndex(docs.where(col("doc_id") < 300)), table, path, 8)
+    Dedup.appendToIndex(
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 400), table, path, 8)
+    Dedup.compactIndex(spark, table, path, 8)
+    Dedup.dedupAgainstIndex(
+        docs.where(col("doc_id") >= 400),
+        spark.table(s"${table}_buckets"), spark.table(s"${table}_docs"),
+        threshold = 0.8)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** Steady-state half of dd09: the same judged lookup, but against an
     * index that is only built if absent — the benchmarked daily-batch
     * path. Same oracle as dd09 (the result is identical either way).
@@ -4341,6 +4373,7 @@ object TextQueries {
     "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
     "dd11_span_dedup"        -> QueryDef(dedupSpansQ, Some(dedupSpansSql), benchmark = true),
     "dd16_substring_dedup"   -> QueryDef(dedupSubstringsQ, Some(dedupSubstringsSql), benchmark = true),
+    "dd17_index_compaction"  -> QueryDef(indexCompaction, Some(dedupIncrementalSql)),
     "tx16_gopher_rules"      -> QueryDef(gopherRules, Some(gopherRulesSql)),
     "dd12_fuzzy_name_join"   -> QueryDef(fuzzyNameJoin, Some(fuzzyNameJoinSql), benchmark = true),
     "tx17_full_pipeline"     -> QueryDef(fullPipeline, Some(fullPipelineSql), benchmark = true),

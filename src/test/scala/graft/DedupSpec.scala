@@ -160,6 +160,48 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("index append + compact: rebuild-equivalent content, one file per bucket") {
+    val docsTable = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx17").toString
+    def files(sub: String) =
+      new java.io.File(s"$tmp/idx/$sub").listFiles()
+        .filter(f => f.getName.startsWith("part-")).length
+    // build on the first installment, append the second
+    Dedup.writeIndex(
+      Dedup.minhashIndex(docsTable.where($"doc_id" < 300)),
+      "spec_dd17_idx", s"$tmp/idx", 4)
+    val builtFiles = files("docs")
+    Dedup.appendToIndex(
+      docsTable.where($"doc_id" >= 300 && $"doc_id" < 400),
+      "spec_dd17_idx", s"$tmp/idx", 4)
+    // the append added its own file set — more files than the fresh build
+    assert(files("docs") > builtFiles, s"append added no files: ${files("docs")}")
+    // content equivalence BEFORE compaction: lookup equals a from-scratch
+    // rebuild of the full standing corpus
+    val batch = docsTable.where($"doc_id" >= 400)
+    def lookup() = Dedup.dedupAgainstIndex(batch,
+        spark.table("spec_dd17_idx_buckets"), spark.table("spec_dd17_idx_docs"),
+        threshold = 0.8)
+      .select($"batch_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val appended = lookup()
+    Dedup.writeIndex(
+      Dedup.minhashIndex(docsTable.where($"doc_id" < 400)),
+      "spec_dd17_ref", s"$tmp/ref", 4)
+    val rebuilt = Dedup.dedupAgainstIndex(batch,
+        spark.table("spec_dd17_ref_buckets"), spark.table("spec_dd17_ref_docs"),
+        threshold = 0.8)
+      .select($"batch_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(appended == rebuilt && appended.nonEmpty,
+      s"missing=${(rebuilt -- appended).take(3)} extra=${(appended -- rebuilt).take(3)}")
+    // compaction: layout-only — back to one file per bucket, same lookup
+    Dedup.compactIndex(spark, "spec_dd17_idx", s"$tmp/idx", 4)
+    assert(files("docs") == 4 && files("buckets") == 4,
+      s"expected one file per bucket after compact, got ${files("docs")}/${files("buckets")}")
+    assert(lookup() == rebuilt)
+  }
+
   test("star-round components converge in O(log n) rounds on a path graph") {
     // 64-node path 0-1-2-…-63: HashMin label propagation needs 63 rounds
     // (information travels one hop per round); alternating large/small-star
