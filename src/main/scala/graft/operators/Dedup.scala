@@ -194,6 +194,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Near-dup pairs by shingle CONTAINMENT — |A∩B| / min(|A|,|B|) — the
+    * asymmetric sibling of [[jaccardPairs]] for subset duplication:
+    * a document quoted or embedded whole inside a longer one scores ~1.0
+    * containment but arbitrarily low Jaccard (the union is dominated by
+    * the longer doc), so a Jaccard-thresholded pass structurally misses
+    * exactly the quotation/aggregation duplicates a crawl is full of.
+    * Same inverted-index plan shape as [[jaccardPairs]] (three key-hash
+    * shuffles, all linear in postings; the maxDf cap bounds each token's
+    * pair fan-out), only the final per-pair metric changes.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDf: Long = 10000L,
+      shingles: Column => Column = wordTokens): DataFrame = {
+    val post = tokenPostings(docs, idCol, textCol, maxDf, shingles)
+      .select(col("doc_id"), col("tok"))
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val pairs = post.as("a")
+      .join(post.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_tok").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_tok").as("nb")), "id_b")
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
+  }
+
   /** MinHash signature over distinct tokens — one native Catalyst
     * expression ([[graft.functions.MinHashSig]]): xxhash64 each token twice,
     * k Kirsch–Mitzenmacher mul-adds, all in one codegen'd loop per row.

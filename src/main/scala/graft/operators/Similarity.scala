@@ -100,6 +100,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** [[bruteForceTopK]] with both sides' labels carried through the
+    * ranking — the input shape for retrieval-quality evaluation (MRR /
+    * precision@k / DCG with label-match relevance), where the metric
+    * layer needs to know, per ranked neighbor, whether it was a "hit".
+    *
+    * Same plan contract as [[bruteForceTopK]]: queries broadcast, corpus
+    * scanned once and never exchanged, native [[graft.plans.TopKPerKey]]
+    * heaps bound the ranking exchange at partitions×|queries|×k rows.
+    * Carrying the two label columns through the heaps costs two extra
+    * scan columns — strictly cheaper than the alternative of joining
+    * labels back onto the ranked list with a second corpus scan.
+    */
+  def labeledTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"), col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col(labelCol).as("n_label"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"), cosine(col("qv"), col("cv")).as("cos"))
+    val pre = graft.plans.TopKPerKey.perKey(scored, Seq("query_id"),
+      Seq(("cos", true), ("neighbor_id", false)), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pre.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("rank"),
+        col("neighbor_id"), col("n_label"), col("cos"))
+  }
+
   /** Exact cosine radius (range) search: every corpus vector within
     * `minCos` of each query — the threshold sibling of [[bruteForceTopK]]
     * for "all sufficiently-similar", where a fixed k would either truncate

@@ -1933,7 +1933,143 @@ object Events {
        |CROSS JOIN m2
        |ORDER BY community""".stripMargin
 
+  /** Single-pass pipeline counters via `Dataset.observe` (Catalyst's
+    * CollectMetrics): a cleaning pass over events — drop `error` rows and
+    * out-of-range values — where the admission counters (rows in, rows
+    * dropped per reason, rows kept, kept value mass) are accumulated ON
+    * the one pass that materializes the kept rows, not by re-scanning.
+    * At 100 TB this is the difference between "write the clean table"
+    * and "write the clean table, then scan 100 TB four more times for
+    * the data-quality dashboard": observe rides the existing job as
+    * map-side accumulators, costs zero extra exchanges, and is exact
+    * (unlike accumulator-based counters, CollectMetrics has
+    * run-exactly-once semantics per action).
+    *
+    * The oracle recomputes the same counters declaratively; the engine
+    * asserts the observed values equal the kept-side materialization it
+    * just drove, so the returned row is the *observed* metric set.
+    */
+  private def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val ev = Tables(spark, dir).events
+    val badType = col("event_type") === "error"
+    val oor = col("value") > 300.0
+    val obs = Observation()
+    val flagged = ev.select(col("event_id"), badType.as("bad_type"),
+      (!badType && oor).as("out_of_range"),
+      when(!badType && !oor, (dec(col("value")) * 100).cast("long"))
+        .otherwise(lit(0L)).as("kept_cents"))
+    val observed = flagged.observe(obs,
+      count(lit(1)).as("n_in"),
+      sum(when(col("bad_type"), 1L).otherwise(0L)).as("n_error_type"),
+      sum(when(col("out_of_range"), 1L).otherwise(0L)).as("n_out_of_range"),
+      sum(when(!col("bad_type") && !col("out_of_range"), 1L).otherwise(0L)).as("n_kept"),
+      sum(col("kept_cents")).as("kept_cents"))
+    // the one action: materialize the kept side (production: the write)
+    val keptRows = observed.where(!col("bad_type") && !col("out_of_range")).count()
+    val m = obs.get
+    require(m("n_kept") == keptRows,
+      s"observe drift: counted ${m("n_kept")} kept vs $keptRows materialized")
+    import spark.implicits._
+    Seq((m("n_in").asInstanceOf[Long], m("n_error_type").asInstanceOf[Long],
+        m("n_out_of_range").asInstanceOf[Long], m("n_kept").asInstanceOf[Long],
+        m("kept_cents").asInstanceOf[Long]))
+      .toDF("n_in", "n_error_type", "n_out_of_range", "n_kept", "kept_cents")
+  }
+  private val observedMetricsSql =
+    """SELECT count(*)::BIGINT AS n_in,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error_type,
+      |  CAST(sum(CASE WHEN event_type <> 'error' AND value > 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_range,
+      |  CAST(sum(CASE WHEN event_type <> 'error' AND value <= 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN event_type <> 'error' AND value <= 300.0
+      |        THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS kept_cents
+      |FROM events""".stripMargin
+
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    * split users into two deterministic arms (`user_id % 2` — the
+    * assignment an upstream system would supply), take each user's
+    * pre-period value mass as the covariate X and post-period mass as the
+    * metric Y, fit θ = cov(X,Y)/var(X) on the pooled population, and
+    * report per-arm mean Y alongside the CUPED-adjusted mean
+    * Y − θ·(X̄_arm − X̄). Pre-period behavior predicts post-period
+    * behavior, so subtracting the θ-scaled covariate removes the
+    * between-user variance component and tightens the effect estimate —
+    * the standard trick for shipping A/B readouts with ~half the sample.
+    *
+    * Exactness: all value mass in integer cents; θ and the means in 2^-20
+    * ticks with every division a truncating integer `div` evaluated in
+    * the SAME order by both engines (the tx40/tx45 convention), moment
+    * products accumulated in DECIMAL(38,0) (DuckDB: HUGEINT) so nothing
+    * overflows at any sf. Scale shape: one exchange on user_id for the
+    * per-user rollup, then a 2-row arm rollup and a 1-row moment rollup —
+    * both map-side-combined; θ broadcasts back as a literal row.
+    */
+  private def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val cut = ev.agg((min(col("ts")) + expr("INTERVAL 15 DAYS")).as("cutoff"))
+    val cents = (dec(col("value")) * 100).cast("long")
+    val per = ev.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < col("cutoff"), cents).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= col("cutoff"), cents).otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val d38 = "decimal(38,0)"
+    val moments = per.agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x")).cast(d38).as("sx"),
+      sum(col("y")).cast(d38).as("sy"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"))
+    val theta = moments.select(
+      expr("cast(coalesce(((n * sxy - sx * sy) * 1048576) div (n * sxx - sx * sx), 0) as bigint)")
+        .as("theta_ticks"),
+      expr("cast((sx * 1048576) div n as bigint)").as("mx_all_ticks"))
+    per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sx_a"), sum(col("y")).as("sy_a"))
+      .crossJoin(broadcast(theta))
+      .select(col("arm"), col("n_users"),
+        expr("(sy_a * cast(1048576 as bigint)) div n_users").as("mean_y_ticks"),
+        expr("(sx_a * cast(1048576 as bigint)) div n_users").as("mx_ticks"),
+        col("theta_ticks"), col("mx_all_ticks"))
+      .select(col("arm"), col("n_users"), col("mean_y_ticks"),
+        expr("mean_y_ticks - cast((cast(theta_ticks as decimal(38,0)) * (mx_ticks - mx_all_ticks)) div 1048576 as bigint)")
+          .as("mean_adj_ticks"),
+        col("theta_ticks"))
+      .orderBy(col("arm"))
+  }
+  private val cupedSql =
+    """WITH cut AS (SELECT min(ts) + INTERVAL 15 DAY AS cutoff FROM events),
+      |per AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < cutoff
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN ts >= cutoff
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      |  FROM events CROSS JOIN cut GROUP BY user_id),
+      |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy FROM per),
+      |th AS (SELECT
+      |    CAST(coalesce(((n * sxy - sx * sy) * 1048576) // (n * sxx - sx * sx), 0) AS BIGINT) AS theta_ticks,
+      |    CAST((sx * 1048576) // n AS BIGINT) AS mx_all_ticks FROM g),
+      |arms AS (
+      |  SELECT user_id % 2 AS arm, count(*)::BIGINT AS n_users,
+      |    CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a
+      |  FROM per GROUP BY 1)
+      |SELECT arm, n_users,
+      |  CAST((CAST(sy_a AS HUGEINT) * 1048576) // n_users AS BIGINT) AS mean_y_ticks,
+      |  CAST((CAST(sy_a AS HUGEINT) * 1048576) // n_users
+      |    - (CAST(theta_ticks AS HUGEINT)
+      |       * ((CAST(sx_a AS HUGEINT) * 1048576) // n_users - mx_all_ticks)) // 1048576
+      |    AS BIGINT) AS mean_adj_ticks,
+      |  theta_ticks
+      |FROM arms CROSS JOIN th ORDER BY arm""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev36_observed_metrics" -> QueryDef(observedMetrics, Some(observedMetricsSql)),
+    "ev37_cuped"           -> QueryDef(cuped, Some(cupedSql), benchmark = true),
     "gr08_modularity"      -> QueryDef(modularity, Some(modularitySql)),
     "gr10_hits"            -> QueryDef(hitsQ, Some(hitsSql), benchmark = true),
     "gr09_lpa_hubcap"      -> QueryDef(labelPropHubCap, Some(labelPropHubCapSql),

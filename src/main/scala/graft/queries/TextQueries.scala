@@ -305,6 +305,41 @@ object TextQueries {
       |  CAST(n_removed AS BIGINT) AS n_removed, text_dedup
       |FROM out ORDER BY doc_id""".stripMargin
 
+  /** Trigram CONTAINMENT near-dup pairs ([[Dedup.containmentPairs]]):
+    * |A∩B| / min(|A|,|B|) over word-3-grams — catches the subset
+    * duplicates Jaccard structurally misses (a short doc quoted whole
+    * inside a long aggregator page scores containment ~1.0 but Jaccard
+    * ~|short|/|long|). Run beside dd05 at the same maxDf cap: the pair
+    * set is a strict superset of dd05's at equal thresholds.
+    */
+  private def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables(spark, dir).documents, threshold = 0.9,
+        maxDf = 400L, shingles = tc => TextFunctions.wordNgrams(lower(tc), 3))
+      .orderBy(col("id_a"), col("id_b"))
+  private val dedupContainmentSql =
+    """WITH grams AS (
+      |  SELECT doc_id, g FROM (
+      |    SELECT DISTINCT doc_id, unnest(
+      |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |           ELSE list_transform(generate_series(1, len(toks) - 2),
+      |                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS g
+      |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+') AS toks
+      |          FROM documents) d) t
+      |  WHERE length(g) > 0),
+      |capped AS (
+      |  SELECT doc_id, g FROM grams
+      |  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) <= 400)),
+      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM capped GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common,
+      |  CAST(n_common AS DOUBLE) / CAST(least(sa.n_tok, sb.n_tok) AS DOUBLE) AS containment
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_common AS DOUBLE) / CAST(least(sa.n_tok, sb.n_tok) AS DOUBLE) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Word-trigram (n-gram) Jaccard near-dup pairs — same inverted-index
     * engine as dd02 but shingled on 3-word n-grams, which are sensitive to
     * word ORDER (token-set Jaccard is not): reordered near-copies score
@@ -4226,6 +4261,66 @@ object TextQueries {
     * per-source scalar. One tokenize pass: global counts roll up from
     * the per-source rollup, never from a second corpus scan.
     */
+  /** Marginal n-gram novelty curve: process sources in deterministic
+    * (alphabetical) order and attribute each distinct word-3-gram to the
+    * first source contributing it — "how much genuinely new content does
+    * each added source buy", the diminishing-returns diagnostic a data-
+    * acquisition team reads before licensing the next corpus (novelty
+    * complements tx45's KL divergence: KL says *different distribution*,
+    * novelty says *new content*). `novelty_ticks` = fraction of the
+    * source's own distinct grams that are first-seen-here, in 2^-20 ticks.
+    *
+    * Scale shape: ONE corpus-sized exchange — the (gram, source) distinct
+    * rollup, map-side-combined — then everything downstream is
+    * vocabulary-sized (first-source attribution keyed by gram) or
+    * |sources|-sized (the rollups and the cumulative window). The
+    * single-partition window is over ≤ |sources| rows, a constant.
+    */
+  private def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val grams = docs.select(col("source"),
+        explode(TextFunctions.wordNgrams(
+          lower(coalesce(col("text"), lit(""))), 3)).as("g"))
+      .where(length(col("g")) > 0)
+    val sg = grams.select(col("source"), col("g")).distinct()
+    val news = sg.groupBy(col("g")).agg(min(col("source")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("new_grams"))
+    val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("src_grams"))
+    tot.join(news, Seq("source"), "left")
+      .select(col("source"), col("src_grams"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      .withColumn("cum_grams",
+        sum(col("new_grams")).over(Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("novelty_ticks",
+        expr("(new_grams * cast(1048576 as bigint)) div src_grams"))
+      .orderBy(col("source"))
+  }
+  private val ngramNoveltySql =
+    """WITH grams AS (
+      |  SELECT source, g FROM (
+      |    SELECT source, unnest(
+      |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |           ELSE list_transform(generate_series(1, len(toks) - 2),
+      |                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS g
+      |    FROM (SELECT source, string_split_regex(
+      |            trim(lower(coalesce(text, ''))), '[\t\n\x0B\f\r ]+') AS toks
+      |          FROM documents) d) t
+      |  WHERE length(g) > 0),
+      |sg AS (SELECT DISTINCT source, g FROM grams),
+      |news AS (
+      |  SELECT source, count(*)::BIGINT AS new_grams
+      |  FROM (SELECT g, min(source) AS source FROM sg GROUP BY g) f
+      |  GROUP BY source),
+      |tot AS (SELECT source, count(*)::BIGINT AS src_grams FROM sg GROUP BY source)
+      |SELECT t.source, t.src_grams,
+      |  coalesce(n.new_grams, 0)::BIGINT AS new_grams,
+      |  CAST(sum(coalesce(n.new_grams, 0)) OVER (ORDER BY t.source) AS BIGINT) AS cum_grams,
+      |  (coalesce(n.new_grams, 0)::BIGINT * 1048576) // t.src_grams AS novelty_ticks
+      |FROM tot t LEFT JOIN news n USING (source)
+      |ORDER BY source""".stripMargin
+
   private def sourceKl(spark: SparkSession, dir: String): DataFrame = {
     import Unigram.{l2fp => lg}
     val toks = Tables(spark, dir).documents
@@ -4339,6 +4434,7 @@ object TextQueries {
   val defs: Map[String, QueryDef] = Map(
     "tx44_modern_pipeline"    -> QueryDef(modernPipeline, Some(modernPipelineSql), benchmark = true),
     "tx45_source_kl"          -> QueryDef(sourceKl, Some(sourceKlSql), benchmark = true),
+    "tx48_ngram_novelty"      -> QueryDef(ngramNovelty, Some(ngramNoveltySql), benchmark = true),
     "tx46_threshold_prune"    -> QueryDef(thresholdPrune, Some(thresholdPruneSql), benchmark = true),
     "tx47_epoch_allocation"   -> QueryDef(epochAllocation, Some(epochAllocationSql)),
     "tx43_repetition_score"   -> QueryDef(repetitionScore, Some(repetitionScoreSql), benchmark = true),
@@ -4371,6 +4467,7 @@ object TextQueries {
     "dd03_minhash_pairs"     -> QueryDef(dedupMinhash, Some(dedupMinhashSql), benchmark = true),
     "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
+    "dd18_containment_dedup" -> QueryDef(dedupContainment, Some(dedupContainmentSql), benchmark = true),
     "dd11_span_dedup"        -> QueryDef(dedupSpansQ, Some(dedupSpansSql), benchmark = true),
     "dd16_substring_dedup"   -> QueryDef(dedupSubstringsQ, Some(dedupSubstringsSql), benchmark = true),
     "dd17_index_compaction"  -> QueryDef(indexCompaction, Some(dedupIncrementalSql)),

@@ -87,6 +87,66 @@ object VectorQueries {
     Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb, k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
+  /** Retrieval-quality audit ([[Similarity.labeledTopK]]): hits, MRR and
+    * log2-discounted DCG at k=10 over the first 50 query vectors, with
+    * label-match relevance, rolled up per query label — the offline eval
+    * an embedding-training pipeline runs after every checkpoint. All
+    * metrics are integer 2^-20 ticks; the DCG discount reuses the ONE
+    * shared fixed-point log2 ([[TextQueries.Unigram.l2fp]], the unigram /
+    * temperature-mix contract), so per-label sums hash-match DuckDB
+    * bit-exactly. Plan: one corpus scan (queries broadcast, TopKPerKey
+    * heaps bound the ranking exchange), then two tiny rollups — the
+    * metric stage is |queries|-sized regardless of corpus size.
+    */
+  private def annRetrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import TextQueries.Unigram.{Fp, l2fp}
+    val emb = Tables(spark, dir).embeddings
+    val ranked = Similarity.labeledTopK(emb.where(col("vec_id") < 50), emb, k = 10)
+    val rel = col("q_label") === col("n_label")
+    val perQ = ranked.groupBy(col("query_id"), col("q_label"))
+      .agg(
+        sum(when(rel, lit(1L)).otherwise(lit(0L))).as("hits"),
+        min(when(rel, col("rank").cast("long"))).as("first_rel"),
+        sum(when(rel,
+            expr(s"cast(${Fp * Fp} as bigint) div ${l2fp("cast(rank + 1 as bigint)")}"))
+          .otherwise(lit(0L))).as("dcg_ticks"))
+    perQ
+      .select(col("q_label"), col("hits"), col("dcg_ticks"),
+        expr(s"coalesce(cast($Fp as bigint) div first_rel, cast(0 as bigint))").as("rr"))
+      .groupBy(col("q_label"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("hits"),
+        expr("sum(rr) div count(1)").as("mrr_ticks"),
+        expr("sum(dcg_ticks) div count(1)").as("dcg_ticks"))
+      .select(col("q_label").as("label"), col("n_queries"), col("hits"),
+        col("mrr_ticks"), col("dcg_ticks"))
+      .orderBy(col("label"))
+  }
+  private val annRetrievalMetricsSql = {
+    import TextQueries.Unigram.l2fpSql
+    s"""WITH ranked AS (
+       |  SELECT query_id, q_label, rank, n_label FROM (
+       |    SELECT q.vec_id AS query_id, q.label AS q_label, c.label AS n_label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 50) t
+       |  WHERE rank <= 10),
+       |perq AS (
+       |  SELECT query_id, q_label,
+       |    CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |    CAST(min(CASE WHEN n_label = q_label THEN rank END) AS BIGINT) AS first_rel,
+       |    CAST(sum(CASE WHEN n_label = q_label
+       |      THEN 1099511627776 // (${l2fpSql("((rank + 1)::BIGINT)")})
+       |      ELSE 0 END) AS BIGINT) AS dcg_ticks
+       |  FROM ranked GROUP BY 1, 2)
+       |SELECT q_label AS label, count(*)::BIGINT AS n_queries,
+       |  CAST(sum(hits) AS BIGINT) AS hits,
+       |  CAST(sum(coalesce(1048576 // first_rel, 0)) AS BIGINT) // count(*) AS mrr_ticks,
+       |  CAST(sum(dcg_ticks) AS BIGINT) // count(*) AS dcg_ticks
+       |FROM perq GROUP BY q_label ORDER BY label""".stripMargin
+  }
+
   /** Class-separation margin audit ([[Similarity.classMarginAudit]]):
     * per-label centroid cosines in integer 2^-20 ticks — own-label vs
     * best other-label — with margin-violation counts. The oracle rebuilds
@@ -814,6 +874,7 @@ object VectorQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "ann19_retrieval_metrics" -> QueryDef(annRetrievalMetrics, Some(annRetrievalMetricsSql), benchmark = true),
     "ann18_class_margin"    -> QueryDef(annClassMargin, Some(annClassMarginSql), benchmark = true),
     "ann17_hard_negatives"  -> QueryDef(annHardNeg, Some(annHardNegSql), benchmark = true),
     "ann16_kmeans_curve"    -> QueryDef(annKmeansCurve, Some(annKmeansCurveSql), benchmark = true),

@@ -51,6 +51,23 @@ class DedupSpec extends SparkSpec {
     assert(tok == Set((1L, 2L), (1L, 3L), (2L, 3L))) // token set ignores order
   }
 
+  test("containment catches the subset duplicate that jaccard misses") {
+    // doc 2 embeds doc 1 whole inside 20 tokens of filler: containment
+    // |A∩B|/min = 5/5 = 1.0, jaccard = 5/25 = 0.2
+    val filler = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, s"alpha beta gamma delta epsilon $filler"),
+      (3L, "zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, threshold = 0.95)
+      .select($"id_a", $"id_b", $"containment").as[(Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.jaccardPairs(d, threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(jac.isEmpty, "jaccard at 0.8 structurally misses the quotation pair")
+  }
+
   test("minhash signature is deterministic and length k") {
     val sigs = docs.where($"doc_id" <= 2)
       .select(Dedup.minhashSignature($"text", 16)).as[Seq[Long]].collect()

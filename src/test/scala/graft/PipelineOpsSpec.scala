@@ -178,6 +178,35 @@ class PipelineOpsSpec extends SparkSpec {
       "a count-min sketch can only overcount")
   }
 
+  test("tx48: novelty partitions the gram vocabulary along the source order") {
+    val out = SparkEntry.allDefs("tx48_ngram_novelty").fn(spark, sf0001)
+      .select($"source", $"src_grams", $"new_grams", $"cum_grams", $"novelty_ticks")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted)
+    // the alphabetically-first source has never seen anything: all new
+    assert(out.head._3 == out.head._2 && out.head._5 == (1L << 20))
+    // first-source attribution partitions the distinct-gram vocabulary:
+    // cumulative new_grams is a running total ending at the exact sum
+    assert(out.last._4 == out.map(_._3).sum)
+    out.foreach { case (s, src, nw, _, ticks) =>
+      assert(nw <= src && ticks >= 0 && ticks <= (1L << 20), s)
+    }
+  }
+
+  test("ann19: retrieval metrics cover all 50 queries with bounded ticks") {
+    val out = SparkEntry.allDefs("ann19_retrieval_metrics").fn(spark, sf0001)
+      .select($"label", $"n_queries", $"hits", $"mrr_ticks", $"dcg_ticks")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == 50)
+    out.foreach { case (l, n, hits, mrr, dcg) =>
+      assert(hits <= n * 10, s"label $l: more hits than ranked slots")
+      assert(mrr >= 0 && mrr <= (1L << 20), s"label $l: MRR outside [0,1] ticks")
+      // per-query DCG is at most k=10 relevant slots' undiscounted mass
+      assert(dcg >= 0 && dcg <= 10L * (1L << 20), s"label $l: DCG out of range")
+    }
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),

@@ -66,6 +66,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("labeledTopK: bruteForceTopK's ranking with both labels carried through") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 7),
+      (1L, Seq(0.99f, 0.01f), 7),
+      (2L, Seq(0.9f, 0.1f), 3),
+      (3L, Seq(0.5f, 0.5f), 4)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labeledTopK(emb.where($"vec_id" === 0), emb, k = 3)
+      .select($"rank", $"neighbor_id", $"q_label", $"n_label")
+      .as[(Int, Long, Int, Int)].collect().sortBy(_._1)
+    assert(r.map(_._2).toSeq == Seq(1L, 2L, 3L))       // exact cosine order
+    assert(r.forall(_._3 == 7))                        // query label carried
+    assert(r.map(_._4).toSeq == Seq(7, 3, 4))          // neighbor labels carried
+  }
+
+  test("ann19 retrieval metrics: hand-computed MRR/DCG ticks on a known ranking") {
+    // query 0 (label 7): rank1 = id1 (label 3, miss), rank2 = id2 (label 7,
+    // hit), rank3 = id3 (label 3, miss) -> hits=1, rr = 2^20 div 2,
+    // dcg = 2^40 div l2fp(3) with l2fp(3) = 3*2^20/2 (exact interpolation)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 7),
+      (1L, Seq(0.99f, 0.01f), 3),
+      (2L, Seq(0.9f, 0.1f), 7),
+      (3L, Seq(0.5f, 0.5f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val ranked = Similarity.labeledTopK(emb.where($"vec_id" === 0), emb, k = 3)
+    val rel = $"q_label" === $"n_label"
+    val fp = 1L << 20
+    val r = ranked.groupBy($"query_id")
+      .agg(
+        sum(when(rel, 1L).otherwise(0L)).as("hits"),
+        min(when(rel, $"rank".cast("long"))).as("first_rel"),
+        sum(when(rel, expr("cast(1099511627776 as bigint) div " +
+            graft.queries.TextQueries.Unigram.l2fp("cast(rank + 1 as bigint)")))
+          .otherwise(0L)).as("dcg"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((0L, 1L, 2L, 1099511627776L / (3L * fp / 2))))
+  }
+
   test("classMarginAudit: separated labels have zero violations; a mislabel is flagged") {
     // labels 0 and 1 live on orthogonal axes; vec 4 carries label 1 but
     // points along label 0's axis — exactly one violation, on label 1
