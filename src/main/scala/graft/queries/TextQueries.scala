@@ -3945,6 +3945,55 @@ object TextQueries {
        |FROM feat, w$Rounds ORDER BY doc_id""".stripMargin
   }
 
+  /** tx49: classifier calibration curve — the reliability diagram every
+    * deployed scorer needs before its scores gate a corpus: bucket the
+    * tx40 model's predicted probability into 10 equal bins and compare,
+    * per bin, the mean predicted score against the observed positive
+    * fraction (both in 2^-20 ticks), plus the bin's |gap|·n expected-
+    * calibration-error numerator (ECE = Σ ece_num / (n·2^20)). A model
+    * can hold 95% accuracy while being badly mis-calibrated, and a
+    * mis-calibrated scorer makes tx46-style threshold pruning mean
+    * something different at every cut point — this query is the check.
+    * Composition gate: the oracle embeds [[logRegTowerSql]] verbatim
+    * (the third judged composition of the ONE trained model, after tx40
+    * and tx42), so the gate pins the binning/ECE arithmetic, not
+    * re-derived training. Scale: scoring is row-local on the feature
+    * frame; the rollup output is ≤ 10 rows.
+    */
+  private def calibrationCurve(spark: SparkSession, dir: String): DataFrame = {
+    import LogReg._
+    val (_, feat, wR) = logRegTrain(spark, dir)
+    logRegScore(feat, wR)
+      .select(col("label"), col("score_fp"),
+        expr(s"least(score_fp * 10 div $Fp, cast(9 as bigint))").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+        expr("sum(score_fp) div count(1)").as("mean_score_ticks"),
+        expr(s"(sum(label) * $Fp) div count(1)").as("frac_pos_ticks"))
+      .withColumn("ece_num",
+        expr("abs(mean_score_ticks - frac_pos_ticks) * n"))
+      .orderBy(col("bin"))
+  }
+  private val calibrationCurveSql: String = {
+    import LogReg._
+    s"""WITH $logRegTowerSql,
+       |scored AS (
+       |  SELECT y AS label, ${sigSql(s"($marginSql)")} AS score_fp
+       |  FROM feat, w$Rounds),
+       |binned AS (
+       |  SELECT label, score_fp,
+       |    least(score_fp * 10 // $Fp, 9) AS bin FROM scored),
+       |bins AS (
+       |  SELECT bin, count(*)::BIGINT AS n,
+       |    CAST(sum(label) AS BIGINT) AS n_pos,
+       |    CAST(sum(score_fp) // count(*) AS BIGINT) AS mean_score_ticks,
+       |    CAST((sum(label) * $Fp) // count(*) AS BIGINT) AS frac_pos_ticks
+       |  FROM binned GROUP BY bin)
+       |SELECT bin, n, n_pos, mean_score_ticks, frac_pos_ticks,
+       |  abs(mean_score_ticks - frac_pos_ticks) * n AS ece_num
+       |FROM bins ORDER BY bin""".stripMargin
+  }
+
   /** tx42: classifier-filtered curation — the FineWeb-Edu shape (Penedo
     * et al. 2024, public): a TRAINED quality classifier, not hard rules,
     * decides what survives, and the kept corpus is reported per source
@@ -4441,6 +4490,7 @@ object TextQueries {
     "tx41_sequence_packing"   -> QueryDef(sequencePacking, Some(sequencePackingSql), benchmark = true),
     "tx40_quality_classifier" -> QueryDef(qualityClassifier, Some(qualityClassifierSql), benchmark = true),
     "tx42_classifier_curation" -> QueryDef(classifierCuration, Some(classifierCurationSql), benchmark = true),
+    "tx49_calibration_curve"  -> QueryDef(calibrationCurve, Some(calibrationCurveSql), benchmark = true),
     "tx28_dsir_select"       -> QueryDef(dsirSelect, Some(dsirSelectSql), benchmark = true),
     "tx29_quality_prune"     -> QueryDef(qualityPrune, Some(qualityPruneSql)),
     "tx30_priority_sample"   -> QueryDef(prioritySample, Some(prioritySampleSql), benchmark = true),

@@ -87,6 +87,63 @@ object VectorQueries {
     Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb, k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
+  /** Embedding drift monitor: per-label centroid cosine between the two
+    * vec_id-parity halves of the corpus (the stand-in for "last epoch vs
+    * this epoch" — in production the split key is the ingest batch). A
+    * drift tick far below 2^20 on a label says its embedding
+    * distribution moved between cohorts — re-index / re-train signal.
+    * Unlike ann18 nothing is collected or literalized: centroids are
+    * compared only to EACH OTHER, so the whole query is declarative —
+    * one map-side-expanded (label, half, dim) integer rollup (output ≤
+    * |labels|·2·dims rows at any corpus size), centroid arrays
+    * re-assembled in dim order, and the ann18-verified left-fold cosine
+    * (bit-identical to DuckDB's list_cosine_similarity) per label.
+    */
+  private def annCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val qs = 1048576L
+    val emb = Tables(spark, dir).embeddings
+    val sums = emb
+      .select(col("label").cast("int").as("label"),
+        pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("label"), col("half"), col("pos").as("dim"),
+        floor(col("col") * qs + lit(0.5)).cast("long").as("q"))
+      .groupBy(col("label"), col("half"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val cents = sums
+      .select(col("label"), col("half"), col("dim"), col("n"),
+        (col("s").cast("double") / col("n").cast("double") / qs).as("c"))
+      .groupBy(col("label"), col("half"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("cv"),
+        first(col("n")).as("nv"))
+    cents.where(col("half") === 0)
+      .select(col("label"), col("cv").as("cva"), col("nv").as("n_a"))
+      .join(cents.where(col("half") === 1)
+        .select(col("label"), col("cv").as("cvb"), col("nv").as("n_b")), "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        floor(Similarity.cosine(col("cva"), col("cvb")) * qs).cast("long")
+          .as("drift_ticks"))
+      .orderBy(col("label"))
+  }
+  private val annCentroidDriftSql =
+    """WITH v AS (SELECT vec_id, label, vec_id % 2 AS half,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dims AS (SELECT label, half, unnest(generate_series(1, len(v))) AS dim, v FROM v),
+      |qsum AS (SELECT label, half, dim,
+      |    CAST(sum(CAST(floor(v[dim] * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+      |    count(*) AS n
+      |  FROM dims GROUP BY 1, 2, 3),
+      |cent AS (SELECT label, half,
+      |    list(CAST(s AS DOUBLE) / n / 1048576.0 ORDER BY dim) AS c,
+      |    max(n) AS nv
+      |  FROM qsum GROUP BY 1, 2)
+      |SELECT a.label, CAST(a.nv AS BIGINT) AS n_a, CAST(b.nv AS BIGINT) AS n_b,
+      |  CAST(floor(list_cosine_similarity(a.c, b.c) * 1048576) AS BIGINT) AS drift_ticks
+      |FROM cent a JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1
+      |ORDER BY a.label""".stripMargin
+
   /** Retrieval-quality audit ([[Similarity.labeledTopK]]): hits, MRR and
     * log2-discounted DCG at k=10 over the first 50 query vectors, with
     * label-match relevance, rolled up per query label — the offline eval
@@ -875,6 +932,7 @@ object VectorQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "ann19_retrieval_metrics" -> QueryDef(annRetrievalMetrics, Some(annRetrievalMetricsSql), benchmark = true),
+    "ann20_centroid_drift"  -> QueryDef(annCentroidDrift, Some(annCentroidDriftSql), benchmark = true),
     "ann18_class_margin"    -> QueryDef(annClassMargin, Some(annClassMarginSql), benchmark = true),
     "ann17_hard_negatives"  -> QueryDef(annHardNeg, Some(annHardNegSql), benchmark = true),
     "ann16_kmeans_curve"    -> QueryDef(annKmeansCurve, Some(annKmeansCurveSql), benchmark = true),

@@ -207,6 +207,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann20: drift ticks are exact on hand-built identical/orthogonal cohorts") {
+    // label 0: the two halves' centroids are orthogonal basis vectors ->
+    // cosine exactly 0.0; label 1: identical basis vectors -> exactly 1.0
+    // (basis vectors make the sqrt round-trip exact, so the pins are
+    // bit-deterministic, not approximate)
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f), 0),
+      (2L, Seq(1.0f, 0.0f), 1), (3L, Seq(1.0f, 0.0f), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.allDefs("ann20_centroid_drift").fn(spark, dir)
+      .select($"label", $"n_a", $"n_b", $"drift_ticks")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0, 1L, 1L, 0L), (1, 1L, 1L, 1L << 20)))
+  }
+
+  test("tx49: calibration bins partition the corpus; ECE numerator closes") {
+    val fp = 1L << 20
+    val out = SparkEntry.allDefs("tx49_calibration_curve").fn(spark, sf0001)
+      .select($"bin", $"n", $"n_pos", $"mean_score_ticks", $"frac_pos_ticks", $"ece_num")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.nonEmpty && out.forall(b => b._1 >= 0 && b._1 <= 9))
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(out.map(_._2).sum == nDocs, "every doc lands in exactly one bin")
+    out.foreach { case (bin, n, nPos, ms, fpos, ece) =>
+      assert(nPos <= n, s"bin $bin")
+      assert(ms >= bin * fp / 10 && ms <= (bin + 1) * fp / 10 + 1,
+        s"bin $bin mean score outside its bucket")
+      assert(fpos >= 0 && fpos <= fp, s"bin $bin")
+      assert(ece == math.abs(ms - fpos) * n, s"bin $bin ECE accounting")
+    }
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),
