@@ -2067,7 +2067,46 @@ object Events {
       |  theta_ticks
       |FROM arms CROSS JOIN th ORDER BY arm""".stripMargin
 
+  /** k-anonymity audit (k = 5) — the data-governance gate before an
+    * event table leaves the trust boundary: rows are grouped by their
+    * quasi-identifier tuple (event_type, day, value decade — the columns
+    * an adversary could join against an external dataset) and any group
+    * smaller than k marks its rows re-identifiable. Reports, per event
+    * type: total rows, QI-group count, under-k group count, rows at
+    * risk, and the worst (smallest) group — the table a privacy review
+    * reads to decide between release, coarser bucketing, or suppression.
+    * Scale: one map-side-combined exchange on the QI tuple (output ≤
+    * |QI domain| rows), then a |event_type|-sized rollup.
+    */
+  private def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") / 10).cast("long").as("vb"))
+      .groupBy(col("event_type"), col("day"), col("vb"))
+      .agg(count(lit(1)).as("gs"))
+    groups.groupBy(col("event_type"))
+      .agg(sum(col("gs")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("gs") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("gs") < 5, col("gs")).otherwise(0L)).as("rows_at_risk"),
+        min(col("gs")).as("min_group_size"))
+      .orderBy(col("event_type"))
+  }
+  private val kAnonymitySql =
+    """WITH qi AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value / 10) AS BIGINT) AS vb FROM events),
+      |g AS (SELECT event_type, day, vb, count(*)::BIGINT AS gs
+      |      FROM qi GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(sum(gs) AS BIGINT) AS n_rows,
+      |  count(*)::BIGINT AS n_groups,
+      |  CAST(sum(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+      |  CAST(sum(CASE WHEN gs < 5 THEN gs ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      |  CAST(min(gs) AS BIGINT) AS min_group_size
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev38_kanonymity"      -> QueryDef(kAnonymity, Some(kAnonymitySql)),
     "ev36_observed_metrics" -> QueryDef(observedMetrics, Some(observedMetricsSql)),
     "ev37_cuped"           -> QueryDef(cuped, Some(cupedSql), benchmark = true),
     "gr08_modularity"      -> QueryDef(modularity, Some(modularitySql)),

@@ -3316,7 +3316,8 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val (unigramTrainSql, unigramEncodeSql, unigramScoreSql) = {
+  private val (unigramTrainSql, unigramEncodeSql, unigramScoreSql,
+      unigramFertilitySql) = {
     val pat =
       """''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\x0B\f\r ]+|[\t\n\x0B\f\r ]+"""
     val (wsFromSql, wsToSql) = (Unigram.WsFromSql, Unigram.WsToSql)
@@ -3452,7 +3453,55 @@ object TextQueries {
          |FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id
          |  LEFT JOIN segs USING (w)
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
-    (train, encode, score)
+    val fertility =
+      s"""$ctes,
+         |${estep("wn", "pl2", "e3")},
+         |segs AS (
+         |  SELECT w, CAST(len(pieces) AS BIGINT) AS np FROM e3),
+         |dt AS (
+         |  SELECT lang, translate(p0, $wsFromSql, $wsToSql) AS w
+         |  FROM (SELECT lang, unnest(regexp_extract_all(text, '$pat')) AS p0
+         |        FROM documents))
+         |SELECT lang,
+         |  CAST(count(dt.w) AS BIGINT) AS n_pretokens,
+         |  CAST(count(dt.w) - count(np) AS BIGINT) AS n_oov,
+         |  CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pieces,
+         |  CAST((coalesce(sum(np), 0) * ${Unigram.Fp})
+         |       // greatest(count(np), 1) AS BIGINT) AS fertility_ticks
+         |FROM dt LEFT JOIN segs USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    (train, encode, score, fertility)
+  }
+
+  /** tx50: per-language tokenizer fertility — pieces emitted per in-vocab
+    * pretoken under the tx35-trained unigram model, the metric tokenizer
+    * teams read before shipping a vocabulary (a language at fertility
+    * 2–3× the corpus median pays that multiple in sequence length, cost
+    * and effective context for the SAME text — the classic under-served-
+    * language signal). Composition gate on the ONE unigram tower (the
+    * oracle embeds tx35–37's CTEs verbatim; fourth judged consumer):
+    * documents explode to pretokens, join the broadcast vocabulary-sized
+    * segmentation table, roll up per lang — ids and ints only past the
+    * scan, output ≤ |langs| rows. OOV pretokens are counted but not
+    * scored (tx37's declared contract).
+    */
+  private def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (_, esteps) = unigramChain(spark, dir, rounds = 2)
+    val segs = esteps.last
+      .select(col("w"), size(col("pieces")).cast("long").as("np"))
+    Tables(spark, dir).documents
+      .select(col("lang"),
+        explode(TextFunctions.pretokenize(col("text"))).as("p0"))
+      .select(col("lang"),
+        translate(col("p0"), Unigram.WsFrom, Unigram.WsTo).as("w"))
+      .join(broadcast(segs), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(count(col("w")).as("n_pretokens"),
+        (count(col("w")) - count(col("np"))).as("n_oov"),
+        coalesce(sum(col("np")), lit(0L)).as("n_pieces"))
+      .withColumn("fertility_ticks",
+        expr(s"(n_pieces * ${Unigram.Fp}) div greatest(n_pretokens - n_oov, 1)"))
+      .orderBy(col("lang"))
   }
 
   /** CCNet perplexity bucketing (Wenzek et al. 2020 — the deployment
@@ -4498,6 +4547,7 @@ object TextQueries {
     "tx35_unigram_train"     -> QueryDef(unigramTrain, Some(unigramTrainSql), benchmark = true),
     "tx36_unigram_encode"    -> QueryDef(unigramEncode, Some(unigramEncodeSql), benchmark = true),
     "tx37_unigram_score"     -> QueryDef(unigramScore, Some(unigramScoreSql), benchmark = true),
+    "tx50_tokenizer_fertility" -> QueryDef(tokenizerFertility, Some(unigramFertilitySql), benchmark = true),
     "tx32_bpe_encode"        -> QueryDef(bpeEncode, Some(bpeEncodeSql), benchmark = true),
     "tx33_ccnet_buckets"     -> QueryDef(ccnetBuckets, Some(ccnetBucketsSql), benchmark = true),
     "tx34_leakage_safe_split" -> QueryDef(leakageSafeSplit, Some(leakageSafeSplitSql), benchmark = true),

@@ -241,6 +241,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("tx50: fertility is >= one piece per scored pretoken and OOV accounting closes") {
+    val fp = 1L << 20
+    val out = SparkEntry.allDefs("tx50_tokenizer_fertility").fn(spark, sf0001)
+      .select($"lang", $"n_pretokens", $"n_oov", $"n_pieces", $"fertility_ticks")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (lang, np, oov, pieces, fert) =>
+      assert(oov >= 0 && oov <= np, lang)
+      assert(pieces >= np - oov, s"$lang: every scored pretoken has >= 1 piece")
+      assert(fert >= fp, s"$lang: fertility below 1.0")
+    }
+    // the 2..8-char vocabulary can't cover everything: someone pays > 1
+    assert(out.exists(_._5 > fp), "a non-degenerate corpus has fertility > 1.0")
+  }
+
+  test("ev38: k-anonymity accounting closes and flags the planted singleton") {
+    // 6 identical-QI rows (one group of 6, safe at k=5) + 1 singleton QI
+    val day = 86400L * 1000000L
+    val rows = (0L until 6L).map(i => (i, 0L * day, i, "view", 11.0, "{}")) :+
+      ((99L, 0L * day, 99L, "view", 91.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kanon").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.allDefs("ev38_kanonymity").fn(spark, dir)
+      .select($"event_type", $"n_rows", $"n_groups", $"n_small_groups",
+        $"rows_at_risk", $"min_group_size")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("view", 7L, 2L, 1L, 1L, 1L)))
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),
