@@ -1292,7 +1292,34 @@ object StreamQueries {
        |WHERE s.q >= t.q_thresh
        |ORDER BY s.doc_id""".stripMargin
 
+  /** st32: streaming embedding-drift monitor — ann20 deployed as the
+    * always-on shape: baseline per-label centroids come from the OFFLINE
+    * cohort (even vec_id parity, standing in for "last epoch"); the new
+    * cohort ARRIVES as a stream whose ONLY streaming state is the
+    * (label, dim) integer moment rollup ([[VectorQueries.centroidMoments]]
+    * as a Complete-mode streaming aggregation) — state bounded by
+    * |labels|·dims at ANY corpus size, the streaming analog of tx46's
+    * domain-bounded exchange, so the monitor runs forever without state
+    * growth. Once the stream drains, the arriving centroids are
+    * assembled and compared with the same fold arithmetic; gate =
+    * ann20's oracle VERBATIM (offline monitor ≡ streamed monitor).
+    */
+  private def streamCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.core.Tables(spark, dir).embeddings
+    val base = VectorQueries.centroidMoments(
+      emb.where(pmod(col("vec_id"), lit(2L)) === 0))
+    val arriving = StreamOps.parquetStream(spark, dir, "embeddings.parquet")
+      .where(pmod(col("vec_id"), lit(2L)) === 1)
+    val streamed = StreamOps.runToMemory(spark,
+      VectorQueries.centroidMoments(arriving),
+      s"graft_stream_drift_${System.nanoTime()}")
+    VectorQueries.driftJoin(
+      VectorQueries.centroidFrame(base), VectorQueries.centroidFrame(streamed))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "st32_stream_drift_monitor" -> QueryDef(streamCentroidDrift,
+      Some(VectorQueries.annCentroidDriftSql), benchmark = true),
     "st31_stream_index_ingest" -> QueryDef(streamIndexIngest,
       Some(TextQueries.dedupIncrementalSql), benchmark = true),
     "st30_stream_threshold_prune" -> QueryDef(streamThresholdPrune,

@@ -99,35 +99,51 @@ object VectorQueries {
     * re-assembled in dim order, and the ann18-verified left-fold cosine
     * (bit-identical to DuckDB's list_cosine_similarity) per label.
     */
-  private def annCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
-    val qs = 1048576L
-    val emb = Tables(spark, dir).embeddings
-    val sums = emb
-      .select(col("label").cast("int").as("label"),
-        pmod(col("vec_id"), lit(2L)).as("half"),
+  /** (label, dim) → exact integer centroid moments (quantized sum +
+    * count) of an embedding frame — the domain-bounded rollup both the
+    * batch (ann20) and streaming (st32) drift monitors reduce a cohort
+    * to; output ≤ |labels|·dims rows at any corpus size, and as a
+    * STREAMING aggregation its state is bounded the same way.
+    */
+  private[queries] def centroidMoments(df: DataFrame): DataFrame =
+    df.select(col("label").cast("int").as("label"),
         posexplode(col("embedding").cast("array<double>")))
-      .select(col("label"), col("half"), col("pos").as("dim"),
-        floor(col("col") * qs + lit(0.5)).cast("long").as("q"))
-      .groupBy(col("label"), col("half"), col("dim"))
+      .select(col("label"), col("pos").as("dim"),
+        floor(col("col") * lit(1048576L) + lit(0.5)).cast("long").as("q"))
+      .groupBy(col("label"), col("dim"))
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-    val cents = sums
-      .select(col("label"), col("half"), col("dim"), col("n"),
-        (col("s").cast("double") / col("n").cast("double") / qs).as("c"))
-      .groupBy(col("label"), col("half"))
+
+  /** Moments → per-label dim-ordered centroid array (the s/n/2^20 double
+    * fold shared with ann18's arithmetic) + cohort size. */
+  private[queries] def centroidFrame(moments: DataFrame): DataFrame =
+    moments.select(col("label"), col("dim"), col("n"),
+        (col("s").cast("double") / col("n").cast("double") / lit(1048576L).cast("double")).as("c"))
+      .groupBy(col("label"))
       .agg(
         transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           s => s.getField("c")).as("cv"),
         first(col("n")).as("nv"))
-    cents.where(col("half") === 0)
-      .select(col("label"), col("cv").as("cva"), col("nv").as("n_a"))
-      .join(cents.where(col("half") === 1)
-        .select(col("label"), col("cv").as("cvb"), col("nv").as("n_b")), "label")
+
+  /** Per-label drift ticks between two centroid frames (left fold cosine
+    * — bit-identical to DuckDB's list_cosine_similarity). */
+  private[queries] def driftJoin(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("label"), col("cv").as("cva"), col("nv").as("n_a"))
+      .join(b.select(col("label"), col("cv").as("cvb"), col("nv").as("n_b")), "label")
       .select(col("label"), col("n_a"), col("n_b"),
-        floor(Similarity.cosine(col("cva"), col("cvb")) * qs).cast("long")
+        floor(Similarity.cosine(col("cva"), col("cvb")) * lit(1048576L)).cast("long")
           .as("drift_ticks"))
       .orderBy(col("label"))
+
+  private def annCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    def half(h: Int) = emb.where(pmod(col("vec_id"), lit(2L)) === h)
+    // the two cohorts' moment rollups are IDENTICAL exchange subtrees up
+    // to the parity filter; at 100 TB the split key is the ingest batch
+    // and each cohort is its own (much smaller) scan
+    driftJoin(centroidFrame(centroidMoments(half(0))),
+      centroidFrame(centroidMoments(half(1))))
   }
-  private val annCentroidDriftSql =
+  private[queries] val annCentroidDriftSql =
     """WITH v AS (SELECT vec_id, label, vec_id % 2 AS half,
       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |dims AS (SELECT label, half, unnest(generate_series(1, len(v))) AS dim, v FROM v),

@@ -222,6 +222,12 @@ class PipelineOpsSpec extends SparkSpec {
       .select($"label", $"n_a", $"n_b", $"drift_ticks")
       .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((0, 1L, 1L, 0L), (1, 1L, 1L, 1L << 20)))
+    // st32 is the same monitor with the odd cohort arriving as a stream:
+    // bit-identical output on the same planted corpus
+    val streamed = SparkEntry.allDefs("st32_stream_drift_monitor").fn(spark, dir)
+      .select($"label", $"n_a", $"n_b", $"drift_ticks")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.toSeq == out.toSeq)
   }
 
   test("tx49: calibration bins partition the corpus; ECE numerator closes") {
