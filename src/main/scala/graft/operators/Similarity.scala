@@ -550,6 +550,66 @@ object Similarity {
         (-col("cos")).as("nc"), col("neighbor_id")))), 1, k).as("top"))
   }
 
+  /** IVF operating curve — recall@k and scanned-candidate volume as
+    * `nProbe` sweeps: the tuning table an ANN deployment reads to pick
+    * its latency/recall point (the per-index analog of ann16's k-means
+    * convergence curve). ONE corpus cell-assignment and ONE candidate
+    * scoring pass at the LARGEST probe count serve every swept point:
+    * each candidate carries the probe rank `rn` of its cell, a probe
+    * config keeps the candidates with `rn <= p`, and the per-config
+    * top-k is a window over the shared scored stream — no per-config
+    * corpus scan, no re-scoring. Ground truth is [[bruteForceTopK]];
+    * output is one row per swept probe count, integer ticks.
+    */
+  def ivfOperatingCurve(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      probes: Seq[Int],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(probes.nonEmpty, "probes must name at least one nProbe config")
+    val maxP = probes.max
+    val cents = collectCentroids(centroids)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), cents))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(nearestCells(col("qv"), cents, maxP)))
+      .select(col("query_id"), col("qv"),
+        (col("pos") + 1).as("rn"), col("col").as("cell"))
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    // fan each scored candidate out to the configs it serves (rn <= p)
+    val sub = cand
+      .select(col("*"), explode(array(probes.map(lit): _*)).as("nprobe"))
+      .where(col("rn") <= col("nprobe"))
+    val nCand = sub.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val topk = sub.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+    val exact = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = topk.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    nCand.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nExact))
+      .select(col("nprobe"), col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
+        expr("(coalesce(n_hits, cast(0 as bigint)) * cast(1048576 as bigint)) div n_exact")
+          .as("recall_ticks"))
+      .orderBy(col("nprobe"))
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,

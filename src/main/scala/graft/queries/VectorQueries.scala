@@ -425,7 +425,13 @@ object VectorQueries {
       nCells = ivfCells, nProbe = 6, trainRounds = ivfRounds)
       .orderBy(col("query_id"), col("rank"))
   }
-  private[queries] val annIvfSql: String = {
+  /** The shared IVF CTE tower (k-means training, corpus assignment,
+    * query probes WITH their probe rank `rn` kept through) — ONE
+    * definition consumed by ann05, ann12 (which wraps ann05), and
+    * ann21's probe sweep, so the trained index can't drift between its
+    * judged consumers. `maxProbe` bounds the probes CTE.
+    */
+  private[queries] def ivfTowerCtes(maxProbe: Int): String = {
     val dims = 64 // embeddings fixture dimensionality (TESTDATA.md)
     val q = Similarity.KmeansQuantScale // 2^20 fixed-point ticks
     def roundCtes(r: Int): String =
@@ -448,7 +454,7 @@ object VectorQueries {
          |      list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / $q.0 ORDER BY dim) AS mv
          |    FROM sums$r GROUP BY cell) t ON c0.cell = t.cell)""".stripMargin
     val rounds = (1 to ivfRounds).map(roundCtes).mkString(",\n")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS mv
        |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $ivfCells) s),
@@ -460,11 +466,15 @@ object VectorQueries {
        |        ORDER BY list_cosine_similarity(c.v, ct.mv) DESC, ct.cell) AS rn
        |    FROM emb c CROSS JOIN cent$ivfRounds ct) t WHERE rn = 1),
        |probes AS (
-       |  SELECT vec_id AS query_id, qv, cell FROM (
+       |  SELECT vec_id AS query_id, qv, cell, rn FROM (
        |    SELECT q.vec_id, q.v AS qv, ct.cell,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_cosine_similarity(q.v, ct.mv) DESC, ct.cell) AS rn
-       |    FROM emb q CROSS JOIN cent$ivfRounds ct WHERE q.vec_id < 10) t WHERE rn <= 6)
+       |    FROM emb q CROSS JOIN cent$ivfRounds ct WHERE q.vec_id < 10) t
+       |  WHERE rn <= $maxProbe)""".stripMargin
+  }
+  private[queries] val annIvfSql: String =
+    s"""WITH ${ivfTowerCtes(6)}
        |SELECT query_id, rank, neighbor_id, cos FROM (
        |  SELECT p.query_id, a.neighbor_id, list_cosine_similarity(p.qv, a.cv) AS cos,
        |    row_number() OVER (PARTITION BY p.query_id
@@ -472,7 +482,55 @@ object VectorQueries {
        |  FROM probes p JOIN assigned a ON p.cell = a.cell
        |  WHERE p.query_id <> a.neighbor_id) t
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** ann21: the IVF operating curve ([[Similarity.ivfOperatingCurve]]) —
+    * recall@3 and scanned-candidate volume at nProbe ∈ {1,2,4,8} over
+    * the ann05-trained index: the tuning table that picks a deployment's
+    * latency/recall point. One corpus assignment + one scoring pass at
+    * nProbe=8 serves all four configs (candidates carry their cell's
+    * probe rank; each config is a filter + window over the shared
+    * stream). The oracle sweeps the same shared tower.
+    */
+  private def annNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cents = Similarity.kmeansCentroids(emb, nCells = ivfCells, rounds = ivfRounds)
+    Similarity.ivfOperatingCurve(emb.where(col("vec_id") < 10), emb, cents,
+      k = 3, probes = Seq(1, 2, 4, 8))
   }
+  private val annNprobeCurveSql: String =
+    s"""WITH ${ivfTowerCtes(8)},
+       |cand AS (
+       |  SELECT p.query_id, p.rn, a.neighbor_id,
+       |    list_cosine_similarity(p.qv, a.cv) AS cos
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE p.query_id <> a.neighbor_id),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                   CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 10) t WHERE rank <= 3),
+       |net AS (SELECT count(*)::BIGINT AS n_exact FROM exact),
+       |ps AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+       |sub AS (SELECT ps.nprobe, c.query_id, c.neighbor_id, c.cos
+       |        FROM ps JOIN cand c ON c.rn <= ps.nprobe),
+       |ncand AS (SELECT nprobe, count(*)::BIGINT AS n_candidates
+       |          FROM sub GROUP BY nprobe),
+       |topk AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT nprobe, query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY nprobe, query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rnk FROM sub) t
+       |  WHERE rnk <= 3),
+       |hits AS (SELECT t.nprobe, count(*)::BIGINT AS n_hits
+       |         FROM topk t JOIN exact e USING (query_id, neighbor_id)
+       |         GROUP BY t.nprobe)
+       |SELECT nc.nprobe, nc.n_candidates,
+       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits, net.n_exact,
+       |  CAST((coalesce(h.n_hits, 0) * 1048576) // net.n_exact AS BIGINT) AS recall_ticks
+       |FROM ncand nc LEFT JOIN hits h ON nc.nprobe = h.nprobe CROSS JOIN net
+       |ORDER BY nc.nprobe""".stripMargin
 
   /** IVF+PQ approximate top-3 ([[Similarity.ivfPqTopK]] — the FAISS
     * IVFADC layout): coarse cells bound the search, an 8×16 PQ codebook
@@ -949,6 +1007,7 @@ object VectorQueries {
   val defs: Map[String, QueryDef] = Map(
     "ann19_retrieval_metrics" -> QueryDef(annRetrievalMetrics, Some(annRetrievalMetricsSql), benchmark = true),
     "ann20_centroid_drift"  -> QueryDef(annCentroidDrift, Some(annCentroidDriftSql), benchmark = true),
+    "ann21_nprobe_curve"    -> QueryDef(annNprobeCurve, Some(annNprobeCurveSql), benchmark = true),
     "ann18_class_margin"    -> QueryDef(annClassMargin, Some(annClassMarginSql), benchmark = true),
     "ann17_hard_negatives"  -> QueryDef(annHardNeg, Some(annHardNegSql), benchmark = true),
     "ann16_kmeans_curve"    -> QueryDef(annKmeansCurve, Some(annKmeansCurveSql), benchmark = true),

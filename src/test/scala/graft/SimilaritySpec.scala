@@ -66,6 +66,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ivfOperatingCurve: monotone in nProbe, exhaustive probing equals brute force") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, nCells = 16, rounds = 5)
+    val nVec = emb.count()
+    val out = Similarity.ivfOperatingCurve(emb.where($"vec_id" < 5), emb, cents,
+        k = 3, probes = Seq(1, 4, 16))
+      .select($"nprobe", $"n_candidates", $"n_hits", $"n_exact", $"recall_ticks")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 4, 16))
+    // candidates and recall are monotone non-decreasing in probe count
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 <= b._2 && a._5 <= b._5 })
+    // probing ALL 16 cells scans the whole corpus (minus self) and must
+    // recover brute force exactly
+    val full = out.last
+    assert(full._2 == 5L * (nVec - 1), "exhaustive probe = full corpus candidates")
+    assert(full._3 == full._4 && full._5 == (1L << 20), "exhaustive probe = recall 1.0")
+  }
+
   test("labeledTopK: bruteForceTopK's ranking with both labels carried through") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f), 7),
