@@ -2105,7 +2105,54 @@ object Events {
       |  CAST(min(gs) AS BIGINT) AS min_group_size
       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Last-touch conversion attribution (the marketing-analytics join no
+    * event platform ships without): each purchase credits the user's
+    * most recent click within a 1-day lookback, rolled up per purchase
+    * day — purchases, attributed purchases, attributed value mass (exact
+    * cents). Same union + one-window as-of machinery as ev04 (single
+    * user_id exchange, no range-join explosion), extended with the
+    * lookback tolerance test on the matched click's timestamp; the
+    * day rollup is map-side combined, output ≤ |days| rows.
+    */
+  private def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val base = ev.where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = base
+      .withColumn("click_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(to_date(col("ts")).as("day"),
+        (dec(col("value")) * 100).cast("long").as("cents"),
+        (col("click_ts").isNotNull &&
+          col("click_ts") >= col("ts") - expr("INTERVAL 1 DAY")).as("attr"))
+    scored.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attr"), 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("attr"), col("cents")).otherwise(0L)).as("attributed_cents"))
+      .orderBy(col("day"))
+  }
+  private val attributionSql =
+    """WITH p AS (
+      |  SELECT CAST(e.ts AS DATE) AS day, e.ts,
+      |    CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    (SELECT c.ts FROM events c
+      |     WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+      |     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_ts
+      |  FROM events e WHERE e.event_type = 'purchase')
+      |SELECT day, count(*)::BIGINT AS n_purchases,
+      |  CAST(sum(CASE WHEN click_ts IS NOT NULL AND click_ts >= ts - INTERVAL 1 DAY
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+      |  CAST(sum(CASE WHEN click_ts IS NOT NULL AND click_ts >= ts - INTERVAL 1 DAY
+      |    THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents
+      |FROM p GROUP BY day ORDER BY day""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev39_attribution"     -> QueryDef(attribution, Some(attributionSql), benchmark = true),
     "ev38_kanonymity"      -> QueryDef(kAnonymity, Some(kAnonymitySql)),
     "ev36_observed_metrics" -> QueryDef(observedMetrics, Some(observedMetricsSql)),
     "ev37_cuped"           -> QueryDef(cuped, Some(cupedSql), benchmark = true),

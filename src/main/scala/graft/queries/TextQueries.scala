@@ -1523,9 +1523,12 @@ object TextQueries {
         expr("(w * 1000000L) div wt").as("share_ppm"))
       .orderBy(col("lang"))
   }
-  private val temperatureMixSql = {
+  /** tx38's CTE chain (per-lang rollup → α=0.3 temperature weights) as a
+    * reusable WITH body — one definition of the mixture arithmetic,
+    * consumed by tx38 and tx51's annealing schedule. */
+  private val temperatureMixCtes = {
     def l2(x: String): String = Unigram.l2fpSql(x)
-    s"""WITH per AS (
+    s"""per AS (
        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE len(string_split_regex(trim(text), '[\\t\\n\\x0B\\f\\r ]+')) END) AS BIGINT)
@@ -1538,12 +1541,42 @@ object TextQueries {
        |      ((1048576 + t3 % 1048576) * (1::BIGINT << (t3 // 1048576)::INT)) AS w
        |  FROM (SELECT *, (3 * (${l2("nn")} - ${l2("n_tokens")})) // 10 AS t3
        |        FROM per CROSS JOIN tot)),
-       |wtot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM wtab)
+       |wtot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM wtab)""".stripMargin
+  }
+  private val temperatureMixSql =
+    s"""WITH $temperatureMixCtes
        |SELECT lang, n_docs, n_tokens,
        |  CAST((n_tokens * 1000000) // nn AS BIGINT) AS raw_ppm,
        |  CAST((w * 1000000) // wt AS BIGINT) AS share_ppm
        |FROM wtab CROSS JOIN wtot ORDER BY lang""".stripMargin
-  }
+
+  /** tx51: curriculum annealing schedule — the per-checkpoint mixture
+    * table a trainer consumes when the sampling distribution ANNEALS
+    * from the corpus's natural language shares (checkpoint 0) to the
+    * tx38 temperature-balanced shares (final checkpoint): linear
+    * interpolation in exact integer ppm over 5 checkpoints, every
+    * division the same truncating `div` in both engines. Composition
+    * gate on tx38's mixture arithmetic (the oracle embeds its CTE chain
+    * verbatim); the schedule is |langs|·|steps| rows of planning output
+    * — nothing corpus-sized happens after the tx38 rollup.
+    */
+  private def curriculumSchedule(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(spark, dir)
+      .select(col("lang"), col("raw_ppm"), col("share_ppm"))
+      .crossJoin(spark.range(0, 5).select(col("id").as("step")))
+      .select(col("step"), col("lang"),
+        expr("((4 - step) * raw_ppm + step * share_ppm) div 4").as("ppm"))
+      .orderBy(col("step"), col("lang"))
+  private val curriculumScheduleSql =
+    s"""WITH $temperatureMixCtes,
+       |mix AS (
+       |  SELECT lang, CAST((n_tokens * 1000000) // nn AS BIGINT) AS raw_ppm,
+       |    CAST((w * 1000000) // wt AS BIGINT) AS share_ppm
+       |  FROM wtab CROSS JOIN wtot),
+       |steps AS (SELECT unnest(generate_series(0, 4)) AS step)
+       |SELECT step, lang,
+       |  CAST(((4 - step) * raw_ppm + step * share_ppm) // 4 AS BIGINT) AS ppm
+       |FROM mix CROSS JOIN steps ORDER BY step, lang""".stripMargin
 
   /** Data-constrained epoch allocation (tx47 — the Muennighoff et al.
     * 2023 planning shape: when the budget exceeds a language's unique
@@ -4610,5 +4643,6 @@ object TextQueries {
     "tx24_countmin"          -> QueryDef(countMin, Some(countMinSql)),
     "tx23_mixture_weights"   -> QueryDef(mixtureWeights, Some(mixtureWeightsSql)),
     "tx38_temperature_mix"   -> QueryDef(temperatureMix, Some(temperatureMixSql)),
+    "tx51_curriculum_schedule" -> QueryDef(curriculumSchedule, Some(curriculumScheduleSql)),
   )
 }

@@ -279,6 +279,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("view", 7L, 2L, 1L, 1L, 1L)))
   }
 
+  test("tx51: schedule endpoints equal the raw and balanced mixtures exactly") {
+    val mix = SparkEntry.allDefs("tx38_temperature_mix").fn(spark, sf0001)
+      .select($"lang", $"raw_ppm", $"share_ppm")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val sched = SparkEntry.allDefs("tx51_curriculum_schedule").fn(spark, sf0001)
+      .select($"step", $"lang", $"ppm").as[(Long, String, Long)].collect()
+    assert(sched.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    sched.foreach { case (step, lang, ppm) =>
+      val (raw, share) = mix(lang)
+      if (step == 0L) assert(ppm == raw, s"$lang step 0 must be the raw mixture")
+      if (step == 4L) assert(ppm == share, s"$lang step 4 must be the balanced mixture")
+      // linear anneal: every step lies between the two endpoints
+      assert(ppm >= math.min(raw, share) && ppm <= math.max(raw, share), s"$lang@$step")
+    }
+  }
+
+  test("ev39: attribution honors the 1-day lookback and click presence") {
+    val h = 3600L * 1000000L // micro-hour
+    // user 1: click then purchase 2h later -> attributed
+    // user 2: click 30h before purchase -> outside the 1-day lookback
+    // user 3: purchase with no click at all -> unattributed
+    val rows = Seq(
+      (1L, 0L * h, 1L, "click", 1.0, "{}"),
+      (2L, 2L * h, 1L, "purchase", 10.0, "{}"),
+      (3L, 0L * h, 2L, "click", 1.0, "{}"),
+      (4L, 30L * h, 2L, "purchase", 20.0, "{}"),
+      (5L, 2L * h, 3L, "purchase", 40.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(timestamp_micros($"us").as("ts"), $"event_id", $"user_id",
+        $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.allDefs("ev39_attribution").fn(spark, dir)
+      .select($"day".cast("string"), $"n_purchases", $"n_attributed", $"attributed_cents")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // day 0 (epoch): purchases of users 1 and 3 -> one attributed, 1000c
+    // day 1: user 2's purchase at hour 30 -> stale click, unattributed
+    assert(out.toSeq == Seq(("1970-01-01", 2L, 1L, 1000L), ("1970-01-02", 1L, 0L, 0L)))
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),
