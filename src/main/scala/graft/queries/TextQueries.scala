@@ -1550,6 +1550,51 @@ object TextQueries {
        |  CAST((w * 1000000) // wt AS BIGINT) AS share_ppm
        |FROM wtab CROSS JOIN wtot ORDER BY lang""".stripMargin
 
+  /** tx52: corpus datasheet — the one-row summary a dataset PUBLISHES
+    * (Gebru et al.'s datasheets made queryable): doc/token/char volume,
+    * language and source breadth, empty-doc count, exact-duplicate rate
+    * in ppm, mean tokens per doc in 2^-20 ticks. Exact by publication
+    * contract — the multi-distinct aggregate is the one place this
+    * engine PAYS for exactness with Spark's expand plan (3 distinct
+    * columns ⟹ 3× the agg input); the cheap always-on preview of the
+    * same numbers is the sx03 HLL sketch, and a 100 TB pipeline runs
+    * this exact form once per release, not per batch.
+    */
+  private def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val t = coalesce(col("text"), lit(""))
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(t).as("n_distinct_texts"),
+        sum(TextFunctions.tokenCount(t)).as("n_tokens"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(when(length(trim(t)) === 0, 1L).otherwise(0L)).as("n_empty"))
+      .select(col("*"),
+        expr("((n_docs - n_distinct_texts) * cast(1000000 as bigint)) div n_docs")
+          .as("dup_ppm"),
+        expr("(n_tokens * cast(1048576 as bigint)) div n_docs")
+          .as("mean_tokens_ticks"))
+  }
+  private val corpusDatasheetSql =
+    """WITH a AS (SELECT coalesce(text, '') AS text, lang, source,
+      |    coalesce(n_chars, 0) AS n_chars FROM documents),
+      |g AS (SELECT count(*)::BIGINT AS n_docs,
+      |  count(DISTINCT text)::BIGINT AS n_distinct_texts,
+      |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(string_split_regex(trim(text), '[\t\n\x0B\f\r ]+')) END) AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  count(DISTINCT lang)::BIGINT AS n_langs,
+      |  count(DISTINCT source)::BIGINT AS n_sources,
+      |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+      |FROM a)
+      |SELECT n_docs, n_distinct_texts, n_tokens, n_chars, n_langs, n_sources, n_empty,
+      |  CAST(((n_docs - n_distinct_texts) * 1000000) // n_docs AS BIGINT) AS dup_ppm,
+      |  CAST((n_tokens * 1048576) // n_docs AS BIGINT) AS mean_tokens_ticks
+      |FROM g""".stripMargin
+
   /** tx51: curriculum annealing schedule — the per-checkpoint mixture
     * table a trainer consumes when the sampling distribution ANNEALS
     * from the corpus's natural language shares (checkpoint 0) to the
@@ -4644,5 +4689,6 @@ object TextQueries {
     "tx23_mixture_weights"   -> QueryDef(mixtureWeights, Some(mixtureWeightsSql)),
     "tx38_temperature_mix"   -> QueryDef(temperatureMix, Some(temperatureMixSql)),
     "tx51_curriculum_schedule" -> QueryDef(curriculumSchedule, Some(curriculumScheduleSql)),
+    "tx52_corpus_datasheet"  -> QueryDef(corpusDatasheet, Some(corpusDatasheetSql)),
   )
 }

@@ -319,6 +319,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("1970-01-01", 2L, 1L, 1000L), ("1970-01-02", 1L, 0L, 0L)))
   }
 
+  test("tx52: datasheet counts a planted duplicate and empty doc exactly") {
+    val rows = Seq(
+      (1L, "alpha beta", "en", "web", 10L),
+      (2L, "alpha beta", "en", "web", 10L),   // exact duplicate
+      (3L, "", "de", "books", 0L),            // empty doc
+      (4L, "gamma", "en", "web", 5L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sheet").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.allDefs("tx52_corpus_datasheet").fn(spark, dir).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)        // docs, distinct
+    assert(r.getLong(2) == 5L)                              // tokens: 2+2+0+1
+    assert(r.getLong(3) == 25L)                             // chars from the column
+    assert(r.getLong(4) == 2L && r.getLong(5) == 2L)        // langs, sources
+    assert(r.getLong(6) == 1L)                              // empties
+    assert(r.getLong(7) == 250000L)                         // 1 dup of 4 docs
+    assert(r.getLong(8) == 5L * (1L << 20) / 4)             // mean tokens ticks
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),
