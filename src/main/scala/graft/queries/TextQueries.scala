@@ -1084,8 +1084,11 @@ object TextQueries {
     Dedup.fingerprintDupPairs(hashed, maxHamming = 2)
       .orderBy(col("id_a"), col("id_b"))
   }
-  private val imageNearDupSql =
-    """WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+  /** mm10's synthetic-pixel → aHash CTE chain (ids, luminance grid,
+    * block sums, hash) — ONE definition shared by mm10's pair gate and
+    * mm12's cluster/keep-best gate. */
+  private val imageHashCtes =
+    """ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
       |px AS (
       |  SELECT media_id, x.x, y.y,
       |    (((media_id // 3) * 37 + 11 * x.x) % 256
@@ -1104,12 +1107,66 @@ object TextQueries {
       |  SELECT b.media_id,
       |    bit_or(CASE WHEN b.bs * 64 > t.ts THEN 1::UBIGINT << b.bit::INT
       |                ELSE 0::UBIGINT END) AS ah
-      |  FROM blk b JOIN tot t USING (media_id) GROUP BY 1)
+      |  FROM blk b JOIN tot t USING (media_id) GROUP BY 1)""".stripMargin
+  private val imageNearDupSql =
+    s"""WITH $imageHashCtes
       |SELECT a.media_id AS id_a, b.media_id AS id_b,
       |  CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming
       |FROM hash a JOIN hash b ON a.media_id < b.media_id
       |WHERE bit_count(xor(a.ah, b.ah)) <= 2
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** mm12: media dup clusters + representative selection — the dd07→dd14
+    * lifecycle on the IMAGE side: mm10's perceptual aHash pairs feed the
+    * same star-contraction components, and each cluster keeps its
+    * "richest" member (most structure bits in the hash — the proxy for
+    * keep-the-sharpest; tie → lowest id) with singletons reported too.
+    * The oracle walks the identical chain: shared aHash CTEs → hamming
+    * pairs → recursive min-label reachability → per-cluster argmax.
+    * Scale: pairing is the dd04 pigeonhole exchange; components contract
+    * geometrically; selection is ONE combinable argmax aggregation (the
+    * dd14 shape — no per-cluster window sort).
+    */
+  private def mediaDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir).documents.where(col("doc_id") < 200)
+      .select(col("doc_id").as("media_id"))
+    val hashed = Multimodal.imageAHash(Multimodal.syntheticGradientPngs(ids))
+      .select(col("media_id").as("doc_id"), col("ahash").as("sh"))
+    val pairs = Dedup.fingerprintDupPairs(hashed, maxHamming = 2)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.dupClusters(pairs,
+      ids.select(col("media_id").as("doc_id")), pairsDistinct = true)
+    labels.join(hashed.select(col("doc_id"), bit_count(col("sh")).as("bits")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_media"),
+        max(struct(col("bits"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), col("n_media"),
+        (-col("b.nid")).as("keep_id"), col("b.bits").as("keep_bits"))
+      .orderBy(col("cluster_id"))
+  }
+  private val mediaDupClustersSql =
+    s"""WITH RECURSIVE $imageHashCtes,
+      |pairs AS (
+      |  SELECT a.media_id AS id_a, b.media_id AS id_b
+      |  FROM hash a JOIN hash b ON a.media_id < b.media_id
+      |  WHERE bit_count(xor(a.ah, b.ah)) <= 2),
+      |bidir AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT media_id, media_id FROM ids
+      |  UNION
+      |  SELECT b.dst, reach.r FROM reach JOIN bidir b ON b.src = reach.id),
+      |labels AS (SELECT id AS media_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |scored AS (
+      |  SELECT l.cluster_id, l.media_id, CAST(bit_count(h.ah) AS INT) AS bits,
+      |    row_number() OVER (PARTITION BY l.cluster_id
+      |      ORDER BY bit_count(h.ah) DESC, l.media_id) AS rn
+      |  FROM labels l JOIN hash h USING (media_id))
+      |SELECT cluster_id, count(*)::BIGINT AS n_media,
+      |  CAST(max(CASE WHEN rn = 1 THEN media_id END) AS BIGINT) AS keep_id,
+      |  CAST(max(CASE WHEN rn = 1 THEN bits END) AS INT) AS keep_bits
+      |FROM scored GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   /** Audio energy-hash near-dup, correctness-gated (mm11 — mm10's audio
     * twin): the deterministic PCM16 WAVs ([[Multimodal.syntheticWavs]],
@@ -4668,6 +4725,7 @@ object TextQueries {
     "mm09_video_frames"      -> QueryDef(videoFrames, Some(videoFramesSql)),
     "mm10_image_near_dup"    -> QueryDef(imageNearDup, Some(imageNearDupSql)),
     "mm11_audio_near_dup"    -> QueryDef(audioNearDup, Some(audioNearDupSql)),
+    "mm12_media_dup_clusters" -> QueryDef(mediaDupClusters, Some(mediaDupClustersSql)),
     "tx20_bigrams"           -> QueryDef(bigrams, Some(bigramsSql)),
     "tx21_budget_select"     -> QueryDef(budgetSelect, Some(budgetSelectSql)),
     "tx06_clean_stopwords"   -> QueryDef(cleanStopwords, Some(cleanStopwordsSql)),

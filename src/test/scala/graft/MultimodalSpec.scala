@@ -305,6 +305,25 @@ class MultimodalSpec extends SparkSpec {
         s"bucket ($bw,$bh)")
     }
   }
+  test("mm12: clusters partition the media set and the keeper is the bit-argmax") {
+    val labels = SparkEntry.allDefs("mm12_media_dup_clusters").fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(labels.map(_._2).sum == 200L, "every media lands in exactly one cluster")
+    // re-derive the per-media hash bits and check each cluster's keeper
+    val ids = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("doc_id") < 200)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("media_id"))
+    val bits = graft.operators.Multimodal
+      .imageAHash(graft.operators.Multimodal.syntheticGradientPngs(ids))
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.bit_count(
+          org.apache.spark.sql.functions.col("ahash")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    labels.foreach { case (cid, _, keepId, keepBits) =>
+      assert(bits(keepId) == keepBits, s"cluster $cid keeper bits mismatch")
+      assert(keepId >= cid, s"cluster label is the min member id")
+    }
+  }
 }
 
 /** Top-level (no outer capture) so the task closure serializes cleanly. */
