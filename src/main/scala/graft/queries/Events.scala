@@ -2151,7 +2151,34 @@ object Events {
       |    THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents
       |FROM p GROUP BY day ORDER BY day""".stripMargin
 
+  /** ev40: the custom DataSource V2 connector under the full gate
+    * ([[graft.sources.SyntheticDocs]] — TableProvider + ScanBuilder with
+    * column pruning, doc_id filter pushdown, and range-sliced partition
+    * planning): scan 100k generated docs, push a 50k id window INTO the
+    * source (empty residual — the Filter node disappears), aggregate per
+    * (lang, source) WITHOUT touching text (pruning means the reader
+    * never builds the string). The oracle re-derives every value from
+    * `generate_series` and the connector's published row arithmetic —
+    * so the hash gate checks the pushdown/pruning path end-to-end, not
+    * just the API wiring. SourcesSpec pins partition-level pruning.
+    */
+  private def customSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format(graft.sources.SyntheticDocs.Format)
+      .option("rows", "100000").option("partitions", "16").load()
+      .where(col("doc_id") >= 25000 && col("doc_id") < 75000)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("lang"), col("source"))
+  private val customSourceSql =
+    """WITH ids AS (SELECT unnest(generate_series(25000, 74999)) AS id)
+      |SELECT ['de','en','fr','ja','zh'][(id % 5 + 1)::INT] AS lang,
+      |  ['books','code','web','wiki'][(id % 4 + 1)::INT] AS source,
+      |  count(*)::BIGINT AS n_docs,
+      |  CAST(sum(id % 97 + 3) AS BIGINT) AS n_tokens
+      |FROM ids GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev40_custom_source"   -> QueryDef(customSource, Some(customSourceSql)),
     "ev39_attribution"     -> QueryDef(attribution, Some(attributionSql), benchmark = true),
     "ev38_kanonymity"      -> QueryDef(kAnonymity, Some(kAnonymitySql)),
     "ev36_observed_metrics" -> QueryDef(observedMetrics, Some(observedMetricsSql)),

@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A full DataSource V2 connector (`format("graft-synthetic")`): a
+  * deterministic document generator whose rows are pure arithmetic in
+  * `doc_id` — so an external oracle can re-derive every value from
+  * `generate_series` and the scan's own claims (pruning, pushdown,
+  * partition skipping) are hash-checkable end-to-end.
+  *
+  * No reference counterpart (the reference reads only local text files,
+  * `MasterNode.java:60-75`); this is the Spark-native seam a production
+  * engine needs for "table that isn't a file": the connector surface is
+  * the same one JDBC/Kafka/Iceberg connectors implement.
+  *
+  * Engine integration, all three scan-shaping contracts:
+  *
+  *  - `SupportsPushDownRequiredColumns`: the reader materializes ONLY the
+  *    projected columns (a `SELECT count(lang)` never computes text);
+  *  - `SupportsPushDownFilters`: `doc_id` range/equality predicates are
+  *    consumed by the source (returned as empty residual), narrowing the
+  *    generated id range BEFORE partition planning;
+  *  - partition planning: the (post-pushdown) id range splits into
+  *    `partitions` even slices — each an independent `InputPartition`, so
+  *    a 1000-executor cluster scans in parallel and a pushed
+  *    `doc_id < k` prunes whole partitions, not rows.
+  *
+  * Options: `rows` (total ids, default 1000), `partitions` (default 8).
+  */
+class SyntheticDocs extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticDocs.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SyntheticDocsTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "8").toInt)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SyntheticDocs {
+  val Format = "graft.sources.SyntheticDocs"
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  val Langs = Array("de", "en", "fr", "ja", "zh")
+  val Sources = Array("books", "code", "web", "wiki")
+
+  /** Column generators — ONE definition of the row arithmetic, used by the
+    * reader and re-derivable in SQL:
+    * lang = Langs[id % 5], source = Sources[id % 4],
+    * n_tokens = id % 97 + 3, text = "w<id%13> " repeated n_tokens times.
+    */
+  def lang(id: Long): String = Langs((id % 5).toInt)
+  def source(id: Long): String = Sources((id % 4).toInt)
+  def nTokens(id: Long): Long = id % 97 + 3
+  def text(id: Long): String = {
+    val w = s"w${id % 13}"
+    val sb = new StringBuilder
+    var i = 0L
+    while (i < nTokens(id)) { if (i > 0) sb.append(' '); sb.append(w); i += 1 }
+    sb.toString
+  }
+}
+
+private class SyntheticDocsTable(rows: Long, partitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_synthetic($rows)"
+  override def schema(): StructType = SyntheticDocs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticScanBuilder(rows, partitions)
+}
+
+private class SyntheticScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var lo = 0L            // inclusive id lower bound after pushdown
+  private var hi = rows          // exclusive id upper bound after pushdown
+  private var required: StructType = SyntheticDocs.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Consume doc_id range/equality predicates into the generated id
+    * range; everything else stays a residual for Spark to evaluate.
+    * Pushed filters return an EMPTY residual (the source is exact for
+    * them), so they vanish from the post-scan Filter node entirely.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("doc_id", _: Long) | GreaterThanOrEqual("doc_id", _: Long) |
+           LessThan("doc_id", _: Long) | LessThanOrEqual("doc_id", _: Long) |
+           EqualTo("doc_id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("doc_id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("doc_id", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("doc_id", v: Long)    => hi = math.min(hi, v + 1)
+      case EqualTo("doc_id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _                                     => ()
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SyntheticScan(lo, hi, partitions, required)
+}
+
+private case class SyntheticPartition(start: Long, end: Long) extends InputPartition
+
+private class SyntheticScan(lo: Long, hi: Long, partitions: Int,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synthetic ids [$lo, $hi) over $partitions slices, cols=${required.fieldNames.mkString(",")}"
+
+  /** Even id slices of the POST-pushdown range: a pushed `doc_id < k`
+    * shrinks the range before this split, so out-of-range partitions are
+    * never created — partition-level pruning, the file-source
+    * `PartitionFilters` analog. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, math.min(partitions.toLong, math.max(hi - lo, 1L))).toInt
+    val span = hi - lo
+    if (span <= 0) return Array.empty
+    (0 until n).map { i =>
+      SyntheticPartition(lo + span * i / n, lo + span * (i + 1) / n)
+    }.filter(p => p.end > p.start).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required.fieldNames)
+}
+
+private class SyntheticReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SyntheticPartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.start - 1
+      override def next(): Boolean = { id += 1; id < p.end }
+      override def get(): InternalRow = {
+        // only the REQUIRED columns are computed — pruning is real work
+        // saved, not cosmetic schema narrowing
+        val vals = cols.map {
+          case "doc_id"   => id
+          case "lang"     => UTF8String.fromString(SyntheticDocs.lang(id))
+          case "source"   => UTF8String.fromString(SyntheticDocs.source(id))
+          case "n_tokens" => SyntheticDocs.nTokens(id)
+          case "text"     => UTF8String.fromString(SyntheticDocs.text(id))
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SyntheticDocs
+
+/** The custom DataSource V2 connector: row arithmetic, filter pushdown
+  * (empty residual + partition-level pruning), and column pruning must
+  * be REAL — observable in the executed plan and the partition count,
+  * not just in the API types.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def read(rows: Int, parts: Int) =
+    spark.read.format(SyntheticDocs.Format)
+      .option("rows", rows.toString).option("partitions", parts.toString).load()
+
+  test("rows follow the published arithmetic exactly") {
+    val got = read(30, 4)
+      .select($"doc_id", $"lang", $"source", $"n_tokens", $"text")
+      .as[(Long, String, String, Long, String)].collect().sortBy(_._1)
+    assert(got.length == 30)
+    got.foreach { case (id, lang, src, nt, text) =>
+      assert(lang == SyntheticDocs.lang(id) && src == SyntheticDocs.source(id))
+      assert(nt == id % 97 + 3)
+      assert(text == SyntheticDocs.text(id))
+      assert(text.split(" ").length.toLong == nt)
+    }
+  }
+
+  test("doc_id filters push into the source: no residual Filter, pruned partitions") {
+    val df = read(1000, 8).where($"doc_id" >= 100 && $"doc_id" < 104)
+    // pushdown consumed both bounds -> the id range is [100, 104), which
+    // caps partition planning at 4 single-id slices (partition pruning)
+    assert(df.rdd.getNumPartitions == 4, "pushed range must shrink the partition plan")
+    assert(df.count() == 4)
+    // the executed plan carries no post-scan Filter node (only the
+    // scan's "RuntimeFilters: []" tag mentions the word): the residual
+    // was empty, so Spark planned scan -> project directly — and the
+    // scan itself advertises the narrowed id range
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("), s"expected no residual filter:\n$plan")
+    assert(plan.contains("ids [100, 104)"), s"expected the pushed range:\n$plan")
+  }
+
+  test("column pruning reaches the reader: text never materializes in ReadSchema") {
+    val df = read(1000, 8).groupBy($"lang").agg(sum($"n_tokens").as("t"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("lang") && formatted.contains("n_tokens"))
+    assert(!formatted.contains("text:"), s"text must be pruned from ReadSchema:\n$formatted")
+  }
+
+  test("equality pushdown degenerates to a single-row single-partition scan") {
+    val df = read(100000, 16).where($"doc_id" === 54321L)
+    assert(df.rdd.getNumPartitions == 1)
+    val r = df.select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(r.toSeq == Seq((54321L, SyntheticDocs.lang(54321L))))
+  }
+}
