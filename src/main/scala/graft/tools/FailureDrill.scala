@@ -97,9 +97,15 @@ object FailureDrill {
     // the offline k-means train (multi-job, driver-held model — pure
     // lineage recompute) or mid-micro-batch in the stream-static
     // serving join — both must recover to the bit-identical top-k.
+    // st32 (round 11d) drills the drift monitor: the kill lands either
+    // in the offline baseline moments (lineage recompute) or inside the
+    // Complete-mode streaming aggregation whose state is the
+    // domain-bounded (label, dim) rollup — recovery must replay the
+    // micro-batch from the stream checkpoint and still produce the
+    // bit-identical per-label drift ticks.
     val queries = Seq("dd07_dup_clusters", "gr06_kcore",
       "tx40_quality_classifier", "st20_stream_ewma", "sx02_kmv_overlap",
-      "gr10_hits", "st29_stream_ann_serve")
+      "gr10_hits", "st29_stream_ann_serve", "st32_stream_drift_monitor")
 
     // reference digests from an undisturbed local run
     val ref = {
