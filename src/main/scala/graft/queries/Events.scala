@@ -2177,7 +2177,41 @@ object Events {
       |  CAST(sum(id % 97 + 3) AS BIGINT) AS n_tokens
       |FROM ids GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
+  /** ev41: the V2 WRITE path under the hash gate ([[graft.sources.AuditSink]]):
+    * push the documents' ids through the audit sink's full commit
+    * protocol (per-task partial audits surfaced only via commit
+    * messages, one atomic publish) and return the committed record. The
+    * oracle recomputes the same (count, XOR-folded FNV-1a of each id's
+    * 8 LE bytes) from SQL in HUGEINT mod-2⁶⁴ arithmetic — so the gate
+    * checks what the distributed writers actually accumulated through
+    * task commit/abort, partitioning-independent by construction.
+    * SourcesSpec pins the protocol edges (atomic abort, retry safety).
+    */
+  private def auditedWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"ev41_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
+    Tables(spark, dir).documents.select(col("doc_id"))
+      .write.format(graft.sources.AuditSink.Format)
+      .option("name", name).mode("append").save()
+    val (n, c) = graft.sources.AuditSink.commits(name)
+    Seq((n, c)).toDF("n_rows", "checksum")
+  }
+  private val auditedWriteSql =
+    """WITH h AS (
+      |  SELECT list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      list_transform(generate_series(0, 7),
+      |        i -> ((doc_id >> (8 * i)::INT) & 255)::HUGEINT)),
+      |    (fh, b) -> (xor(fh::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+      |      % 18446744073709551616::HUGEINT) AS h
+      |  FROM documents)
+      |SELECT CAST(cnt AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
+      |       THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT) AS checksum
+      |FROM (SELECT count(*) AS cnt, bit_xor(h::UBIGINT)::HUGEINT AS x FROM h) t""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev41_audited_write"   -> QueryDef(auditedWrite, Some(auditedWriteSql)),
     "ev40_custom_source"   -> QueryDef(customSource, Some(customSourceSql)),
     "ev39_attribution"     -> QueryDef(attribution, Some(attributionSql), benchmark = true),
     "ev38_kanonymity"      -> QueryDef(kAnonymity, Some(kAnonymitySql)),

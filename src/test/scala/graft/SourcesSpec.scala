@@ -57,4 +57,43 @@ class SourcesSpec extends SparkSpec {
     val r = df.select($"doc_id", $"lang").as[(Long, String)].collect()
     assert(r.toSeq == Seq((54321L, SyntheticDocs.lang(54321L))))
   }
+
+  test("audit sink: committed audit equals an independent recompute, any partitioning") {
+    import graft.sources.AuditSink
+    val df = spark.range(0, 1000).select($"id", ($"id" % 7).as("v"))
+    df.repartition(8).write.format(AuditSink.Format)
+      .option("name", "t_ok").mode("append").save()
+    val expect = (0L until 1000L).foldLeft((0L, 0L)) { case ((n, c), id) =>
+      (n + 1, c ^ AuditSink.fnv64(id))
+    }
+    assert(AuditSink.commits.get("t_ok").contains(expect))
+    // a different partitioning commits the IDENTICAL audit
+    df.repartition(3).write.format(AuditSink.Format)
+      .option("name", "t_ok2").mode("append").save()
+    assert(AuditSink.commits.get("t_ok2").contains(expect))
+  }
+
+  test("audit sink: a failed write publishes NOTHING (atomic commit protocol)") {
+    import graft.sources.AuditSink
+    AuditSink.commits.remove("t_boom")
+    val df = spark.range(0, 100).select($"id")
+    intercept[Exception] {
+      df.repartition(4).write.format(AuditSink.Format)
+        .option("name", "t_boom").option("explode", "true").mode("append").save()
+    }
+    // partition 0's writer died after writing 2 rows — none of them, and
+    // none of the OTHER tasks' completed rows, may surface
+    assert(AuditSink.commits.get("t_boom").isEmpty,
+      "aborted job must publish no partial audit")
+    assert(AuditSink.aborts.get("t_boom").exists(_ >= 1), "abort must be recorded")
+  }
+
+  test("audit sink rejects a frame whose first column is not a long") {
+    import graft.sources.AuditSink
+    val e = intercept[Exception] {
+      Seq(("a", 1L)).toDF("s", "v").write.format(AuditSink.Format)
+        .option("name", "t_bad").mode("append").save()
+    }
+    assert(e.getMessage != null)
+  }
 }
