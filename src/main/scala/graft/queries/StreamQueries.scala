@@ -1317,7 +1317,36 @@ object StreamQueries {
       VectorQueries.centroidFrame(base), VectorQueries.centroidFrame(streamed))
   }
 
+  /** st33: the custom DSv2 connector on its STREAMING path — the
+    * [[graft.sources.SyntheticDocs]] MicroBatchStream (id-watermark
+    * offsets, SupportsTriggerAvailableNow drain, per-trigger admission
+    * capped at `streamBatch`) replayed to completion: 20 000 generated
+    * ids arrive over ~5 micro-batches of ≤4 096 and fold into the same
+    * (lang, source) rollup ev40 computes on the batch path. The oracle
+    * is the connector's published row arithmetic over generate_series —
+    * so the gate proves offset planning, admission control and replay
+    * deliver EXACTLY the id space once each, no gaps, no double-reads.
+    */
+  private def streamCustomSource(spark: SparkSession, dir: String): DataFrame = {
+    val src = spark.readStream.format(graft.sources.SyntheticDocs.Format)
+      .option("rows", "20000").option("partitions", "8")
+      .option("streamBatch", "4096").load()
+    val agg = src.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    StreamOps.runToMemory(spark, agg, s"graft_stream_synth_${System.nanoTime()}")
+      .orderBy(col("lang"), col("source"))
+  }
+  private val streamCustomSourceSql =
+    """WITH ids AS (SELECT unnest(generate_series(0, 19999)) AS id)
+      |SELECT ['de','en','fr','ja','zh'][(id % 5 + 1)::INT] AS lang,
+      |  ['books','code','web','wiki'][(id % 4 + 1)::INT] AS source,
+      |  count(*)::BIGINT AS n_docs,
+      |  CAST(sum(id % 97 + 3) AS BIGINT) AS n_tokens
+      |FROM ids GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st33_stream_custom_source" -> QueryDef(streamCustomSource,
+      Some(streamCustomSourceSql)),
     "st32_stream_drift_monitor" -> QueryDef(streamCentroidDrift,
       Some(VectorQueries.annCentroidDriftSql), benchmark = true),
     "st31_stream_index_ingest" -> QueryDef(streamIndexIngest,

@@ -43,7 +43,8 @@ class SyntheticDocs extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SyntheticDocsTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "8").toInt)
+      properties.getOrDefault("partitions", "8").toInt,
+      properties.getOrDefault("streamBatch", "4096").toLong)
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -77,17 +78,17 @@ object SyntheticDocs {
   }
 }
 
-private class SyntheticDocsTable(rows: Long, partitions: Int)
+private class SyntheticDocsTable(rows: Long, partitions: Int, streamBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft_synthetic($rows)"
   override def schema(): StructType = SyntheticDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, partitions)
+    new SyntheticScanBuilder(rows, partitions, streamBatch)
 }
 
-private class SyntheticScanBuilder(rows: Long, partitions: Int)
+private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var lo = 0L            // inclusive id lower bound after pushdown
@@ -123,17 +124,34 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SyntheticScan(lo, hi, partitions, required)
+  override def build(): Scan =
+    new SyntheticScan(lo, hi, partitions, streamBatch, required)
 }
 
 private case class SyntheticPartition(start: Long, end: Long) extends InputPartition
 
+/** Streaming offset = exclusive upper id already emitted. */
+private case class SyntheticOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
+}
+
 private class SyntheticScan(lo: Long, hi: Long, partitions: Int,
-    required: StructType) extends Scan with Batch {
+    streamBatch: Long, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-synthetic ids [$lo, $hi) over $partitions slices, cols=${required.fieldNames.mkString(",")}"
+
+  /** MICRO_BATCH_READ: the id space replays as a bounded stream —
+    * offsets are plain id watermarks, each trigger emits the next
+    * `streamBatch` ids, and `SupportsTriggerAvailableNow` pins the drain
+    * target so `Trigger.AvailableNow` processes exactly [lo, hi) across
+    * several micro-batches and stops. Same partition slicing and column
+    * pruning as the batch path (the ScanBuilder ran before this). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SyntheticMicroBatchStream(lo, hi, partitions, streamBatch, required)
 
   /** Even id slices of the POST-pushdown range: a pushed `doc_id < k`
     * shrinks the range before this split, so out-of-range partitions are
@@ -146,6 +164,47 @@ private class SyntheticScan(lo: Long, hi: Long, partitions: Int,
     (0 until n).map { i =>
       SyntheticPartition(lo + span * i / n, lo + span * (i + 1) / n)
     }.filter(p => p.end > p.start).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticReaderFactory(required.fieldNames)
+}
+
+private class SyntheticMicroBatchStream(lo: Long, hi: Long, partitions: Int,
+    streamBatch: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // AvailableNow drain target; without the trigger it is simply "all"
+  private var target: Long = hi
+  override def prepareForTriggerAvailableNow(): Unit = target = hi
+
+  override def initialOffset(): Offset = SyntheticOffset(lo)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("latestOffset(start, limit) is used")
+  // SupportsAdmissionControl: each trigger admits at most streamBatch ids
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[SyntheticOffset].id
+    SyntheticOffset(math.min(s + streamBatch, target))
+  }
+  override def reportLatestOffset(): Offset = SyntheticOffset(target)
+  override def deserializeOffset(json: String): Offset =
+    SyntheticOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SyntheticOffset].id
+    val e = end.asInstanceOf[SyntheticOffset].id
+    val span = e - s
+    if (span <= 0) return Array.empty
+    val n = math.max(1L, math.min(partitions.toLong, span)).toInt
+    (0 until n).map(i => SyntheticPartition(s + span * i / n, s + span * (i + 1) / n))
+      .filter(p => p.end > p.start).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(required.fieldNames)

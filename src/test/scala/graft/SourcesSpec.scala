@@ -88,6 +88,29 @@ class SourcesSpec extends SparkSpec {
     assert(AuditSink.aborts.get("t_boom").exists(_ >= 1), "abort must be recorded")
   }
 
+  test("micro-batch stream: admission-capped triggers cover the id space exactly once") {
+    val src = spark.readStream.format(SyntheticDocs.Format)
+      .option("rows", "1000").option("partitions", "4")
+      .option("streamBatch", "300").load()
+    val agg = src.groupBy($"lang").agg(count(lit(1)).as("n"), sum($"n_tokens").as("t"))
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName("synth_stream_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 1000 ids at <=300/trigger -> at least 4 micro-batches ran
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 admission-capped batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    val streamed = spark.table("synth_stream_spec")
+      .select($"lang", $"n", $"t").as[(String, Long, Long)].collect().sortBy(_._1)
+    val batch = read(1000, 4).groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("t"))
+      .select($"lang", $"n", $"t").as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      "replayed stream must equal the batch scan exactly — no gaps, no double-reads")
+  }
+
   test("audit sink rejects a frame whose first column is not a long") {
     import graft.sources.AuditSink
     val e = intercept[Exception] {
