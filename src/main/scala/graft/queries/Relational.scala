@@ -1681,7 +1681,34 @@ object Relational {
       |  FROM orders WHERE o_custkey % 7 = 1) t
       |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q60: V2 catalog resolution ([[graft.sources.GraftCatalog]]) — plain
+    * SQL reaches the custom connector by IDENTIFIER through the
+    * session's catalog manager, no `format(...)` call: the analyzer
+    * resolves `graft_cat.synth.docs12000_p6` to the SyntheticDocs table
+    * (12 000 rows, 6 slices), pushdown/pruning apply as on the ev40
+    * path, and the oracle recomputes the rollup from the connector's
+    * published arithmetic. The catalog conf is set lazily at runtime —
+    * V2 catalogs resolve on first lookup, so an externally built
+    * session needs no session-construction cooperation.
+    */
+  private def q60(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |FROM graft_cat.synth.docs12000_p6
+        |WHERE doc_id >= 2000 AND doc_id < 10000
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+  private val q60Sql =
+    """WITH ids AS (SELECT unnest(generate_series(2000, 9999)) AS id)
+      |SELECT ['de','en','fr','ja','zh'][(id % 5 + 1)::INT] AS lang,
+      |  count(*)::BIGINT AS n_docs,
+      |  CAST(sum(id % 97 + 3) AS BIGINT) AS n_tokens
+      |FROM ids GROUP BY 1 ORDER BY lang""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q60_catalog_table"    -> QueryDef(q60, Some(q60Sql)),
     "q59_native_topk"      -> QueryDef(q59, Some(q59Sql), benchmark = true),
     "q58_quantile_sketch"  -> QueryDef(q58, Some(q58Sql)),
     "q57_lateral_topk"     -> QueryDef(q57, Some(q57Sql)),

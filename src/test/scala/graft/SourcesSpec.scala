@@ -111,6 +111,24 @@ class SourcesSpec extends SparkSpec {
       "replayed stream must equal the batch scan exactly — no gaps, no double-reads")
   }
 
+  test("catalog plugin: identifier grammar resolves tables, read-only surface throws") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    // identifier -> table, pushdown intact through the catalog path
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft_cat.ns.docs500_p2 WHERE doc_id < 100")
+      .as[Long].head()
+    assert(n == 100L)
+    // SHOW TABLES surfaces the listing
+    val listed = spark.sql("SHOW TABLES IN graft_cat.ns")
+      .select($"tableName").as[String].collect()
+    assert(listed.contains("docs1000"))
+    // unknown identifier is a resolution error, not a silent empty table
+    intercept[Exception] { spark.sql("SELECT * FROM graft_cat.ns.nope").collect() }
+    // the mutation surface refuses
+    intercept[Exception] { spark.sql("DROP TABLE graft_cat.ns.docs500") }
+  }
+
   test("audit sink rejects a frame whose first column is not a long") {
     import graft.sources.AuditSink
     val e = intercept[Exception] {
