@@ -1707,7 +1707,42 @@ object Relational {
       |  CAST(sum(id % 97 + 3) AS BIGINT) AS n_tokens
       |FROM ids GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** q61: V2 catalog FUNCTION resolution — `graft_cat.ns.fnv64` binds
+    * through FunctionCatalog.loadFunction and codegen calls its `invoke`
+    * magic method (static dispatch on unboxed longs); the per-lang
+    * bit_xor checksum of the hashed ids is recomputed by the oracle in
+    * HUGEINT mod-2⁶⁴ arithmetic (ev41's byte fold), so the gate proves
+    * the catalog-bound function computed the exact same 8-byte FNV-1a
+    * on every row.
+    */
+  private def q61(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs,
+        |  bit_xor(graft_cat.ns.fnv64(doc_id)) AS checksum
+        |FROM graft_cat.ns.docs8000
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+  private val q61Sql =
+    """WITH h AS (
+      |  SELECT ['de','en','fr','ja','zh'][(id % 5 + 1)::INT] AS lang,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(generate_series(0, 7),
+      |          i -> ((id >> (8 * i)::INT) & 255)::HUGEINT)),
+      |      (fh, b) -> (xor(fh::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+      |        % 18446744073709551616::HUGEINT) AS h
+      |  FROM (SELECT unnest(generate_series(0, 7999)) AS id))
+      |SELECT lang, CAST(cnt AS BIGINT) AS n_docs,
+      |  CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
+      |       THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT) AS checksum
+      |FROM (SELECT lang, count(*) AS cnt, bit_xor(h::UBIGINT)::HUGEINT AS x
+      |      FROM h GROUP BY lang) t
+      |ORDER BY lang""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q61_catalog_function" -> QueryDef(q61, Some(q61Sql)),
     "q60_catalog_table"    -> QueryDef(q60, Some(q60Sql)),
     "q59_native_topk"      -> QueryDef(q59, Some(q59Sql), benchmark = true),
     "q58_quantile_sketch"  -> QueryDef(q58, Some(q58Sql)),

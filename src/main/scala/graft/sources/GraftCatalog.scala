@@ -23,11 +23,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Read-only: the mutation surface throws — a query engine should fail
   * loudly rather than pretend to persist into an arithmetic namespace.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = "graft_cat"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
+
+  // ---- FunctionCatalog: catalog-scoped V2 scalar functions ----
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "fnv64"))
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name == "fnv64"
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name match {
+      case "fnv64" => new Fnv64Function
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+          catalogName, ident.name())
+    }
 
   private val TablePat = "docs([0-9]+)(?:_p([0-9]+))?".r
 
@@ -55,4 +69,40 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException("graft catalog is read-only")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+/** `graft_cat.<ns>.fnv64(BIGINT) -> BIGINT` as a V2 catalog function —
+  * the analyzer binds it through [[GraftCatalog.loadFunction]], and the
+  * `invoke` MAGIC method lets codegen call it with a static dispatch on
+  * unboxed longs (no per-row InternalRow boxing; `produceResult` is the
+  * interpreted fallback the contract also requires). Same byte fold as
+  * [[AuditSink.fnv64]], so the ev41 oracle arithmetic gates it.
+  */
+class Fnv64Function
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.BoundFunction
+  override def name(): String = "fnv64"
+  override def description(): String = "fnv64(id BIGINT) -> BIGINT (FNV-1a over 8 LE bytes)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields.head.dataType == org.apache.spark.sql.types.LongType,
+      s"fnv64 takes one BIGINT argument, got ${inputType.simpleString}")
+    new Fnv64Bound
+  }
+}
+
+class Fnv64Bound
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(org.apache.spark.sql.types.LongType)
+  override def resultType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def name(): String = "fnv64"
+  override def canonicalName(): String = "graft.fnv64"
+  override def isDeterministic: Boolean = true
+  /** Codegen path: static-dispatch on the unboxed long. */
+  def invoke(v: Long): Long = AuditSink.fnv64(v)
+  /** Interpreted fallback. */
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Long =
+    AuditSink.fnv64(input.getLong(0))
 }

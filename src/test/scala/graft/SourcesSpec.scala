@@ -129,6 +129,20 @@ class SourcesSpec extends SparkSpec {
     intercept[Exception] { spark.sql("DROP TABLE graft_cat.ns.docs500") }
   }
 
+  test("catalog function: fnv64 binds by identifier and matches the local fold") {
+    import graft.sources.AuditSink
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val got = spark.sql(
+      "SELECT doc_id, graft_cat.ns.fnv64(doc_id) AS h FROM graft_cat.ns.docs50")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 50)
+    got.foreach { case (id, h) => assert(h == AuditSink.fnv64(id), s"id $id") }
+    intercept[Exception] {
+      spark.sql("SELECT graft_cat.ns.nope(1)").collect()
+    }
+  }
+
   test("audit sink rejects a frame whose first column is not a long") {
     import graft.sources.AuditSink
     val e = intercept[Exception] {
