@@ -137,11 +137,35 @@ private case class SyntheticOffset(id: Long)
 }
 
 private class SyntheticScan(lo: Long, hi: Long, partitions: Int,
-    streamBatch: Long, required: StructType) extends Scan with Batch {
+    streamBatch: Long, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-synthetic ids [$lo, $hi) over $partitions slices, cols=${required.fieldNames.mkString(",")}"
+
+  /** CBO integration (`SupportsReportStatistics`): the scan reports its
+    * EXACT post-pushdown row count and a per-column size estimate, so
+    * Catalyst's join planning sees the truth — a filtered synthetic side
+    * under the broadcast threshold gets a BroadcastHashJoin without any
+    * hint, exactly as a file source with collected stats would
+    * (SourcesSpec pins this). Pushdown happens before `build()`, so the
+    * numbers already reflect consumed doc_id bounds and pruned columns.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rowCount = math.max(hi - lo, 0L)
+    private val rowBytes = required.fieldNames.map {
+      case "doc_id" | "n_tokens" => 8L
+      case "lang"                => 2L
+      case "source"              => 5L
+      case "text"                => 300L // n_tokens averages ~51 tokens of ~5 chars
+      case _                     => 8L
+    }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rowCount * math.max(rowBytes, 1L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rowCount)
+  }
 
   /** MICRO_BATCH_READ: the id space replays as a bounded stream —
     * offsets are plain id watermarks, each trigger emits the next

@@ -143,6 +143,20 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("reported statistics drive join planning: filtered side auto-broadcasts") {
+    // the pushed doc_id bound shrinks the REPORTED size under the
+    // broadcast threshold, so Catalyst picks BroadcastHashJoin with no
+    // hint — the CBO contract a file source gets from collected stats
+    val small = read(1000000, 8).where($"doc_id" < 500)
+      .select($"doc_id", $"n_tokens")
+    val big = read(1000000, 8).select($"doc_id".as("k"), $"lang")
+    val joined = big.join(small, $"k" === $"doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected stats-driven broadcast:\n$plan")
+    assert(joined.count() == 500)
+  }
+
   test("audit sink rejects a frame whose first column is not a long") {
     import graft.sources.AuditSink
     val e = intercept[Exception] {
