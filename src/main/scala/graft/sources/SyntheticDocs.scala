@@ -51,6 +51,28 @@ class SyntheticDocs extends TableProvider {
 object SyntheticDocs {
   val Format = "graft.sources.SyntheticDocs"
 
+  /** Observability for the runtime-filter path (spec assertions). */
+  val runtimeFilterLog = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  /** Test seam: build a scan, deliver a runtime `doc_id IN (ids)` V2
+    * predicate exactly as Spark's DPP machinery would, and return the
+    * resulting partition plan — pins that the scan narrows its id range
+    * and drops whole partitions on runtime-filter arrival. */
+  private[graft] def planAfterRuntimeIn(rows: Long, parts: Int,
+      ids: Array[Long]): Array[(Long, Long)] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val scan = new SyntheticScanBuilder(rows, parts, 4096L).build()
+      .asInstanceOf[SyntheticScan]
+    type V2Expr = org.apache.spark.sql.connector.expressions.Expression
+    val lits: Seq[V2Expr] = ids.toSeq.map(id => Expressions.literal(id))
+    val children = ((Expressions.column("doc_id"): V2Expr) +: lits).toArray
+    scan.filter(Array(
+      new org.apache.spark.sql.connector.expressions.filter.Predicate("IN", children)))
+    scan.planInputPartitions().map {
+      case SyntheticPartition(s, e) => (s, e)
+    }
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("lang", StringType, nullable = false),
@@ -136,9 +158,43 @@ private case class SyntheticOffset(id: Long)
   override def json(): String = id.toString
 }
 
-private class SyntheticScan(lo: Long, hi: Long, partitions: Int,
-    streamBatch: Long, required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+private class SyntheticScan(private var lo: Long, private var hi: Long,
+    partitions: Int, streamBatch: Long, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+  /** Runtime (DPP-style) V2 filtering: after the build side of a join
+    * materializes, Spark hands this scan the concrete `doc_id IN (...)`
+    * predicate; the id range narrows to [min, max] of the set BEFORE
+    * `planInputPartitions` runs, so whole partitions vanish at runtime —
+    * the V2 analog of dynamic partition pruning on a file source.
+    * Invocations are recorded in [[SyntheticDocs.runtimeFilterLog]] so a
+    * spec can assert the filter actually arrived (a silently-ignored
+    * runtime filter would still be CORRECT, just not pruned).
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (required.fieldNames.contains("doc_id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+    else Array.empty
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    predicates.foreach(p => SyntheticDocs.runtimeFilterLog.add(s"got:${p.describe()}"))
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val ids = p.children().drop(1).collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Long] => l.value().asInstanceOf[Long]
+        }
+        if (ids.nonEmpty) {
+          lo = math.max(lo, ids.min)
+          hi = math.min(hi, ids.max + 1)
+          SyntheticDocs.runtimeFilterLog.add(s"IN(${ids.length}) -> [$lo, $hi)")
+        }
+      }
+    }
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =

@@ -157,6 +157,37 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() == 500)
   }
 
+  test("runtime V2 filtering: a delivered IN-set narrows the range and prunes partitions") {
+    // the contract itself, driven exactly as Spark's DPP machinery would:
+    // 1M ids over 8 slices, runtime IN {700000..700019} -> one 20-id slice
+    val parts = SyntheticDocs.planAfterRuntimeIn(1000000L, 8,
+      (700000L until 700020L).toArray).sortBy(_._1)
+    assert(parts.head._1 == 700000L && parts.last._2 == 700020L &&
+      parts.sliding(2).forall { case Array(a, b) => a._2 == b._1; case _ => true },
+      s"expected contiguous cover of the IN-set span, got ${parts.toSeq}")
+    assert(parts.length <= 8 && parts.map(p => p._2 - p._1).sum == 20L,
+      s"the 1M-id scan must shrink to the 20-id span, got ${parts.toSeq}")
+    // out-of-range IN-set -> empty partition plan, scan reads nothing
+    assert(SyntheticDocs.planAfterRuntimeIn(100L, 8, Array(500L)).isEmpty)
+  }
+
+  test("runtime V2 filtering: Spark attaches the DPP filter to the scan in a join") {
+    // integration evidence: the optimizer injects dynamicpruning on the
+    // fact scan when joined against a selectively-filtered dim (whether
+    // the runtime delivery fires is an engine cost-heuristic decision;
+    // correctness never depends on it -- an ignored runtime filter just
+    // reads more)
+    val fact = read(1000000, 8).select($"doc_id", $"n_tokens")
+    val dim = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where($"source" === "books").select($"doc_id")
+    val joined = fact.join(dim, "doc_id")
+    val planned = joined.queryExecution.executedPlan.toString
+    assert(planned.contains("dynamicpruning"),
+      s"expected a dynamic-pruning runtime filter on the V2 scan:\n$planned")
+    val nBooks = dim.count()
+    assert(joined.count() == nBooks)
+  }
+
   test("audit sink rejects a frame whose first column is not a long") {
     import graft.sources.AuditSink
     val e = intercept[Exception] {
