@@ -76,6 +76,54 @@ object Events {
       |        FROM events) x) y
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ev42: clickstream path analysis — the top navigation paths product
+    * analytics reads off a session table: ev03's sessionization (30-min
+    * gap, same lag/flag arithmetic) extended with a running session id,
+    * each session reduced to its first-5 event-type path, paths ranked
+    * by frequency. The path assembly is ONE combinable aggregation
+    * (array_sort over (ts, event_id, type) structs — no per-session
+    * window sort), so the whole query is two key-hash exchanges
+    * (user_id, then path) and a top-20 LIMIT. Total order: (n DESC,
+    * path) is a deterministic unique key.
+    */
+  private def pathAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables(spark, dir).events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">", slice(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          s => s.getField("event_type")),
+        1, 5)).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+  }
+  private val pathAnalysisSql =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |y AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+      |        THEN 1 ELSE 0 END AS new_session FROM x),
+      |z AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |      FROM y),
+      |p AS (
+      |  SELECT user_id, session_id,
+      |    array_to_string(list_slice(
+      |      list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+      |  FROM z GROUP BY user_id, session_id)
+      |SELECT path, count(*)::BIGINT AS n_sessions
+      |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   /** As-of join: for every purchase, the latest click by the same user at
     * or before the purchase time (ties on ts broken by max event_id).
     * Implemented by [[AsOfJoin]] as union + one window pass — a single
@@ -2214,6 +2262,7 @@ object Events {
     "ev41_audited_write"   -> QueryDef(auditedWrite, Some(auditedWriteSql)),
     "ev40_custom_source"   -> QueryDef(customSource, Some(customSourceSql)),
     "ev39_attribution"     -> QueryDef(attribution, Some(attributionSql), benchmark = true),
+    "ev42_path_analysis"   -> QueryDef(pathAnalysis, Some(pathAnalysisSql), benchmark = true),
     "ev38_kanonymity"      -> QueryDef(kAnonymity, Some(kAnonymitySql)),
     "ev36_observed_metrics" -> QueryDef(observedMetrics, Some(observedMetricsSql)),
     "ev37_cuped"           -> QueryDef(cuped, Some(cupedSql), benchmark = true),

@@ -59,6 +59,51 @@ object TextQueries {
       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** dd19: duplicate provenance matrix — dd02's near-dup pair graph
+    * rolled up by unordered SOURCE pair: "which corpora duplicate each
+    * other, and how much", the diagnostic a data-acquisition team reads
+    * before paying for the next crawl (a source whose duplicates are
+    * mostly cross-source adds little; self-duplication says dedup
+    * harder, cross says don't buy both). Pairs carry ids only; the
+    * source join-back is two hash joins against the 2-column (id,
+    * source) projection, and the matrix is ≤ |sources|² rows.
+    */
+  private def dupProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.jaccardPairs(docs, threshold = 0.8, maxDf = 400L)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+  private val dupProvenanceSql =
+    """WITH tok AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |capped AS (
+      |  SELECT doc_id, tok FROM tok
+      |  WHERE tok IN (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 400)),
+      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM capped GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dup AS (
+      |  SELECT id_a, id_b
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8)
+      |SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b,
+      |  count(*)::BIGINT AS n_dup_pairs
+      |FROM dup JOIN documents da ON da.doc_id = dup.id_a
+      |         JOIN documents db ON db.doc_id = dup.id_b
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   /** Exact dedup via the hash-shuffle form ([[Dedup.exactByHash]]): the
     * exchange carries (xxhash64(text), id) — 16 bytes/row — instead of the
     * payload. Hash grouping equals text grouping absent 64-bit collisions,
@@ -4703,6 +4748,7 @@ object TextQueries {
     "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
     "dd18_containment_dedup" -> QueryDef(dedupContainment, Some(dedupContainmentSql), benchmark = true),
+    "dd19_dup_provenance"    -> QueryDef(dupProvenance, Some(dupProvenanceSql)),
     "dd11_span_dedup"        -> QueryDef(dedupSpansQ, Some(dedupSpansSql), benchmark = true),
     "dd16_substring_dedup"   -> QueryDef(dedupSubstringsQ, Some(dedupSubstringsSql), benchmark = true),
     "dd17_index_compaction"  -> QueryDef(indexCompaction, Some(dedupIncrementalSql)),

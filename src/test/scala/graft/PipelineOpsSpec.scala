@@ -338,6 +338,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getLong(8) == 5L * (1L << 20) / 4)             // mean tokens ticks
   }
 
+  test("ev42: top paths are ranked, bounded to 5 steps, built from real event types") {
+    val types = Set("click", "view", "purchase", "signup", "error")
+    val out = SparkEntry.allDefs("ev42_path_analysis").fn(spark, sf0001)
+      .select($"path", $"n_sessions").as[(String, Long)].collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted.reverse, "ranked by frequency")
+    out.foreach { case (p, n) =>
+      val steps = p.split(">")
+      assert(steps.length <= 5 && steps.forall(types), s"path '$p'")
+      assert(n >= 1)
+    }
+  }
+
+  test("dd19: the provenance matrix accounts for every dd02 pair exactly once") {
+    val cells = SparkEntry.allDefs("dd19_dup_provenance").fn(spark, sf0001)
+      .select($"source_a", $"source_b", $"n_dup_pairs")
+      .as[(String, String, Long)].collect()
+    assert(cells.forall { case (a, b, _) => a <= b }, "unordered pair canonicalized")
+    val totalPairs = SparkEntry.allDefs("dd02_jaccard_pairs").fn(spark, sf0001).count()
+    assert(cells.map(_._3).sum == totalPairs,
+      "matrix cells must partition the dd02 pair set")
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),
