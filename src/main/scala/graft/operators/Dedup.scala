@@ -170,29 +170,40 @@ object Dedup {
     * → Jaccard from per-doc set sizes. Shuffles: tokenize (1), DF count
     * (1), pair count (1) — all key-hash shuffles, linear in postings.
     */
+  /** Shared inverted-index machinery for the set-overlap family: distinct
+    * shingle postings -> token self-join -> per-pair intersection counts,
+    * with both docs' set sizes joined back — (id_a, id_b, n_common, na,
+    * nb). ONE definition of the plan shape (three key-hash shuffles, all
+    * linear in postings, maxDf-capped fan-out); [[jaccardPairs]] and
+    * [[containmentPairs]] differ only in the metric they derive from it.
+    */
+  private def pairCounts(
+      docs: DataFrame, idCol: String, textCol: String, maxDf: Long,
+      shingles: Column => Column): DataFrame = {
+    val post = tokenPostings(docs, idCol, textCol, maxDf, shingles)
+      .select(col("doc_id"), col("tok"))
+    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    post.as("a")
+      .join(post.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_tok").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_tok").as("nb")), "id_b")
+  }
+
   def jaccardPairs(
       docs: DataFrame,
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxDf: Long = 10000L,
-      shingles: Column => Column = wordTokens): DataFrame = {
-    val post = tokenPostings(docs, idCol, textCol, maxDf, shingles)
-      .select(col("doc_id"), col("tok"))
-    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-    val pairs = post.as("a")
-      .join(post.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_tok").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_tok").as("nb")), "id_b")
+      shingles: Column => Column = wordTokens): DataFrame =
+    pairCounts(docs, idCol, textCol, maxDf, shingles)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
-  }
 
   /** Near-dup pairs by shingle CONTAINMENT — |A∩B| / min(|A|,|B|) — the
     * asymmetric sibling of [[jaccardPairs]] for subset duplication:
@@ -210,22 +221,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxDf: Long = 10000L,
-      shingles: Column => Column = wordTokens): DataFrame = {
-    val post = tokenPostings(docs, idCol, textCol, maxDf, shingles)
-      .select(col("doc_id"), col("tok"))
-    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-    val pairs = post.as("a")
-      .join(post.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_tok").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_tok").as("nb")), "id_b")
+      shingles: Column => Column = wordTokens): DataFrame =
+    pairCounts(docs, idCol, textCol, maxDf, shingles)
       .withColumn("containment",
         col("n_common").cast("double") / least(col("na"), col("nb")).cast("double"))
       .where(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
-  }
 
   /** MinHash signature over distinct tokens — one native Catalyst
     * expression ([[graft.functions.MinHashSig]]): xxhash64 each token twice,

@@ -45,6 +45,24 @@ object Similarity {
     * assigns ranks runs AFTER the heaps, over ≤ |queries|×k survivors —
     * same (cos DESC, neighbor_id) order, bit-identical output.
     */
+  /** Shared ranking epilogue for the exact-scoring family: native
+    * [[graft.plans.TopKPerKey]] heaps bound the ranking exchange at
+    * partitions×|queries|×k rows, then the row_number window assigns
+    * ranks over the ≤|queries|×k survivors — ONE definition of the
+    * (cos DESC, neighbor_id) ranking contract for [[bruteForceTopK]],
+    * [[hardNegatives]] and [[labeledTopK]] (review r11d: three copies
+    * could drift on the tie-break).
+    */
+  private def rankTopK(scored: DataFrame, k: Int, out: Seq[String]): DataFrame = {
+    val pre = graft.plans.TopKPerKey.perKey(scored, Seq("query_id"),
+      Seq(("cos", true), ("neighbor_id", false)), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pre.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(out.map(col): _*)
+  }
+
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -55,13 +73,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val pre = graft.plans.TopKPerKey.perKey(scored, Seq("query_id"),
-      Seq(("cos", true), ("neighbor_id", false)), k)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    pre.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k, Seq("query_id", "rank", "neighbor_id", "cos"))
   }
 
   /** Hard-negative mining for contrastive training: for each query, the
@@ -91,13 +103,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("cv"), col(labelCol).as("n_label"))
     val scored = c.join(broadcast(q), col("q_label") =!= col("n_label"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val pre = graft.plans.TopKPerKey.perKey(scored, Seq("query_id"),
-      Seq(("cos", true), ("neighbor_id", false)), k)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    pre.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k, Seq("query_id", "rank", "neighbor_id", "cos"))
   }
 
   /** [[bruteForceTopK]] with both sides' labels carried through the
@@ -126,14 +132,8 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("q_label"), col("neighbor_id"),
         col("n_label"), cosine(col("qv"), col("cv")).as("cos"))
-    val pre = graft.plans.TopKPerKey.perKey(scored, Seq("query_id"),
-      Seq(("cos", true), ("neighbor_id", false)), k)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    pre.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("q_label"), col("rank"),
-        col("neighbor_id"), col("n_label"), col("cos"))
+    rankTopK(scored, k,
+      Seq("query_id", "q_label", "rank", "neighbor_id", "n_label", "cos"))
   }
 
   /** Exact cosine radius (range) search: every corpus vector within

@@ -2062,10 +2062,14 @@ object Events {
         sum(when(col("ts") >= col("cutoff"), cents).otherwise(0L)).as("y"))
       .withColumn("arm", pmod(col("user_id"), lit(2L)))
     val d38 = "decimal(38,0)"
+    // EVERY sum and tick product runs in DECIMAL(38,0) — the oracle's
+    // HUGEINT — so nothing wraps at any sf (review finding r11d: the
+    // Long-typed per-arm sums would wrap past 2^43 cents of arm mass
+    // while DuckDB widened, silently diverging the gate)
     val moments = per.agg(
       count(lit(1)).cast(d38).as("n"),
-      sum(col("x")).cast(d38).as("sx"),
-      sum(col("y")).cast(d38).as("sy"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
       sum(col("x").cast(d38) * col("x")).as("sxx"),
       sum(col("x").cast(d38) * col("y")).as("sxy"))
     val theta = moments.select(
@@ -2074,11 +2078,11 @@ object Events {
       expr("cast((sx * 1048576) div n as bigint)").as("mx_all_ticks"))
     per.groupBy(col("arm"))
       .agg(count(lit(1)).as("n_users"),
-        sum(col("x")).as("sx_a"), sum(col("y")).as("sy_a"))
+        sum(col("x").cast(d38)).as("sx_a"), sum(col("y").cast(d38)).as("sy_a"))
       .crossJoin(broadcast(theta))
       .select(col("arm"), col("n_users"),
-        expr("(sy_a * cast(1048576 as bigint)) div n_users").as("mean_y_ticks"),
-        expr("(sx_a * cast(1048576 as bigint)) div n_users").as("mx_ticks"),
+        expr("cast((sy_a * 1048576) div n_users as bigint)").as("mean_y_ticks"),
+        expr("cast((sx_a * 1048576) div n_users as bigint)").as("mx_ticks"),
         col("theta_ticks"), col("mx_all_ticks"))
       .select(col("arm"), col("n_users"), col("mean_y_ticks"),
         expr("mean_y_ticks - cast((cast(theta_ticks as decimal(38,0)) * (mx_ticks - mx_all_ticks)) div 1048576 as bigint)")

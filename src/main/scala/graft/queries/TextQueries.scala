@@ -1676,7 +1676,9 @@ object TextQueries {
       .select(col("*"),
         expr("((n_docs - n_distinct_texts) * cast(1000000 as bigint)) div n_docs")
           .as("dup_ppm"),
-        expr("(n_tokens * cast(1048576 as bigint)) div n_docs")
+        // decimal(38,0): a 100 TB corpus's token total times 2^20
+        // exceeds Long (r11d review class; oracle widened to HUGEINT)
+        expr("cast((cast(n_tokens as decimal(38,0)) * 1048576) div n_docs as bigint)")
           .as("mean_tokens_ticks"))
   }
   private val corpusDatasheetSql =
@@ -1694,7 +1696,7 @@ object TextQueries {
       |FROM a)
       |SELECT n_docs, n_distinct_texts, n_tokens, n_chars, n_langs, n_sources, n_empty,
       |  CAST(((n_docs - n_distinct_texts) * 1000000) // n_docs AS BIGINT) AS dup_ppm,
-      |  CAST((n_tokens * 1048576) // n_docs AS BIGINT) AS mean_tokens_ticks
+      |  CAST((n_tokens::HUGEINT * 1048576) // n_docs AS BIGINT) AS mean_tokens_ticks
       |FROM g""".stripMargin
 
   /** tx51: curriculum annealing schedule — the per-checkpoint mixture
@@ -3680,7 +3682,10 @@ object TextQueries {
         (count(col("w")) - count(col("np"))).as("n_oov"),
         coalesce(sum(col("np")), lit(0L)).as("n_pieces"))
       .withColumn("fertility_ticks",
-        expr(s"(n_pieces * ${Unigram.Fp}) div greatest(n_pretokens - n_oov, 1)"))
+        // decimal(38,0): corpus-scale piece counts times 2^20 exceed Long
+        // (the oracle's sum(np) is already HUGEINT)
+        expr(s"cast((cast(n_pieces as decimal(38,0)) * ${Unigram.Fp}) " +
+          "div greatest(n_pretokens - n_oov, 1) as bigint)"))
       .orderBy(col("lang"))
   }
 
@@ -4572,7 +4577,10 @@ object TextQueries {
         sum(col("new_grams")).over(Window.orderBy(col("source"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("novelty_ticks",
-        expr("(new_grams * cast(1048576 as bigint)) div src_grams"))
+        // decimal(38,0), not Long: at 100 TB a source's first-seen gram
+        // count can exceed 2^43, and new_grams·2^20 would wrap (r11d
+        // review class — the oracle computes in HUGEINT)
+        expr("cast((cast(new_grams as decimal(38,0)) * 1048576) div src_grams as bigint)"))
       .orderBy(col("source"))
   }
   private val ngramNoveltySql =
@@ -4595,7 +4603,7 @@ object TextQueries {
       |SELECT t.source, t.src_grams,
       |  coalesce(n.new_grams, 0)::BIGINT AS new_grams,
       |  CAST(sum(coalesce(n.new_grams, 0)) OVER (ORDER BY t.source) AS BIGINT) AS cum_grams,
-      |  (coalesce(n.new_grams, 0)::BIGINT * 1048576) // t.src_grams AS novelty_ticks
+      |  CAST((coalesce(n.new_grams, 0)::HUGEINT * 1048576) // t.src_grams AS BIGINT) AS novelty_ticks
       |FROM tot t LEFT JOIN news n USING (source)
       |ORDER BY source""".stripMargin
 

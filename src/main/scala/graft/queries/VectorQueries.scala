@@ -122,7 +122,10 @@ object VectorQueries {
       .agg(
         transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           s => s.getField("c")).as("cv"),
-        first(col("n")).as("nv"))
+        // max, not first: first() is partitioning-dependent, and on a
+        // ragged corpus (some vectors shorter) per-dim counts differ —
+        // max matches the oracle's max(n) deterministically
+        max(col("n")).as("nv"))
 
   /** Per-label drift ticks between two centroid frames (left fold cosine
     * — bit-identical to DuckDB's list_cosine_similarity). */

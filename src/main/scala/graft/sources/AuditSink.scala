@@ -67,8 +67,12 @@ private class AuditTable(schema0: StructType, name: String, explode: Boolean)
     extends Table with SupportsWrite {
   override def name(): String = s"graft_audit($name)"
   override def schema(): StructType = schema0
+  // BATCH_WRITE only: advertising TRUNCATE without SupportsTruncate on
+  // the builder would pass the analyzer and then fail at write planning
+  // (review finding r11d) — a capability set must not promise more than
+  // the builder implements
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().nonEmpty && info.schema().fields.head.dataType == LongType,
       s"audit sink checksums the FIRST column, which must be LongType; " +

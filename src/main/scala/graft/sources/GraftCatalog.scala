@@ -48,14 +48,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "docs1000"))
 
-  override def tableExists(ident: Identifier): Boolean =
-    TablePat.pattern.matcher(ident.name).matches()
-
-  override def loadTable(ident: Identifier): Table = ident.name match {
+  /** (rows, partitions) iff the identifier parses AND fits its numeric
+    * types — digits past Long.MaxValue must read as "no such table", not
+    * an unhandled NumberFormatException mid-analysis (review r11d). */
+  private def parse(name: String): Option[(Long, Int)] = name match {
     case TablePat(n, p) =>
-      new SyntheticDocsTable(n.toLong,
-        Option(p).map(_.toInt).getOrElse(8), 4096L)
-    case _ =>
+      try Some((n.toLong, Option(p).map(_.toInt).getOrElse(8)))
+      catch { case _: NumberFormatException => None }
+    case _ => None
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    parse(ident.name).isDefined
+
+  override def loadTable(ident: Identifier): Table = parse(ident.name) match {
+    case Some((rows, parts)) => new SyntheticDocsTable(rows, parts, 4096L)
+    case None =>
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (catalogName +: ident.namespace().toSeq :+ ident.name()).toSeq)
   }

@@ -262,14 +262,24 @@ private class SyntheticMicroBatchStream(lo: Long, hi: Long, partitions: Int,
   override def initialOffset(): Offset = SyntheticOffset(lo)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("latestOffset(start, limit) is used")
-  // SupportsAdmissionControl: each trigger admits at most streamBatch ids
+  // SupportsAdmissionControl: the source DECLARES its per-trigger cap as
+  // the default limit and then HONORS whatever limit the engine passes —
+  // declaring allAvailable while silently capping would make Trigger.Once
+  // read one partial batch and terminate "successfully" (review finding
+  // r11d: the admission-control contract, not an optimization)
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(streamBatch)
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxRows}
     val s = start.asInstanceOf[SyntheticOffset].id
-    SyntheticOffset(math.min(s + streamBatch, target))
+    val cap = limit match {
+      case m: ReadMaxRows      => s + m.maxRows()
+      case _: ReadAllAvailable => target
+      case _                   => s + streamBatch
+    }
+    SyntheticOffset(math.min(cap, target))
   }
   override def reportLatestOffset(): Offset = SyntheticOffset(target)
   override def deserializeOffset(json: String): Offset =
