@@ -76,6 +76,64 @@ object Events {
       |        FROM events) x) y
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ev43: conversion-latency percentiles — how long attributed
+    * purchases take after their click (p50/p90/p99 in exact
+    * microseconds), the SLA-style latency readout that pairs with
+    * ev39's attribution counts. Exact type-1 quantiles via the explicit
+    * rank crossing (rank = ⌈q·n/100⌉ under a deterministic (delta,
+    * event_id) order) so both engines pick the IDENTICAL row — engine-
+    * native percentile functions interpolate differently and are
+    * unusable for a hash gate. The global rank window runs over
+    * CONVERSIONS (structurally ≪ events — one row per attributed
+    * purchase); at 100 TB the q56 histogram-crossing form is the
+    * documented scale path for percentiles over non-collapsed streams.
+    */
+  private def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val base = ev.where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = base
+      .withColumn("click_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("side") === 1 && col("click_ts").isNotNull &&
+        col("click_ts") >= col("ts") - expr("INTERVAL 1 DAY"))
+      .select(col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("delta_us"))
+    val ranked = attributed
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("delta_us"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .crossJoin(spark.range(0, 3).select(
+        element_at(array(lit(50), lit(90), lit(99)), (col("id") + 1).cast("int")).as("q")))
+      .where(col("rn") === expr("(n * q + 99) div 100"))
+      .select(col("q"), col("n").as("n_conversions"), col("delta_us"))
+      .orderBy(col("q"))
+  }
+  private val conversionLatencySql =
+    """WITH p AS (
+      |  SELECT e.event_id, e.ts,
+      |    (SELECT c.ts FROM events c
+      |     WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+      |     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_ts
+      |  FROM events e WHERE e.event_type = 'purchase'),
+      |d AS (
+      |  SELECT event_id, epoch_us(ts) - epoch_us(click_ts) AS delta_us
+      |  FROM p WHERE click_ts IS NOT NULL AND click_ts >= ts - INTERVAL 1 DAY),
+      |r AS (
+      |  SELECT delta_us, event_id,
+      |    row_number() OVER (ORDER BY delta_us, event_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM d),
+      |qs AS (SELECT unnest([50, 90, 99]) AS q)
+      |SELECT q, CAST(n AS BIGINT) AS n_conversions, delta_us
+      |FROM qs JOIN r ON rn = (n * q + 99) // 100
+      |ORDER BY q""".stripMargin
+
   /** ev42: clickstream path analysis — the top navigation paths product
     * analytics reads off a session table: ev03's sessionization (30-min
     * gap, same lag/flag arithmetic) extended with a running session id,
@@ -2267,6 +2325,7 @@ object Events {
     "ev40_custom_source"   -> QueryDef(customSource, Some(customSourceSql)),
     "ev39_attribution"     -> QueryDef(attribution, Some(attributionSql), benchmark = true),
     "ev42_path_analysis"   -> QueryDef(pathAnalysis, Some(pathAnalysisSql), benchmark = true),
+    "ev43_conversion_latency" -> QueryDef(conversionLatency, Some(conversionLatencySql)),
     "ev38_kanonymity"      -> QueryDef(kAnonymity, Some(kAnonymitySql)),
     "ev36_observed_metrics" -> QueryDef(observedMetrics, Some(observedMetricsSql)),
     "ev37_cuped"           -> QueryDef(cuped, Some(cupedSql), benchmark = true),

@@ -361,6 +361,25 @@ class PipelineOpsSpec extends SparkSpec {
       "matrix cells must partition the dd02 pair set")
   }
 
+  test("ev43: type-1 quantile ranks pick the exact planted deltas") {
+    // 10 users, click at t=0, purchase i hours later (i = 1..10):
+    // rank = ceil(q*n/100) -> p50 = 5h, p90 = 9h, p99 = 10h exactly
+    val h = 3600L * 1000000L
+    val rows = (1L to 10L).flatMap { i =>
+      Seq((i * 2, 0L, i, "click", 1.0, "{}"),
+          (i * 2 + 1, i * h, i, "purchase", 5.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lat").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(timestamp_micros($"us").as("ts"), $"event_id", $"user_id",
+        $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.allDefs("ev43_conversion_latency").fn(spark, dir)
+      .select($"q", $"n_conversions", $"delta_us")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((50, 10L, 5 * h), (90, 10L, 9 * h), (99, 10L, 10 * h)))
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),
