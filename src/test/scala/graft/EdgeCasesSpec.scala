@@ -168,6 +168,27 @@ class EdgeCasesSpec extends SparkSpec {
       curve.filter(_._1 == 1).map(_._3).sum == 3)
   }
 
+  test("round-11d operators survive empty corpora") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_r11d").toString
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$sf0001/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.read.parquet(s"$sf0001/embeddings.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def rows(q: String): Long = SparkEntry.allDefs(q).fn(spark, dir).count()
+    // per-group rollups of nothing are empty, not errors
+    for (q <- Seq("tx48_ngram_novelty", "dd18_containment_dedup",
+        "dd19_dup_provenance", "ev37_cuped", "ev38_kanonymity",
+        "ev39_attribution", "ev42_path_analysis", "ev43_conversion_latency",
+        "ann19_retrieval_metrics", "ann20_centroid_drift",
+        "mm12_media_dup_clusters"))
+      assert(rows(q) == 0L, s"$q on an empty corpus must be empty")
+    // the datasheet of nothing is one all-zero row (global aggregate)
+    val sheet = SparkEntry.allDefs("tx52_corpus_datasheet").fn(spark, dir).collect()
+    assert(sheet.length == 1 && sheet.head.getLong(0) == 0L)
+  }
+
   test("round-4 operators survive empty inputs") {
     import graft.operators.{FuzzyJoin, IncrementalAgg, Merge}
     assert(Dedup.dedupSpans(emptyDocs).count() == 0)
