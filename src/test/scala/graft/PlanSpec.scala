@@ -630,4 +630,35 @@ class PlanSpec extends SparkSpec {
         s"$name: filter not pushed\n" + p)
     }
   }
+
+  test("ann19: labeled ranking rides the native TopKPerKey heaps, queries broadcast") {
+    val p = planOf("ann19_retrieval_metrics")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann20: drift monitor is fully declarative — no vector crosses a wide exchange") {
+    val p = planOf("ann20_centroid_drift")
+    // the corpus-sized work reduces map-side: partial_sum/partial_count
+    // before the (label, half?) dim exchange
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ev37: CUPED is one user exchange plus broadcast model rows") {
+    val p = planOf("ev37_cuped")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty,
+      s"expected the user_id rollup exchange\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"theta must broadcast back, not shuffle\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tx48: novelty's corpus-sized rollup is map-side combined before its exchange") {
+    val p = planOf("tx48_ngram_novelty")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial->final pairs on the gram rollups\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }
