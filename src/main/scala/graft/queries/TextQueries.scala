@@ -4331,16 +4331,13 @@ object TextQueries {
     */
   private val PackWindow = 512L
   private val PackBucket = 1L << 16
-  private def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+  /** The two-level prefix scan both packing queries share: each doc's
+    * [s, e) token-offset span in the contiguous training stream (len =
+    * tokens + 1 EOS; null text coalesced to the empty doc — advisor
+    * finding r10). Level 1 runs the only unpartitioned window over
+    * n/2^16 bucket totals; level 2 is bucket-partitioned. */
+  private def packOffsets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val C = PackWindow
-    // coalesce to '' (advisor finding r10): Spark's size(NULL)+1 = 0
-    // would keep a NULL-text doc in the stream with len=0 (and a
-    // boundary-landing offset then makes sequence(s div C, (e-1) div C)
-    // DESCENDING, emitting a bogus extra window), while the oracle's
-    // len(NULL) is NULL and the doc vanishes from its prefix sums. As an
-    // empty doc it contributes exactly its 1 EOS position in both
-    // engines, and len ≥ 1 keeps the sequence() ascending by construction.
     val toks = filter(
       TextFunctions.tokenize(lower(coalesce(col("text"), lit("")))),
       t => length(t) > 0)
@@ -4356,9 +4353,21 @@ object TextQueries {
       .select(col("bkt"), col("boff"))
     // level 2: within-bucket running sums — partitioned by bucket
     val run = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
-    val offs = d.join(bOff, Seq("bkt"))
+    d.join(bOff, Seq("bkt"))
       .withColumn("e", col("boff") + sum(col("len")).over(run))
       .withColumn("s", col("e") - col("len"))
+  }
+
+  private def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val C = PackWindow
+    // coalesce to '' (advisor finding r10): Spark's size(NULL)+1 = 0
+    // would keep a NULL-text doc in the stream with len=0 (and a
+    // boundary-landing offset then makes sequence(s div C, (e-1) div C)
+    // DESCENDING, emitting a bogus extra window), while the oracle's
+    // len(NULL) is NULL and the doc vanishes from its prefix sums. As an
+    // empty doc it contributes exactly its 1 EOS position in both
+    // engines, and len ≥ 1 keeps the sequence() ascending by construction.
+    val offs = packOffsets(spark, dir)
     offs.select(col("s"), col("e"),
         explode(expr(s"sequence(s div $C, (e-1) div $C)")).as("window_id"))
       .groupBy(col("window_id"))
@@ -4369,6 +4378,56 @@ object TextQueries {
           .as("n_tokens"))
       .orderBy(col("window_id"))
   }
+  /** tx53: packing-fragmentation sweep — the choose-your-max-seq-length
+    * planning table: for window lengths C ∈ {128, 512, 2048}, how many
+    * training windows the corpus packs into and how many documents get
+    * FRAGMENTED across a window boundary (the spans a causal model sees
+    * split, losing cross-boundary attention). ONE shared prefix-scan
+    * chain ([[packOffsets]], tx41's machinery verbatim) serves every
+    * swept config — the per-config work is a row-local div and a 3-row
+    * rollup, so sweeping more configs is marginal-cost-free (the ann21
+    * pattern on the text side).
+    */
+  private def packingSweep(spark: SparkSession, dir: String): DataFrame =
+    packOffsets(spark, dir)
+      .select(col("s"), col("e"),
+        explode(array(lit(128L), lit(512L), lit(2048L))).as("c"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("e")).as("n"),
+        sum(when(expr("s div c != (e-1) div c"), 1L).otherwise(0L))
+          .as("n_fragmented"),
+        sum(expr("(e-1) div c - s div c")).as("n_extra_fragments"))
+      .select(col("c").as("window_len"), col("n_docs"),
+        expr("(n + c - 1) div c").as("n_windows"),
+        col("n_fragmented"), col("n_extra_fragments"),
+        expr("(n_fragmented * cast(1000000 as bigint)) div n_docs").as("frag_ppm"))
+      .orderBy(col("window_len"))
+  private val packingSweepSql: String = {
+    val toksSql =
+      "list_filter(string_split_regex(trim(lower(coalesce(text, ''))), " +
+        "'[\\t\\n\\x0B\\f\\r ]+'), x -> len(x) > 0)"
+    s"""WITH t AS (
+       |  SELECT doc_id, len($toksSql)::BIGINT + 1 AS len FROM documents),
+       |o AS (
+       |  SELECT doc_id,
+       |    sum(len) OVER (ORDER BY doc_id)::BIGINT AS e,
+       |    (sum(len) OVER (ORDER BY doc_id) - len)::BIGINT AS s
+       |  FROM t),
+       |cs AS (SELECT unnest([128, 512, 2048])::BIGINT AS c),
+       |g AS (
+       |  SELECT c, count(*)::BIGINT AS n_docs, max(e) AS n,
+       |    CAST(sum(CASE WHEN s // c <> (e-1) // c THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_fragmented,
+       |    CAST(sum((e-1) // c - s // c) AS BIGINT) AS n_extra_fragments
+       |  FROM o CROSS JOIN cs GROUP BY c)
+       |SELECT c AS window_len, n_docs,
+       |  CAST((n + c - 1) // c AS BIGINT) AS n_windows,
+       |  n_fragmented, n_extra_fragments,
+       |  CAST((n_fragmented * 1000000) // n_docs AS BIGINT) AS frag_ppm
+       |FROM g ORDER BY window_len""".stripMargin
+  }
+
   private val sequencePackingSql: String = {
     val C = PackWindow
     // coalesce(text,'') mirrors sequencePacking's null-as-empty-doc rule
@@ -4725,6 +4784,7 @@ object TextQueries {
     "tx47_epoch_allocation"   -> QueryDef(epochAllocation, Some(epochAllocationSql)),
     "tx43_repetition_score"   -> QueryDef(repetitionScore, Some(repetitionScoreSql), benchmark = true),
     "tx41_sequence_packing"   -> QueryDef(sequencePacking, Some(sequencePackingSql), benchmark = true),
+    "tx53_packing_sweep"      -> QueryDef(packingSweep, Some(packingSweepSql)),
     "tx40_quality_classifier" -> QueryDef(qualityClassifier, Some(qualityClassifierSql), benchmark = true),
     "tx42_classifier_curation" -> QueryDef(classifierCuration, Some(classifierCurationSql), benchmark = true),
     "tx49_calibration_curve"  -> QueryDef(calibrationCurve, Some(calibrationCurveSql), benchmark = true),

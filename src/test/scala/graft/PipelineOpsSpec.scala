@@ -380,6 +380,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((50, 10L, 5 * h), (90, 10L, 9 * h), (99, 10L, 10 * h)))
   }
 
+  test("tx53: fragmentation falls as windows grow; window accounting closes") {
+    val out = SparkEntry.allDefs("tx53_packing_sweep").fn(spark, sf0001)
+      .select($"window_len", $"n_docs", $"n_windows", $"n_fragmented",
+        $"n_extra_fragments", $"frag_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(128L, 512L, 2048L))
+    assert(out.map(_._2).distinct.length == 1, "every config sees every doc")
+    // longer context -> fewer boundary-split docs, fewer windows
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._4 >= b._4 && a._3 >= b._3 })
+    out.foreach { case (c, nDocs, nWin, frag, extra, ppm) =>
+      assert(extra >= frag, s"C=$c: each fragmented doc adds >= 1 extra piece")
+      assert(ppm == frag * 1000000L / nDocs, s"C=$c ppm accounting")
+      assert(nWin >= 1, s"C=$c")
+    }
+  }
+
   test("quality audit: nulls, cardinality, range; strings have null range") {
     val df = Seq(
       (Option(1.0), Option("x")),
