@@ -94,9 +94,14 @@ object Bench {
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
     }
     val results = names.map(n => n -> medianOf(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: full-precision doubles made the ~90-query
+    // JSON line outgrow the driver's log-tail capture window
+    // (BENCH_r11.json "parsed": null) — 3 decimals is far below
+    // run-to-run variance and halves the line
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -114,14 +119,19 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
-    // also write the metric line to a file: log-tail parsing is fragile
-    // (sbt prefixes, interleaved Spark output), a file is not
-    try {
-      val out = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, json + "\n")
-    } catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write target/bench.json: $e")
+    // also write the metric line to files: log-tail parsing is fragile
+    // (sbt prefixes, interleaved Spark output), a file is not — BENCH.json
+    // at the repo root is the canonical per-round artifact (VERDICT r11
+    // #7: the stdout tail truncated past ~56 queries), target/bench.json
+    // stays for local tooling
+    for (path <- Seq(java.nio.file.Paths.get("BENCH.json"),
+                     java.nio.file.Paths.get("target", "bench.json"))) {
+      try {
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path, json + "\n")
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $path: $e")
+      }
     }
     spark.stop()
   }

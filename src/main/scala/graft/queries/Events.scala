@@ -2166,7 +2166,7 @@ object Events {
       |    CAST((sx * 1048576) // n AS BIGINT) AS mx_all_ticks FROM g),
       |arms AS (
       |  SELECT user_id % 2 AS arm, count(*)::BIGINT AS n_users,
-      |    CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a
+      |    CAST(sum(x) AS HUGEINT) AS sx_a, CAST(sum(y) AS HUGEINT) AS sy_a
       |  FROM per GROUP BY 1)
       |SELECT arm, n_users,
       |  CAST((CAST(sy_a AS HUGEINT) * 1048576) // n_users AS BIGINT) AS mean_y_ticks,

@@ -1741,7 +1741,65 @@ object Relational {
       |      FROM h GROUP BY lang) t
       |ORDER BY lang""".stripMargin
 
+  /** q62: the scan-shaping pushdown contracts a production connector
+    * (JDBC/Iceberg-class) exercises daily, end-to-end under the hash
+    * gate — three branches over the same 1M-row synthetic table:
+    *
+    *  - `agg_pushdown`: un-grouped count/sum/min/max over a pushed
+    *    doc_id window — `SupportsPushDownAggregates` COMPLETE mode
+    *    absorbs the whole aggregation into the source's closed forms
+    *    (one row moves, no Aggregate node survives; SourcesSpec pins the
+    *    plan). At 100 TB this is `count(*)` answered without a scan.
+    *  - `limit_pushdown`: `LIMIT 250k` bounds the generated range BEFORE
+    *    partition planning (`SupportsPushDownLimit`, fully pushed) —
+    *    Spark aggregates the 250k surviving rows, proving the scan
+    *    emitted exactly the bounded set.
+    *  - `topn_pushdown`: `ORDER BY doc_id DESC LIMIT 1000` narrows the
+    *    range to the top-1000 ids (`SupportsPushDownTopN`, partial —
+    *    Spark's final sort sees 1000 rows, not 1M).
+    *
+    * The oracle re-derives each branch from `generate_series` and the
+    * connector's published row arithmetic.
+    */
+  private def q62(spark: SparkSession, dir: String): DataFrame = {
+    def docs = spark.read.format(graft.sources.SyntheticDocs.Format)
+      .option("rows", "1000000").option("partitions", "16").load()
+    def aggAll(df: DataFrame, branch: String): DataFrame = df
+      .agg(count(col("doc_id")).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("doc_id")).as("sum_ids"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .select(lit(branch).as("branch"), col("n_docs"), col("sum_tokens"),
+        col("min_tokens"), col("max_tokens"), col("sum_ids"),
+        col("min_id"), col("max_id"))
+    val aggPushed = aggAll(
+      docs.where(col("doc_id") >= 100000 && col("doc_id") < 900000),
+      "agg_pushdown")
+    val limited = aggAll(docs.limit(250000), "limit_pushdown")
+    val topn = aggAll(docs.orderBy(col("doc_id").desc).limit(1000),
+      "topn_pushdown")
+    aggPushed.unionAll(limited).unionAll(topn).orderBy(col("branch"))
+  }
+  private val q62Sql =
+    """WITH u AS (
+      |  SELECT 'agg_pushdown' AS branch, unnest(generate_series(100000, 899999)) AS id
+      |  UNION ALL
+      |  SELECT 'limit_pushdown' AS branch, unnest(generate_series(0, 249999)) AS id
+      |  UNION ALL
+      |  SELECT 'topn_pushdown' AS branch, unnest(generate_series(999000, 999999)) AS id)
+      |SELECT branch, count(id)::BIGINT AS n_docs,
+      |  CAST(sum(id % 97 + 3) AS BIGINT) AS sum_tokens,
+      |  CAST(min(id % 97 + 3) AS BIGINT) AS min_tokens,
+      |  CAST(max(id % 97 + 3) AS BIGINT) AS max_tokens,
+      |  CAST(sum(id) AS BIGINT) AS sum_ids,
+      |  min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id
+      |FROM u GROUP BY branch ORDER BY branch""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q62_scan_pushdown"    -> QueryDef(q62, Some(q62Sql), benchmark = true),
     "q61_catalog_function" -> QueryDef(q61, Some(q61Sql)),
     "q60_catalog_table"    -> QueryDef(q60, Some(q60Sql)),
     "q59_native_topk"      -> QueryDef(q59, Some(q59Sql), benchmark = true),

@@ -3,7 +3,8 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
@@ -39,12 +40,28 @@ import org.apache.spark.unsafe.types.UTF8String
 class SyntheticDocs extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticDocs.schema
+  /** Options parse through one validator: a malformed `rows=abc` or a
+    * silent `partitions=-3` must surface as IllegalArgumentException
+    * naming the option, not a raw NumberFormatException mid-planning or
+    * a nonsense plan (GraftCatalog.parse got the same hardening r11d).
+    */
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new SyntheticDocsTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "8").toInt,
-      properties.getOrDefault("streamBatch", "4096").toLong)
+      properties: util.Map[String, String]): Table = {
+    def opt(name: String, default: Long, min: Long): Long = {
+      val raw = properties.getOrDefault(name, default.toString)
+      val v = try raw.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft-synthetic option '$name' must be a number, got '$raw'") }
+      if (v < min) throw new IllegalArgumentException(
+        s"graft-synthetic option '$name' must be >= $min, got $v")
+      v
+    }
+    val parts = opt("partitions", 8, 1)
+    if (parts > Int.MaxValue) throw new IllegalArgumentException(
+      s"graft-synthetic option 'partitions' must fit an Int, got $parts")
+    new SyntheticDocsTable(opt("rows", 1000, 0), parts.toInt,
+      opt("streamBatch", 4096, 1))
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -73,6 +90,18 @@ object SyntheticDocs {
     }
   }
 
+  /** Test seam: what offset the micro-batch stream advances to from
+    * `start` under an engine-delivered ReadLimit — pins the admission-
+    * control arithmetic (incl. CompositeReadLimit unpacking) without a
+    * full streaming run. */
+  private[graft] def latestOffsetUnder(rows: Long, streamBatch: Long,
+      start: Long,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Long = {
+    val s = new SyntheticMicroBatchStream(0L, rows, 4, streamBatch, schema)
+    s.latestOffset(SyntheticOffset(start), limit)
+      .asInstanceOf[SyntheticOffset].id
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("lang", StringType, nullable = false),
@@ -98,6 +127,32 @@ object SyntheticDocs {
     while (i < nTokens(id)) { if (i > 0) sb.append(' '); sb.append(w); i += 1 }
     sb.toString
   }
+
+  /** Closed forms over an id range [lo, hi) — the aggregate-pushdown
+    * reader computes its single output row from these, so a pushed
+    * `count/sum/min/max` over a billion ids is O(1) arithmetic, not a
+    * scan. Each is the exact value the row generators above would
+    * produce; SourcesSpec cross-checks them against brute force.
+    */
+  def sumIds(lo: Long, hi: Long): Long = {
+    val span = hi - lo
+    // (lo + hi - 1) * span / 2 with the even factor divided first so the
+    // intermediate doesn't overflow before the division
+    if (span % 2 == 0) (span / 2) * (lo + hi - 1) else span * ((lo + hi - 1) / 2)
+  }
+  def sumNTokens(lo: Long, hi: Long): Long = {
+    // sum of id % 97 over [0, n): full 97-cycles each sum 97*96/2 = 4656
+    def f(n: Long): Long = { val r = n % 97; (n / 97) * 4656 + r * (r - 1) / 2 }
+    3 * (hi - lo) + f(hi) - f(lo)
+  }
+  def minNTokens(lo: Long, hi: Long): Long = {
+    val span = hi - lo; val a = lo % 97
+    if (span >= 97 || a + span > 97) 3 else a + 3 // residue wrap includes 0
+  }
+  def maxNTokens(lo: Long, hi: Long): Long = {
+    val span = hi - lo; val a = lo % 97
+    if (span >= 97 || a + span > 97) 99 else a + span - 1 + 3
+  }
 }
 
 private class SyntheticDocsTable(rows: Long, partitions: Int, streamBatch: Long)
@@ -112,11 +167,90 @@ private class SyntheticDocsTable(rows: Long, partitions: Int, streamBatch: Long)
 
 private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Long)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN with SupportsPushDownOffset {
   private var lo = 0L            // inclusive id lower bound after pushdown
   private var hi = rows          // exclusive id upper bound after pushdown
   private var required: StructType = SyntheticDocs.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggFns: Option[Array[aggregate.AggregateFunc]] = None
+  private var topNPushed = false
+
+  /** Single-column reference name, if the V2 expression is one. */
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Aggregate pushdown (`SupportsPushDownAggregates`) — COMPLETE mode:
+    * un-grouped count/min/max/sum over the generated columns have closed
+    * forms in the id range (see SyntheticDocs.sumIds etc.), so the scan
+    * answers them with ONE row of O(1) arithmetic and no Aggregate node
+    * survives above it. `SELECT count(*) FROM docs(1e6)` moves one row,
+    * not a million — the contract a JDBC/Iceberg-class connector
+    * implements so a 100 TB `count(*)` never leaves the source. Grouped
+    * or exotic aggregates are declined (Spark plans them normally over
+    * the pruned scan). Pushed filters have already narrowed [lo, hi), so
+    * the closed forms see the post-filter range.
+    */
+  private def aggSupported(agg: aggregate.Aggregation): Boolean = {
+    val numeric = Set("doc_id", "n_tokens")
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    agg.aggregateExpressions.forall {
+      case _: aggregate.CountStar => true
+      case c: aggregate.Count => !c.isDistinct &&
+        colName(c.column).exists(SyntheticDocs.schema.fieldNames.contains)
+      case m: aggregate.Min => colName(m.column).exists(numeric)
+      case m: aggregate.Max => colName(m.column).exists(numeric)
+      case s: aggregate.Sum => !s.isDistinct && colName(s.column).exists(numeric)
+      case _ => false
+    }
+  }
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    aggSupported(agg)
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+    aggSupported(agg) && { aggFns = Some(agg.aggregateExpressions); true }
+
+  /** LIMIT pushdown: any `limit` ids of the range are a valid LIMIT
+    * result, so take the first — the scan's row count is bounded BEFORE
+    * partition planning and the Limit node vanishes (fully pushed).
+    * Declined once an aggregate is absorbed (the limit then applies to
+    * aggregate output rows, not ids).
+    */
+  override def pushLimit(limit: Int): Boolean =
+    aggFns.isEmpty && { hi = math.min(hi, lo + limit); true }
+  // fully pushed for plain LIMIT (exactly the first `limit` ids remain);
+  // only RANGE-narrowed for TopN, where Spark must still do the final
+  // global sort+limit because multi-slice output order is not guaranteed
+  override def isPartiallyPushed(): Boolean = topNPushed
+
+  /** TopN (sort+limit) pushdown on `doc_id`: ids generate in order, so
+    * ORDER BY doc_id ASC LIMIT k is the first k ids and DESC the last k
+    * — the range narrows to exactly the top-N set; Spark keeps the final
+    * sort (partial pushdown), but over k rows instead of the table.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (aggFns.nonEmpty || orders.length != 1) return false
+    val o = orders(0)
+    colName(o.expression()) match {
+      case Some("doc_id") =>
+        if (o.direction() == SortDirection.ASCENDING) hi = math.min(hi, lo + limit)
+        else lo = math.max(lo, hi - limit)
+        topNPushed = true; true
+      case _ => false
+    }
+  }
+
+  /** OFFSET pushdown: skipping the first `offset` ids is a valid OFFSET
+    * result (no order requested ⇒ any `offset` rows may be skipped).
+    * Spark only pushes OFFSET after LIMIT/TopN per its own contract, so
+    * narrowing lo here composes with the bounds above.
+    */
+  override def pushOffset(offset: Int): Boolean =
+    aggFns.isEmpty && !topNPushed && { lo = math.min(lo + offset, hi); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -146,8 +280,64 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Lon
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new SyntheticScan(lo, hi, partitions, streamBatch, required)
+  override def build(): Scan = aggFns match {
+    case Some(fns) => new SyntheticAggScan(lo, hi, fns)
+    case None      => new SyntheticScan(lo, hi, partitions, streamBatch, required)
+  }
+}
+
+/** The scan an absorbed aggregation builds: ONE partition, ONE row,
+  * each cell a closed form over [lo, hi) (all supported aggregates are
+  * LongType in Spark's complete-pushdown schema: count→bigint,
+  * sum/min/max of bigint→bigint). Empty range ⇒ count 0, sum/min/max
+  * NULL — exactly Spark's un-grouped aggregate over empty input.
+  */
+private class SyntheticAggScan(lo: Long, hi: Long,
+    fns: Array[aggregate.AggregateFunc]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(fns.zipWithIndex.map { case (_, i) =>
+      StructField(s"agg_$i", LongType, nullable = true) })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synthetic AGGREGATED ids [$lo, $hi): ${fns.map(_.describe()).mkString(", ")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticPartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SyntheticAggReaderFactory(fns)
+}
+
+private class SyntheticAggReaderFactory(fns: Array[aggregate.AggregateFunc])
+    extends PartitionReaderFactory {
+  private def name(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]
+      .fieldNames()(0)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val SyntheticPartition(lo, hi) = partition.asInstanceOf[SyntheticPartition]
+    val empty = hi <= lo
+    val vals: Array[Any] = fns.map {
+      case _: aggregate.CountStar          => math.max(hi - lo, 0L)
+      case _: aggregate.Count              => math.max(hi - lo, 0L) // all cols non-null
+      case _ if empty                      => null
+      case m: aggregate.Min => name(m.column) match {
+        case "doc_id" => lo
+        case "n_tokens" => SyntheticDocs.minNTokens(lo, hi)
+      }
+      case m: aggregate.Max => name(m.column) match {
+        case "doc_id" => hi - 1
+        case "n_tokens" => SyntheticDocs.maxNTokens(lo, hi)
+      }
+      case s: aggregate.Sum => name(s.column) match {
+        case "doc_id" => SyntheticDocs.sumIds(lo, hi)
+        case "n_tokens" => SyntheticDocs.sumNTokens(lo, hi)
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(vals.toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private case class SyntheticPartition(start: Long, end: Long) extends InputPartition
@@ -272,14 +462,20 @@ private class SyntheticMicroBatchStream(lo: Long, hi: Long, partitions: Int,
     org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(streamBatch)
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxRows}
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxRows}
     val s = start.asInstanceOf[SyntheticOffset].id
-    val cap = limit match {
-      case m: ReadMaxRows      => s + m.maxRows()
-      case _: ReadAllAvailable => target
-      case _                   => s + streamBatch
+    // A CompositeReadLimit (e.g. maxRows ∧ minRows, which some trigger
+    // configs deliver) must honor the TIGHTEST contained row cap — the
+    // default branch would silently exceed an engine cap below
+    // streamBatch (ADVICE r11). minRows has no upper-bound meaning for a
+    // bounded replay source, so only maxRows/allAvailable constrain.
+    def cap(l: ReadLimit): Long = l match {
+      case m: ReadMaxRows        => s + m.maxRows()
+      case _: ReadAllAvailable   => target
+      case c: CompositeReadLimit => c.getReadLimits.map(cap).min
+      case _                     => s + streamBatch
     }
-    SyntheticOffset(math.min(cap, target))
+    SyntheticOffset(math.min(cap(limit), target))
   }
   override def reportLatestOffset(): Offset = SyntheticOffset(target)
   override def deserializeOffset(json: String): Offset =

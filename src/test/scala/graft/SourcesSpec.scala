@@ -188,6 +188,110 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() == nBooks)
   }
 
+  test("closed-form range aggregates equal brute force on assorted ranges") {
+    // the aggregate-pushdown reader is only as correct as these forms;
+    // cover cycle-aligned, mid-cycle, wrapping, tiny, and empty ranges
+    val ranges = Seq((0L, 97L), (0L, 1000L), (5L, 5L), (13L, 14L),
+      (90L, 103L), (96L, 98L), (97L, 194L), (41L, 73L), (100000L, 100037L))
+    for ((lo, hi) <- ranges if hi > lo) {
+      val ids = lo until hi
+      assert(SyntheticDocs.sumIds(lo, hi) == ids.sum, s"sumIds [$lo,$hi)")
+      assert(SyntheticDocs.sumNTokens(lo, hi) == ids.map(SyntheticDocs.nTokens).sum,
+        s"sumNTokens [$lo,$hi)")
+      assert(SyntheticDocs.minNTokens(lo, hi) == ids.map(SyntheticDocs.nTokens).min,
+        s"minNTokens [$lo,$hi)")
+      assert(SyntheticDocs.maxNTokens(lo, hi) == ids.map(SyntheticDocs.nTokens).max,
+        s"maxNTokens [$lo,$hi)")
+    }
+  }
+
+  test("aggregate pushdown: no Aggregate node survives, one row moves") {
+    val df = read(1000000, 16).where($"doc_id" >= 100 && $"doc_id" < 7000)
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("st"),
+        min($"n_tokens").as("mnt"), max($"n_tokens").as("mxt"),
+        sum($"doc_id").as("si"), min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Aggregate"), s"aggregation must be absorbed:\n$plan")
+    assert(plan.contains("AGGREGATED ids [100, 7000)"), s"expected agg scan:\n$plan")
+    val r = df.as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val ids = 100L until 7000L
+    assert(r == ((ids.size.toLong, ids.map(SyntheticDocs.nTokens).sum, 3L, 99L,
+      ids.sum, 100L, 6999L)))
+  }
+
+  test("aggregate pushdown over an EMPTY range: count 0, sum/min/max NULL") {
+    val df = read(1000, 8).where($"doc_id" < 0)
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("st"), max($"doc_id").as("mx"))
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 0L && rows(0).isNullAt(1) && rows(0).isNullAt(2),
+      s"un-grouped agg over empty input must be (0, null, null), got ${rows(0)}")
+  }
+
+  test("grouped aggregation is DECLINED: Spark aggregates over the pruned scan") {
+    // the source only absorbs un-grouped aggregates; a groupBy must fall
+    // back to a normal (pruned, partial->final) plan with correct results
+    val df = read(10000, 8).groupBy($"lang").agg(count(lit(1)).as("n"))
+    assert(df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val got = df.as[(String, Long)].collect().toMap
+    assert(got == (0L until 10000L).groupBy(SyntheticDocs.lang).view.mapValues(_.size.toLong).toMap)
+  }
+
+  test("LIMIT pushdown is FULL: the scan is bounded and no Limit node remains") {
+    val df = read(1000000, 16).limit(2500)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ids [0, 2500)"), s"expected bounded scan:\n$plan")
+    assert(!plan.contains("Limit"), s"fully-pushed limit must drop the node:\n$plan")
+    assert(df.count() == 2500)
+  }
+
+  test("TopN pushdown narrows the range both directions; final sort kept") {
+    val asc = read(1000000, 16).orderBy($"doc_id").limit(5)
+    assert(asc.queryExecution.executedPlan.toString.contains("ids [0, 5)"))
+    assert(asc.select($"doc_id").as[Long].collect().toSeq == (0L until 5L))
+    val desc = read(1000000, 16).orderBy($"doc_id".desc).limit(5)
+    val dplan = desc.queryExecution.executedPlan.toString
+    assert(dplan.contains("ids [999995, 1000000)"), s"expected top-of-range scan:\n$dplan")
+    // partial pushdown: Spark's global sort+limit still runs (order proof)
+    assert(dplan.contains("TakeOrderedAndProject") || dplan.contains("Sort"),
+      s"partial TopN must keep the final sort:\n$dplan")
+    assert(desc.select($"doc_id").as[Long].collect().toSeq ==
+      (999999L to 999995L by -1))
+  }
+
+  test("OFFSET pushdown skips ids at the source") {
+    val df = read(1000, 4).offset(990)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ids [990, 1000)"), s"expected offset-narrowed scan:\n$plan")
+    assert(df.select($"doc_id").as[Long].collect().sorted.toSeq == (990L until 1000L))
+  }
+
+  test("malformed reader options fail fast, naming the option") {
+    for ((k, v) <- Seq("rows" -> "abc", "rows" -> "-1", "partitions" -> "0",
+        "streamBatch" -> "x")) {
+      val e = intercept[Exception] {
+        spark.read.format(SyntheticDocs.Format).option(k, v).load().count()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains(s"'$k'")), s"option $k=$v: got $e")
+    }
+  }
+
+  test("micro-batch admission control honors CompositeReadLimit's tightest cap") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // engine cap (50) tighter than streamBatch (300) inside a composite
+    val composite = ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(10, 0), ReadLimit.maxRows(50)))
+    assert(SyntheticDocs.latestOffsetUnder(1000, 300, 100, composite) == 150L)
+    // plain maxRows and allAvailable unchanged
+    assert(SyntheticDocs.latestOffsetUnder(1000, 300, 100, ReadLimit.maxRows(50)) == 150L)
+    assert(SyntheticDocs.latestOffsetUnder(1000, 300, 100, ReadLimit.allAvailable()) == 1000L)
+    // cap never overshoots the bounded id space
+    assert(SyntheticDocs.latestOffsetUnder(120, 300, 100, ReadLimit.maxRows(50)) == 120L)
+  }
+
   test("audit sink rejects a frame whose first column is not a long") {
     import graft.sources.AuditSink
     val e = intercept[Exception] {
