@@ -103,9 +103,22 @@ object FailureDrill {
     // domain-bounded (label, dim) rollup — recovery must replay the
     // micro-batch from the stream checkpoint and still produce the
     // bit-identical per-label drift ticks.
+    // ev41 (round 12) drills the V2 WRITE commit protocol under REAL
+    // process death: the kill can land while executor-side DataWriters
+    // hold partial audits — Spark retries the lost tasks, the driver-side
+    // job commit must see exactly one commit message per partition
+    // (retry attempts' partials discarded via abort), and the committed
+    // (count, checksum) must equal the undisturbed run bit-for-bit — the
+    // exactly-once write guarantee a 100 TB sink lives on. st33 (round
+    // 12) drills the custom SOURCE's offset replay: the kill lands
+    // mid-drain of the admission-controlled micro-batch stream, and the
+    // restarted tasks must re-read their id slices such that every
+    // offset range [lo, hi) is delivered exactly once across executor
+    // incarnations — digest-identical to the unkilled replay.
     val queries = Seq("dd07_dup_clusters", "gr06_kcore",
       "tx40_quality_classifier", "st20_stream_ewma", "sx02_kmv_overlap",
-      "gr10_hits", "st29_stream_ann_serve", "st32_stream_drift_monitor")
+      "gr10_hits", "st29_stream_ann_serve", "st32_stream_drift_monitor",
+      "ev41_audited_write", "st33_stream_custom_source")
 
     // reference digests from an undisturbed local run
     val ref = {
