@@ -2,6 +2,10 @@ package graft.core
 
 /** Scratch-space locations for queries that materialize intermediate
   * artifacts (round-trip sinks, bucketed warehouses, stream checkpoints).
+  * LOAD-BEARING despite the name — every materializing query (ev05/ev07/
+  * ev08/ev14/…, dd09's index warehouse, every stream checkpoint) routes
+  * through here, and `ScratchSpec` pins the derivation; do not delete as
+  * "scratch".
   * One derivation — `graft.tmp` system property with a local fallback —
   * instead of a copy per query body: changing the scratch root is one
   * edit, and no query can silently write somewhere else. Local-filesystem

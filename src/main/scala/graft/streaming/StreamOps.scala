@@ -271,16 +271,55 @@ object StreamOps {
   /** Drive a streaming DataFrame from a bounded source to completion into
     * an in-memory table and return the final result (used by the judged
     * `stream_*` queries so the true streaming path is oracle-gated).
+    *
+    * `statePartitions`: width of the stateful operators' state-store
+    * exchange for THIS stream (the session's `shuffle.partitions` is
+    * restored afterwards). State-partition count is a per-query sizing
+    * decision — it fixes the number of state-store PROVIDERS, and each
+    * provider instantiation is serialized JVM-wide
+    * (`StateStore.getStateStoreProvider` synchronizes on the provider
+    * map) and pays its own per-commit delta + checksum file round-trip,
+    * so an over-wide stateful replay spends its wall on store bookkeeping
+    * (St08Profile thread dumps: 31/32 tasks parked in provider init, then
+    * in `ChecksumCheckpointFileManager.awaitResult`). Size it to the
+    * stream's STATE volume, not the session's CPU count: results are
+    * partitioning-independent (every st* gate hashes them), and a
+    * production deployment sizes the same knob per query at submit time.
     */
   def runToMemory(spark: SparkSession, streamDf: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete): DataFrame = {
-    val q = streamDf.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      mode: OutputMode = OutputMode.Complete,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val partsKey = "spark.sql.shuffle.partitions"
+    // This runner always executes against a THROWAWAY temp checkpoint
+    // (deleted at completion — nothing ever restarts from it), so the
+    // checksum sidecar files Spark 4.1 writes per state-store delta buy
+    // zero recovery value here and cost real wall: St08Profile thread
+    // dumps show store-commit tasks parked in
+    // ChecksumCheckpointFileManager.awaitResult. Queries that keep a
+    // DURABLE checkpoint (st19's restart drill, st31's foreachBatch
+    // ingest) run their own writeStream and keep the session default ON.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevParts = spark.conf.get(partsKey)
+    val prevCk = spark.conf.getOption(ckKey)
+    statePartitions.foreach(n => spark.conf.set(partsKey, n.toString))
+    spark.conf.set(ckKey, "false")
+    val q =
+      try {
+        val started = streamDf.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        started.awaitTermination()
+        started
+      } finally {
+        spark.conf.set(partsKey, prevParts)
+        prevCk match {
+          case Some(v) => spark.conf.set(ckKey, v)
+          case None    => spark.conf.unset(ckKey)
+        }
+      }
     try {
       val exec = q match {
         case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
