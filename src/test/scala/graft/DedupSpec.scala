@@ -465,4 +465,38 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
     assert(pairs.head._3 == 1.0)
   }
+
+  test("lsh tuning curve: refinement nesting, exact-recall top config, zero-safe ticks") {
+    val curve = Dedup.lshTuningCurve(docs, threshold = 0.5,
+        configs = Seq((4, 8), (8, 4), (16, 2)))
+      .orderBy($"bands")
+      .collect()
+    assert(curve.length == 3)
+    val byBands = curve.map(r => r.getInt(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap // cands, hits, true
+    // halving rows REFINES bands (contiguous slices), so a coarse-band
+    // collision (all r rows equal) forces both finer half-band collisions:
+    // candidates and hits are monotone non-decreasing toward finer configs
+    assert(byBands(4)._1 <= byBands(8)._1 && byBands(8)._1 <= byBands(16)._1)
+    assert(byBands(4)._2 <= byBands(8)._2 && byBands(8)._2 <= byBands(16)._2)
+    // n_true is config-independent (the exact pair set)
+    assert(curve.map(_.getLong(4)).distinct.length == 1)
+    // hits never exceed truth or candidates; recall_ticks = 2^20 iff all found
+    curve.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4) && r.getLong(3) <= r.getLong(2))
+      assert((r.getLong(5) == (1L << 20)) == (r.getLong(3) == r.getLong(4)))
+    }
+  }
+
+  test("lsh tuning curve: mismatched band products are rejected; empty corpus is zero rows-safe") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshTuningCurve(docs, 0.5, Seq((4, 8), (8, 8)))
+    }
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = Dedup.lshTuningCurve(empty, 0.5, Seq((4, 4))).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(2) == 0L && r(0).getLong(3) == 0L && r(0).getLong(4) == 0L)
+    assert(r(0).getLong(5) == 0L && r(0).getLong(6) == 0L) // ticks guard div-0
+  }
 }
