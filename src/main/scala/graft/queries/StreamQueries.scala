@@ -342,6 +342,73 @@ object StreamQueries {
       |WHERE s_end <= (SELECT max(ts) FROM events)
       |ORDER BY user_id, s_start""".stripMargin
 
+  /** st34: DYNAMIC-gap session windows — the gap is a per-event
+    * expression (purchase keeps a session alive 45 min, a view only 10,
+    * everything else 20), which is production sessionization for mixed
+    * event types (a checkout dwell is not a scroll dwell); the fixed-gap
+    * st08 cannot express it. Each event's window is [ts, ts+gap(event))
+    * and overlapping windows merge, so a session's end is the MAX
+    * (ts+gap) inside it — the oracle mirrors that with a running
+    * max-end window (strictly more than st08's lag-diff: with
+    * heterogeneous gaps an EARLIER event can hold the latest end, so
+    * prev_ts alone mis-splits). Append + zero-delay watermark emit
+    * closed sessions only; same still-open exclusion as st08. State is
+    * one open session per active user regardless of gap mix (width 8 —
+    * the st08 sizing).
+    */
+  private def streamSessionDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.nanosToTs(
+      StreamOps.parquetStream(spark, dir, "events.parquet"), "ts")
+    // make_interval, not an INTERVAL literal: the dynamic-gap contract
+    // requires CalendarIntervalType (a DayTimeInterval literal is
+    // rejected at analysis with "must be CalendarIntervalType")
+    val gap = expr(
+      """make_interval(0, 0, 0, 0, 0,
+        |  CASE WHEN event_type = 'purchase' THEN 45
+        |       WHEN event_type = 'view' THEN 10
+        |       ELSE 20 END, 0)""".stripMargin)
+    val agg = src.withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n"), col("n_purchases"))
+    StreamOps.runToMemory(spark, agg,
+        s"graft_stream_dynsession_${System.nanoTime()}",
+        mode = org.apache.spark.sql.streaming.OutputMode.Append,
+        statePartitions = Some(8))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+  private val streamSessionDynamicSql =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+      |    ts + (CASE WHEN event_type = 'purchase' THEN INTERVAL '45 minutes'
+      |               WHEN event_type = 'view' THEN INTERVAL '10 minutes'
+      |               ELSE INTERVAL '20 minutes' END) AS w_end
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, ts, is_p, w_end,
+      |    CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, ts, is_p, w_end,
+      |          max(w_end) OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |            AS prev_max_end
+      |        FROM g) x),
+      |sessions AS (
+      |  SELECT user_id, min(ts) AS s_start, max(w_end) AS s_end,
+      |    count(*) AS n, CAST(sum(is_p) AS BIGINT) AS n_purchases
+      |  FROM (SELECT user_id, ts, is_p, w_end,
+      |          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |        FROM marked) s
+      |  GROUP BY user_id, sid)
+      |SELECT user_id, s_start, s_end, n, n_purchases FROM sessions
+      |WHERE s_end <= (SELECT max(ts) FROM events)
+      |ORDER BY user_id, s_start""".stripMargin
+
   /** Stream-STATIC join: the streaming event feed inner-joined to a batch
     * dimension table (per-user segments — derived deterministically here;
     * any parquet/Delta dim table slots in the same way). Stateless on the
@@ -1380,6 +1447,8 @@ object StreamQueries {
       |FROM ids GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "st34_stream_dynamic_session" -> QueryDef(streamSessionDynamic,
+      Some(streamSessionDynamicSql), benchmark = true),
     "st33_stream_custom_source" -> QueryDef(streamCustomSource,
       Some(streamCustomSourceSql)),
     "st32_stream_drift_monitor" -> QueryDef(streamCentroidDrift,

@@ -106,11 +106,18 @@ object ScaleData {
             concat(lit("$1~"), rep.cast("string")))))),
       df => df.withColumn("n_chars", length(col("text")).cast("long")))
     // circular rotation = isometry within a replica, decorrelated across
+    // rotation amount mod dims: at factor > dims the raw replica id
+    // exceeded the vector length and slice() threw on a negative length
+    // (caught by the first sf10 = factor-100 generation); replicas whose
+    // rotation collides (r ≡ r' mod dims) remain decorrelated through
+    // their disjoint token vocabularies and key offsets
     scale("embeddings",
       Seq("vec_id" -> ((c: Column) => c + off),
-        "embedding" -> ((c: Column) =>
-          when(rep === 0, c).otherwise(concat(
-            slice(c, rep + 1, size(c) - rep), slice(c, lit(1), rep))))))
+        "embedding" -> ((c: Column) => {
+          val r = pmod(rep, size(c))
+          when(r === 0, c).otherwise(concat(
+            slice(c, r + 1, size(c) - r), slice(c, lit(1), r)))
+        })))
 
     println(s"""{"scaled":"$base","to":"$out","factor":$factor}""")
   }

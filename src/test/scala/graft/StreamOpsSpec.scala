@@ -192,4 +192,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(fps.contains(-3750763034362895579L),
       "null text must dedup as the empty doc")
   }
+
+  test("dynamic-gap session window: an earlier LONG-gap event bridges what the short gap splits") {
+    // user 1: purchase@0 (45-min window) then view@20 (10-min window).
+    //   A fixed 10-min gap (or st08's lag-diff rule) would split them —
+    //   20 > 0+10 — but the purchase's window [0, 45) covers ts=20, so
+    //   they MUST merge; session end = max(0+45, 20+10) = 45.
+    // user 2: view@0 then view@20 — 20 >= 0+10 stays split.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.addData((1L, ts(0), "purchase"), (1L, ts(20), "view"),
+      (2L, ts(0), "view"), (2L, ts(20), "view"))
+    val df = input.toDF().toDF("user_id", "ts", "event_type")
+    val gap = expr(
+      """make_interval(0, 0, 0, 0, 0,
+        |  CASE WHEN event_type = 'purchase' THEN 45
+        |       WHEN event_type = 'view' THEN 10
+        |       ELSE 20 END, 0)""".stripMargin)
+    val agg = df.withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s"), col("w.end").as("e"), col("n"))
+    val name = s"dyn_session_${System.nanoTime()}"
+    val got = StreamOps.runToMemory(spark, agg, name, OutputMode.Complete)
+      .orderBy(col("user_id"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+        r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSeq
+    assert(got == Seq((1L, 0L, 45L, 2L), (2L, 0L, 10L, 1L), (2L, 20L, 30L, 1L)))
+  }
 }
