@@ -108,15 +108,24 @@ object ScaleData {
     // circular rotation = isometry within a replica, decorrelated across
     // rotation amount mod dims: at factor > dims the raw replica id
     // exceeded the vector length and slice() threw on a negative length
-    // (caught by the first sf10 = factor-100 generation); replicas whose
-    // rotation collides (r ≡ r' mod dims) remain decorrelated through
-    // their disjoint token vocabularies and key offsets
+    // (caught by the first sf10 = factor-100 generation). Rotation alone
+    // COLLIDES past dims replicas (r ≡ r' mod dims ⟹ identical vector
+    // sets ⟹ exact cross-replica cosine twins — the similarity-space
+    // artifact this generator exists to avoid), so each dims-block also
+    // flips the global sign: negation is an isometry (within-replica
+    // cosines exact) and cross-block twins become anti-twins (cos −1,
+    // never near-dups). Unique isometry per replica up to 2·dims = 128.
     scale("embeddings",
       Seq("vec_id" -> ((c: Column) => c + off),
         "embedding" -> ((c: Column) => {
           val r = pmod(rep, size(c))
-          when(r === 0, c).otherwise(concat(
+          val rotated = when(r === 0, c).otherwise(concat(
             slice(c, r + 1, size(c) - r), slice(c, lit(1), r)))
+          // block parity without a float division: (rep div dims) is odd
+          // ⟺ rep − (rep mod dims) ≡ dims (mod 2·dims)
+          val odd = pmod(rep.cast("long") - r.cast("long"),
+            size(c).cast("long") * 2) === size(c).cast("long")
+          when(odd, transform(rotated, v => -v)).otherwise(rotated)
         })))
 
     println(s"""{"scaled":"$base","to":"$out","factor":$factor}""")

@@ -81,4 +81,28 @@ class ScaleDataSpec extends SparkSpec {
     assert(both.where(!col("perm")).count() == 0, "components changed")
     assert(both.where(col("same")).count() == 0, "rotation was a no-op")
   }
+
+  test("factor above dims: rotation collisions are sign-flipped, never exact twins") {
+    // at factor > dims the rotation amount wraps (r ≡ r mod dims); the
+    // generator must not hand ann08-class queries exact cross-replica
+    // cosine twins (round-12: the first factor-100 build did, and before
+    // that slice() threw on the negative length)
+    val dir = Files.createTempDirectory("scaledata-spec-f100").toString
+    graft.tools.ScaleData.run(spark, sf0001, dir, 66)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") / stride).cast("int").as("r"),
+        (col("vec_id") % stride).as("k"), col("embedding"))
+    val dims = emb.select(size(col("embedding"))).as[Int].head()
+    assert(dims < 66, s"fixture dims $dims >= factor 66: no wrap to test")
+    val base = emb.where(col("r") === 0).select(col("k"), col("embedding").as("e0"))
+    val wrap = emb.where(col("r") === dims)
+      .select(col("k"), col("embedding").as("ew"))
+    val both = base.join(wrap, "k")
+      .select((col("ew") === col("e0")).as("twin"),
+        (col("ew") === transform(col("e0"), v => -v)).as("negated"))
+    assert(both.where(col("twin")).count() == 0,
+      "factor-wrap produced exact cross-replica twins")
+    assert(both.where(!col("negated")).count() == 0,
+      "wrapped replica must be the exact global negation (an isometry)")
+  }
 }
