@@ -214,7 +214,7 @@ object Events {
     */
   private def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
+    val tmp = graft.core.Workspace.forInput(dir, "roundtrip")
     t.customer.write.mode("overwrite").option("header", "true").csv(s"$tmp/customer_csv")
     t.nation.write.mode("overwrite").json(s"$tmp/nation_json")
     val cust = spark.read.option("header", "true")
@@ -274,7 +274,7 @@ object Events {
     */
   private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
+    val tmp = graft.core.Workspace.forInput(dir, "roundtrip")
     t.supplier.write.mode("overwrite").orc(s"$tmp/supplier_orc")
     spark.read.orc(s"$tmp/supplier_orc")
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
@@ -301,7 +301,7 @@ object Events {
     */
   private def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
+    val tmp = graft.core.Workspace.forInput(dir, "roundtrip")
     t.part.select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
       .write.mode("overwrite")
       .option("rootTag", "parts").option("rowTag", "part")
@@ -334,7 +334,7 @@ object Events {
     */
   private def dppJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev  = Tables(spark, dir).events
-    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
+    val tmp = graft.core.Workspace.forInput(dir, "roundtrip")
     ev.withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_date")
       .parquet(s"$tmp/events_by_date")
@@ -381,7 +381,7 @@ object Events {
     */
   private def nestedPruning(spark: SparkSession, dir: String): DataFrame = {
     val ev  = Tables(spark, dir).events
-    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
+    val tmp = graft.core.Workspace.forInput(dir, "roundtrip")
     ev.select(col("event_id"),
         struct(col("user_id"), col("event_type"),
           struct(col("value"), col("ts")).as("metrics")).as("payload"))
@@ -451,7 +451,7 @@ object Events {
     */
   private def sketchMerge(spark: SparkSession, dir: String): DataFrame = {
     val ev  = Tables(spark, dir).events
-    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
+    val tmp = graft.core.Workspace.forInput(dir, "roundtrip")
     ev.groupBy(to_date(col("ts")).as("d"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .write.mode("overwrite").parquet(s"$tmp/user_sketches")
@@ -477,7 +477,7 @@ object Events {
     */
   private def partitionedSink(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
+    val tmp = graft.core.Workspace.forInput(dir, "roundtrip")
     t.events.write.mode("overwrite").partitionBy("event_type")
       .parquet(s"$tmp/events_by_type")
     spark.read.parquet(s"$tmp/events_by_type")
@@ -629,7 +629,7 @@ object Events {
     */
   private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
+    val tmp = graft.core.Workspace.forInput(dir, "roundtrip")
     val out = s"$tmp/events_evolved"
     val base = t.events.select(col("event_id"), col("event_type"))
     base.where(col("event_id") % 2 === 0)
@@ -658,7 +658,7 @@ object Events {
     * the file-count mechanics (shrink = coalesce, no shuffle).
     */
   private def compaction(spark: SparkSession, dir: String): DataFrame = {
-    val tmp  = graft.core.Scratch.forInput(dir, "roundtrip")
+    val tmp  = graft.core.Workspace.forInput(dir, "roundtrip")
     val frag = s"$tmp/events_fragmented"
     val comp = s"$tmp/events_compacted"
     Tables(spark, dir).events
@@ -686,7 +686,7 @@ object Events {
     * the oracle's per-type counts gate exactly that.
     */
   private def dynPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = graft.core.Scratch.forInput(dir, "roundtrip")
+    val tmp = graft.core.Workspace.forInput(dir, "roundtrip")
     val out = s"$tmp/events_dynpart"
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("event_type"), col("value"))

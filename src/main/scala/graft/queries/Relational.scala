@@ -763,7 +763,7 @@ object Relational {
     */
   private def q25(spark: SparkSession, dir: String): DataFrame = {
     val t   = Tables(spark, dir)
-    val tmp = graft.core.Scratch.dir("warehouse")
+    val tmp = graft.core.Workspace.dir("warehouse")
     graft.operators.Bucketing.writeBucketed(
       t.customer, "graft_customer_b", s"$tmp/customer_b", 8, "c_custkey")
     graft.operators.Bucketing.writeBucketed(

@@ -268,7 +268,7 @@ object StreamQueries {
     */
   private def streamParquetSink(spark: SparkSession, dir: String): DataFrame = {
     val src = StreamOps.parquetStream(spark, dir, "documents.parquet")
-    val out = graft.core.Scratch.dir(s"roundtrip/stream_sink_${System.nanoTime()}")
+    val out = graft.core.Workspace.dir(s"roundtrip/stream_sink_${System.nanoTime()}")
     val q = src.select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
       .writeStream.format("parquet")
@@ -464,7 +464,7 @@ object StreamQueries {
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = loM + (hiM - loM) / 2
-    val out = graft.core.Scratch.dir(s"roundtrip/stream_twobatch_${System.nanoTime()}")
+    val out = graft.core.Workspace.dir(s"roundtrip/stream_twobatch_${System.nanoTime()}")
     ev.where(unix_micros(col("ts")) < mid)
       .coalesce(1).write.parquet(s"$out/in")
     ev.where(unix_micros(col("ts")) >= mid)
@@ -501,7 +501,7 @@ object StreamQueries {
     val ev = graft.core.Tables(spark, dir).events
       .select(col("ts"), col("event_type"), col("value"))
     val hiM = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val out = graft.core.Scratch.dir(s"roundtrip/stream_chained_${System.nanoTime()}")
+    val out = graft.core.Workspace.dir(s"roundtrip/stream_chained_${System.nanoTime()}")
     ev.coalesce(1).write.parquet(s"$out/in")
     Thread.sleep(100) // mtime orders replay (file source sorts by mtime)
     Seq(30L, 60L).foreach { days =>
@@ -595,7 +595,7 @@ object StreamQueries {
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = loM + (hiM - loM) / 2
-    val out = graft.core.Scratch.dir(s"roundtrip/stream_restart_${System.nanoTime()}")
+    val out = graft.core.Workspace.dir(s"roundtrip/stream_restart_${System.nanoTime()}")
     ev.where(unix_micros(col("ts")) < mid)
       .coalesce(1).write.parquet(s"$out/in")
     def incarnation(): Unit = {
@@ -627,7 +627,7 @@ object StreamQueries {
 
   private def streamForeachBatch(spark: SparkSession, dir: String): DataFrame = {
     val in  = twoBatchEventsDir(spark, dir)
-    val out = graft.core.Scratch.dir(s"roundtrip/stream_foreach_${System.nanoTime()}")
+    val out = graft.core.Workspace.dir(s"roundtrip/stream_foreach_${System.nanoTime()}")
     val src = spark.readStream.schema(twoBatchSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(in)
@@ -670,7 +670,7 @@ object StreamQueries {
     */
   private def streamUpdateMode(spark: SparkSession, dir: String): DataFrame = {
     val in  = twoBatchEventsDir(spark, dir)
-    val out = graft.core.Scratch.dir(s"roundtrip/stream_update_${System.nanoTime()}")
+    val out = graft.core.Workspace.dir(s"roundtrip/stream_update_${System.nanoTime()}")
     val src = spark.readStream.schema(twoBatchSchema(spark, dir))
       .option("maxFilesPerTrigger", "1")
       .parquet(in)
@@ -738,7 +738,7 @@ object StreamQueries {
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val q1  = loM + (hiM - loM) / 4
     val mid = loM + (hiM - loM) / 2
-    val out = graft.core.Scratch.dir(s"roundtrip/stream_late_${System.nanoTime()}")
+    val out = graft.core.Workspace.dir(s"roundtrip/stream_late_${System.nanoTime()}")
     // Three time-ordered-then-late files; mtime fixes replay order (file
     // source sorts by modification time), the sleeps guard ms-granularity.
     ev.where(unix_micros(col("ts")) >= q1 && unix_micros(col("ts")) < mid)
@@ -791,12 +791,12 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(12,2)")).as("total_dec"))
     val ckRoot = new java.io.File(
-      graft.core.Scratch.dir("ckpt"))
+      graft.core.Workspace.dir("ckpt"))
     // nanoTime-unique dirs isolate runs; prune prior runs' state here so
     // repeated Verify/bench invocations don't accumulate checkpoints.
     // Age-gated (1 h): a concurrent harness process's LIVE checkpoint must
     // never be deleted mid-stream — only abandoned ones. (java.io.File is
-    // the right API here: Scratch is local-filesystem by contract.)
+    // the right API here: Workspace is local-filesystem by contract.)
     val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
     Option(ckRoot.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("st18_") && f.lastModified() < staleMs)
@@ -1329,7 +1329,7 @@ object StreamQueries {
   private def streamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
     val sfx = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     val table = s"graft_st31_index_$sfx"
-    val path = graft.core.Scratch.dir(s"warehouse/st31_index_$sfx")
+    val path = graft.core.Workspace.dir(s"warehouse/st31_index_$sfx")
     val docs = graft.core.Tables(spark, dir).documents
     graft.operators.Dedup.writeIndex(
       graft.operators.Dedup.minhashIndex(docs.where(col("doc_id") < 300)),
@@ -1343,7 +1343,7 @@ object StreamQueries {
     val q = src.writeStream
       .foreachBatch(appendBatch)
       .option("checkpointLocation",
-        graft.core.Scratch.dir(s"streams/st31_ck_${System.nanoTime()}"))
+        graft.core.Workspace.dir(s"streams/st31_ck_${System.nanoTime()}"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -588,7 +588,7 @@ object TextQueries {
   private def dd09Tables(dir: String): (String, String) = {
     val sfx = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     (s"graft_dd09_index_$sfx",
-      graft.core.Scratch.dir(s"warehouse/dd09_index_$sfx"))
+      graft.core.Workspace.dir(s"warehouse/dd09_index_$sfx"))
   }
 
   /** Ensure the dd09 persisted index exists for `dir` (docs < 400 = the
@@ -640,7 +640,7 @@ object TextQueries {
   private def indexCompaction(spark: SparkSession, dir: String): DataFrame = {
     val sfx = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
     val table = s"graft_dd17_index_$sfx"
-    val path = graft.core.Scratch.dir(s"warehouse/dd17_index_$sfx")
+    val path = graft.core.Workspace.dir(s"warehouse/dd17_index_$sfx")
     val docs = Tables(spark, dir).documents
     Dedup.writeIndex(
       Dedup.minhashIndex(docs.where(col("doc_id") < 300)), table, path, 8)

@@ -73,7 +73,7 @@ class StreamOpsSpec extends SparkSpec {
     // is a bare file — pathGlobFilter on the parent dir matches zero files
     // for a directory entry (the sf1-sweep defect), so the source must
     // switch to streaming the directory itself
-    val root = graft.core.Scratch.dir(s"spec/stream_layout_${System.nanoTime()}")
+    val root = graft.core.Workspace.dir(s"spec/stream_layout_${System.nanoTime()}")
     val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "source")
     df.repartition(2).write.parquet(s"$root/documents.parquet") // directory
     def rows(dir: String): Long = {

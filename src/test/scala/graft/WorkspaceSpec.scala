@@ -2,9 +2,9 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.core.Scratch
+import graft.core.Workspace
 
-/** The `graft.tmp` production-redirect path (Scratch.scala) is live
+/** The `graft.tmp` production-redirect path (Workspace.scala) is live
   * library surface — this pins it with a real materializing query
   * (VERDICT r4 #6): under an overridden root, every artifact ev08 writes
   * must land there, and the default root must not be touched.
@@ -13,16 +13,16 @@ import graft.core.Scratch
   * default sequential forked-suite execution means no other suite runs
   * concurrently in this JVM, and the prior value is restored in finally.
   */
-class ScratchSpec extends SparkSpec {
+class WorkspaceSpec extends SparkSpec {
 
   test("root falls back to a derived path, never a hardcoded one") {
     val prior = sys.props.get("graft.tmp")
     try {
       sys.props.remove("graft.tmp")
-      assert(Scratch.root == s"${sys.props("user.dir")}/target")
+      assert(Workspace.root == s"${sys.props("user.dir")}/target")
       sys.props("graft.tmp") = "/somewhere/else"
-      assert(Scratch.root == "/somewhere/else")
-      assert(Scratch.forInput("/data/sf0.1", "roundtrip") ==
+      assert(Workspace.root == "/somewhere/else")
+      assert(Workspace.forInput("/data/sf0.1", "roundtrip") ==
         "/somewhere/else/roundtrip_data_sf0_1")
     } finally {
       prior match {
