@@ -316,4 +316,74 @@ object Sketches {
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
+
+  // ---------------------------------------------------------------------
+  // Bottom-k uniform sample (the rank/quantile slot of the sketch family;
+  // the "coordinated sampling" synopsis of Beyer et al. 2007 applied to
+  // VALUES rather than distinct keys)
+  // ---------------------------------------------------------------------
+
+  /** Bottom-k uniform row sample per group, keyed by the pinned hash of a
+    * unique row id: the rows whose `hash64(idKey)` are the k smallest in
+    * their group, carrying `value` — a deterministic simple-random-sample
+    * whose quantiles estimate the group's value quantiles (standard
+    * sample-quantile error ~1/sqrt(k)). Output: (groupCol, h, v), at most
+    * k rows per group.
+    *
+    * Deterministic where a true reservoir sample is NOT: reservoir
+    * selection depends on row visit order (partitioning, scheduling),
+    * while "k smallest hashes" is a pure function of the row SET — so the
+    * sketch is reproducible run-to-run, engine-independent (sx05's DuckDB
+    * oracle builds the identical sample), and MERGEABLE: the bottom-k of
+    * a union is the bottom-k of the shards' bottom-k's ([[sampleMerge]]),
+    * the same law that makes KMV re-aggregable.
+    *
+    * Scale shape: [[graft.plans.TopKPerKey]] — per-partition bounded
+    * heaps, then a k-row-per-group exchange; the raw rows never cross the
+    * shuffle. The (h, v) sort pair is a TOTAL order (h alone would make
+    * the boundary row engine-dependent on the astronomically-rare hash
+    * collision at rank k).
+    */
+  def sampleSketch(in: DataFrame, idKey: Column, value: Column,
+                   groupCol: String, k: Int = 256): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hashed = in.select(col(groupCol), hash64(idKey).as("h"), value.as("v"))
+      .where(col("h").isNotNull && col("v").isNotNull)
+    TopKPerKey.perKey(hashed, Seq(groupCol), Seq(("h", false), ("v", false)), k)
+  }
+
+  /** Merge per-shard bottom-k samples (same law as the build: keep the k
+    * smallest (h, v) per group). Losslessly equals the sample of the
+    * unioned input — SketchesSpec pins the merge law.
+    */
+  def sampleMerge(sketches: DataFrame, groupCol: String, k: Int = 256): DataFrame =
+    TopKPerKey.perKey(sketches, Seq(groupCol), Seq(("h", false), ("v", false)), k)
+
+  /** Quantile estimates from a bottom-k sample: for each basis-point
+    * fraction q in `qsBp`, the value at rank ceil(q·n/10000) of the
+    * group's sample ordered by (v, h) — the classic order-statistic
+    * estimator, integer-only so both engines agree bit-for-bit. Output:
+    * one row per group with `n_sample` and one `est_q<bp>` column per
+    * requested fraction.
+    *
+    * Scale shape: the input is |groups|·k rows; the window sort is over
+    * at most k rows per group — driver- and corpus-independent.
+    */
+  def sampleQuantiles(sketch: DataFrame, groupCol: String,
+                      qsBp: Seq[Int]): DataFrame = {
+    require(qsBp.nonEmpty && qsBp.forall(q => q > 0 && q <= 10000),
+      s"quantile basis points must be in (0, 10000], got $qsBp")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"), col("h"))
+    val ranked = sketch
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_sample",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val aggs = qsBp.map { q =>
+      // rank = ceil(q·n/10000) via integer div; n >= 1 so rank >= 1
+      max(when(col("rn") === expr(s"(n_sample * $q + 9999) div 10000"),
+        col("v"))).as(s"est_q$q")
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("n_sample")).as("n_sample"), aggs: _*)
+  }
 }

@@ -409,7 +409,109 @@ object SketchQueries {
        |ORDER BY pc.present DESC, pc.gram""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sx05 — bottom-k sample quantiles (k=256, event value cents)
+  // ---------------------------------------------------------------------
+
+  private[queries] val SampleK = 256
+
+  /** Per-event-type value quantiles from a bottom-k uniform-hash sample
+    * ([[Sketches.sampleSketch]]/[[Sketches.sampleQuantiles]]) — the
+    * rank/quantile slot of the sketch family as a mergeable integer
+    * TABLE (where q32/q58 gate an engine-opaque GK estimate, this
+    * sample is bit-identical cross-engine: the DuckDB oracle builds the
+    * SAME 256 rows and reads the SAME order statistics). `exact_p*` are
+    * the audit contrast (full per-group sort, deliberately corpus-
+    * bound); the sketch columns are the 100 TB path — k rows per group
+    * cross the exchange however large the corpus, and the sample is
+    * re-aggregable across shards ([[Sketches.sampleMerge]], law pinned
+    * in SketchesSpec).
+    */
+  private def sampleQuantilesQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables(spark, dir).events
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+    val sketch = Sketches.sampleSketch(ev, col("event_id").cast("string"),
+      col("v_cents"), "event_type", SampleK)
+    val est = Sketches.sampleQuantiles(sketch, "event_type", Seq(5000, 9000, 9900))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("v_cents"), col("event_id"))
+    val exact = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === expr("(n * 5000 + 9999) div 10000"), col("v_cents"))).as("exact_p50_cents"),
+        max(when(col("rn") === expr("(n * 9000 + 9999) div 10000"), col("v_cents"))).as("exact_p90_cents"),
+        max(when(col("rn") === expr("(n * 9900 + 9999) div 10000"), col("v_cents"))).as("exact_p99_cents"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_sample"),
+        col("est_q5000").as("est_p50_cents"),
+        col("est_q9000").as("est_p90_cents"),
+        col("est_q9900").as("est_p99_cents"),
+        col("exact_p50_cents"), col("exact_p90_cents"), col("exact_p99_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CTE chain `ev → … → sk` building the bottom-k (h, v) sample per
+    * event_type in DuckDB — shared by sx05 and the streaming st35.
+    */
+  private[queries] val sampleSketchCtes =
+    s"""ev AS (
+       |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |h0 AS (SELECT event_type, v,
+       |         ${TextQueries.fnvFoldSql("event_id::VARCHAR")} AS h0 FROM ev),
+       |hm AS (SELECT event_type, v, ${mixSqlExpr("h0")} AS hm FROM h0),
+       |hh AS (
+       |  SELECT event_type, v,
+       |    (CASE WHEN hm >= 9223372036854775808::HUGEINT
+       |          THEN hm - 18446744073709551616::HUGEINT ELSE hm END)::BIGINT AS h
+       |  FROM hm),
+       |sk AS (
+       |  SELECT event_type, h, v FROM (
+       |    SELECT event_type, h, v,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+       |    FROM hh) WHERE rn <= $SampleK)""".stripMargin
+
+  /** CTE `est` reading the ceil-rank order statistics off `sk`. */
+  private[queries] val sampleEstCte =
+    """sr AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM sk),
+      |est AS (
+      |  SELECT event_type, max(n)::BIGINT AS n_sample,
+      |    max(CASE WHEN rn = (n * 5000 + 9999) // 10000 THEN v END) AS est_p50_cents,
+      |    max(CASE WHEN rn = (n * 9000 + 9999) // 10000 THEN v END) AS est_p90_cents,
+      |    max(CASE WHEN rn = (n * 9900 + 9999) // 10000 THEN v END) AS est_p99_cents
+      |  FROM sr GROUP BY event_type)""".stripMargin
+
+  private val sampleQuantilesSql =
+    s"""WITH $sampleSketchCtes,
+       |$sampleEstCte,
+       |er AS (
+       |  SELECT event_type, v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM ev),
+       |ex AS (
+       |  SELECT event_type,
+       |    max(CASE WHEN rn = (n * 5000 + 9999) // 10000 THEN v END) AS exact_p50_cents,
+       |    max(CASE WHEN rn = (n * 9000 + 9999) // 10000 THEN v END) AS exact_p90_cents,
+       |    max(CASE WHEN rn = (n * 9900 + 9999) // 10000 THEN v END) AS exact_p99_cents
+       |  FROM er GROUP BY event_type)
+       |SELECT e.event_type, e.n_sample,
+       |  e.est_p50_cents, e.est_p90_cents, e.est_p99_cents,
+       |  x.exact_p50_cents, x.exact_p90_cents, x.exact_p99_cents
+       |FROM est e JOIN ex x USING (event_type)
+       |ORDER BY e.event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "sx05_sample_quantiles" -> QueryDef(sampleQuantilesQ, Some(sampleQuantilesSql), benchmark = true),
     "sx01_cms_freq"    -> QueryDef(cmsFreq, Some(cmsFreqSql), benchmark = true),
     "sx02_kmv_overlap" -> QueryDef(kmvOverlap, Some(kmvOverlapSql), benchmark = true),
     "sx03_hll_vocab"   -> QueryDef(hllVocab, Some(hllVocabSql), benchmark = true),

@@ -1266,6 +1266,50 @@ object StreamQueries {
        |ORDER BY pc.present DESC, pc.uid""".stripMargin
   }
 
+  /** Streaming bottom-k sample quantiles: the per-event-type value
+    * sample of sx05 maintained incrementally over the event stream —
+    * [[graft.functions.BottomKSample]] (a typed Aggregator; the batch
+    * form's native TopKPerKey has no streaming variant, an Aggregator
+    * buffer IS state-store state). Extends the streaming-sketch
+    * merge-law trio to a fourth law: st26 gates MAX-merge (HLL), st27
+    * SUM (CMS), st28 OR (Bloom), this ORDERED TRUNCATION (keep the k
+    * smallest (h, v) per group) — associative, commutative, and a pure
+    * function of the row set, so the run-to-completion sample is
+    * bit-identical to the batch build and the batch DuckDB oracle
+    * hash-gates the true streaming path. State bounded at k = 256 rows
+    * per event type however long the stream runs — the always-on
+    * latency/price-quantile monitor shape (p99 without per-row state).
+    * The quantile readout ([[graft.operators.Sketches.sampleQuantiles]])
+    * runs batch-side on the materialized sample.
+    */
+  private def streamSampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val src = StreamOps.parquetStream(spark, dir, "events.parquet")
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        graft.functions.HashExprs.fnvMix64(col("event_id").cast("string")).as("h"),
+        round(col("value") * 100).cast("long").as("v"))
+    val bk = udaf(new graft.functions.BottomKSample(SketchQueries.SampleK))
+    val agg = src.groupBy(col("event_type"))
+      .agg(bk(col("h"), col("v")).as("sample"))
+    val done = StreamOps.runToMemory(spark, agg,
+      s"graft_stream_qsketch_${System.nanoTime()}")
+    val sketch = done
+      .select(col("event_type"), explode(col("sample.rows")).as("r"))
+      .select(col("event_type"), col("r.h").as("h"), col("r.v").as("v"))
+    graft.operators.Sketches.sampleQuantiles(sketch, "event_type", Seq(5000, 9000, 9900))
+      .select(col("event_type"), col("n_sample"),
+        col("est_q5000").as("est_p50_cents"),
+        col("est_q9000").as("est_p90_cents"),
+        col("est_q9900").as("est_p99_cents"))
+      .orderBy(col("event_type"))
+  }
+  private val streamSampleQuantilesSql =
+    s"""WITH ${SketchQueries.sampleSketchCtes},
+       |${SketchQueries.sampleEstCte}
+       |SELECT event_type, n_sample,
+       |  est_p50_cents, est_p90_cents, est_p99_cents
+       |FROM est ORDER BY event_type""".stripMargin
+
   /** Streaming ANN serving (st29 — the retrieval endpoint shape):
     * centroids trained OFFLINE (the batch k-means ann05/ann16 gate),
     * then arriving query vectors are served on the stream —
@@ -1447,6 +1491,8 @@ object StreamQueries {
       |FROM ids GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "st35_stream_sample_quantiles" -> QueryDef(streamSampleQuantiles,
+      Some(streamSampleQuantilesSql), benchmark = true),
     "st34_stream_dynamic_session" -> QueryDef(streamSessionDynamic,
       Some(streamSessionDynamicSql), benchmark = true),
     "st33_stream_custom_source" -> QueryDef(streamCustomSource,

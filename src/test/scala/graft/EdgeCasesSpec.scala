@@ -189,6 +189,25 @@ class EdgeCasesSpec extends SparkSpec {
     assert(sheet.length == 1 && sheet.head.getLong(0) == 0L)
   }
 
+  test("sx05/st35 sample quantiles survive empty and single-row corpora") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_sx05").toString
+    spark.read.parquet(s"$sf0001/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // per-group sketches of nothing are empty, not errors — on BOTH the
+    // batch build and the streaming Aggregator path
+    assert(SparkEntry.allDefs("sx05_sample_quantiles").fn(spark, dir).count() == 0L)
+    assert(SparkEntry.allDefs("st35_stream_sample_quantiles").fn(spark, dir).count() == 0L)
+    // one row: every quantile IS that row (rank formula floor case n=1)
+    val one = java.nio.file.Files.createTempDirectory("graft_one_sx05").toString
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .where(col("value").isNotNull).limit(1)
+      .write.mode("overwrite").parquet(s"$one/events.parquet")
+    val r = SparkEntry.allDefs("sx05_sample_quantiles").fn(spark, one).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 1L)
+    assert(Set(2, 3, 4, 5, 6, 7).map(r.head.getLong).size == 1,
+      "all six quantile columns must equal the single row's value")
+  }
+
   test("round-4 operators survive empty inputs") {
     import graft.operators.{FuzzyJoin, IncrementalAgg, Merge}
     assert(Dedup.dedupSpans(emptyDocs).count() == 0)

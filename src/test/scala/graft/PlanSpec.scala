@@ -661,4 +661,14 @@ class PlanSpec extends SparkSpec {
       s"expected partial->final pairs on the gram rollups\n" + p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("sx05: sample build rides the native TopKPerKey heaps; corpus never sorts whole") {
+    val p = planOf("sx05_sample_quantiles")
+    assert(p.contains("TopKPerKey"),
+      s"the bottom-k build must plan the native heap operator\n" + p)
+    // the only full sorts allowed are the k-row sketch window and the
+    // audit-contrast exact side — the SKETCH path's corpus scan feeds the
+    // heaps directly (no Sort between scan and TopKPerKey)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

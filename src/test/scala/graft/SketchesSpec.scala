@@ -230,4 +230,95 @@ class SketchesSpec extends SparkSpec {
       .select($"est_jacc_bp").as[Long].head()
     assert(math.abs(ov / 10000.0 - 1.0 / 3.0) < 0.15, s"est_jacc_bp $ov vs J=1/3")
   }
+
+  // --- bottom-k sample (sx05/st35) -------------------------------------
+
+  /** 2-group fixture: group = parity, id = "i", value = a deterministic
+    * shuffle of i so value order differs from hash order.
+    */
+  private val sampleRows = (0 until 500).map { i =>
+    (if (i % 2 == 0) "g1" else "g2", i.toString, ((i * 7919) % 500).toLong)
+  }
+  private def sampleDf = sampleRows.toDF("grp", "id", "v")
+
+  test("sampleSketch is the k smallest (H(id), v) rows per group") {
+    val k = 32
+    val got = Sketches.sampleSketch(sampleDf, $"id", $"v", "grp", k)
+      .as[(String, Long, Long)].collect().toSet
+    val want = sampleRows
+      .map { case (g, id, v) => (g, H(id), v) }
+      .groupBy(_._1).values
+      .flatMap(_.sortBy(r => (r._2, r._3)).take(k))
+      .toSet
+    assert(got == want)
+  }
+
+  test("sampleMerge of shard sketches equals the sketch of the union") {
+    val k = 32
+    val shard1 = Sketches.sampleSketch(sampleDf.where($"v" < 250), $"id", $"v", "grp", k)
+    val shard2 = Sketches.sampleSketch(sampleDf.where($"v" >= 250), $"id", $"v", "grp", k)
+    val merged = Sketches.sampleMerge(shard1.unionAll(shard2), "grp", k)
+      .as[(String, Long, Long)].collect().toSet
+    val whole = Sketches.sampleSketch(sampleDf, $"id", $"v", "grp", k)
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("sampleQuantiles reads the ceil-rank order statistics") {
+    // a full sample (k >= n) makes the estimator exact and hand-checkable
+    val sk = Sketches.sampleSketch(sampleDf, $"id", $"v", "grp", 500)
+    val got = Sketches.sampleQuantiles(sk, "grp", Seq(5000, 9900))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, n, q50, q99) => g -> ((n, q50, q99)) }.toMap
+    val want = sampleRows.groupBy(_._1).map { case (g, rs) =>
+      val vs = rs.map(_._3).sorted
+      def at(bp: Long) = vs(((vs.size * bp + 9999) / 10000 - 1).toInt)
+      g -> ((vs.size.toLong, at(5000), at(9900)))
+    }
+    assert(got == want)
+  }
+
+  test("streaming bottom-k sample equals the batch build (st35 parity)") {
+    import graft.streaming.StreamOps
+    import graft.functions.{BottomKSample, HashExprs}
+    val k = 64
+    val prep = (df: org.apache.spark.sql.DataFrame) => df
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        HashExprs.fnvMix64(col("event_id").cast("string")).as("h"),
+        round(col("value") * 100).cast("long").as("v"))
+    val bk = udaf(new BottomKSample(k))
+    val streamed = StreamOps.runToMemory(spark,
+        prep(StreamOps.parquetStream(spark, sf0001, "events.parquet"))
+          .groupBy($"event_type").agg(bk($"h", $"v").as("s")),
+        s"graft_spec_stream_bk_${System.nanoTime()}")
+      .select($"event_type", explode($"s.rows").as("r"))
+      .select($"event_type", $"r.h", $"r.v")
+      .as[(String, Long, Long)].collect().toSet
+    // the batch build over the same rows (sampleSketch itself, fed the
+    // raw id so it applies the identical hash)
+    val batch = Sketches.sampleSketch(
+        graft.core.Tables(spark, sf0001).events
+          .where(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("v")),
+        col("event_id").cast("string"), $"v", "event_type", k)
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("BottomKSample reduce skips rows past a saturated boundary") {
+    import graft.functions.{BottomKSample, SampleBuf, SamplePair}
+    val agg = new BottomKSample(2)
+    val full = agg.merge(
+      agg.reduce(agg.reduce(agg.zero, SamplePair(1, 1)), SamplePair(2, 2)),
+      agg.zero)
+    assert(agg.reduce(full, SamplePair(5, 0)) eq full) // saturated: no-op
+    val bumped = agg.reduce(full, SamplePair(0, 9))
+    assert(bumped.rows == Seq(SamplePair(0, 9), SamplePair(1, 1)))
+    // merge is symmetric
+    val a = SampleBuf(Vector(SamplePair(1, 1), SamplePair(3, 3)))
+    val b = SampleBuf(Vector(SamplePair(2, 2)))
+    assert(agg.merge(a, b) == agg.merge(b, a))
+  }
 }
