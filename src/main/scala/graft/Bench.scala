@@ -123,9 +123,14 @@ object Bench {
     // (sbt prefixes, interleaved Spark output), a file is not — BENCH.json
     // at the repo root is the canonical per-round artifact (VERDICT r11
     // #7: the stdout tail truncated past ~56 queries), target/bench.json
-    // stays for local tooling
-    for (path <- Seq(java.nio.file.Paths.get("BENCH.json"),
-                     java.nio.file.Paths.get("target", "bench.json"))) {
+    // stays for local tooling. A FILTERED run is local iteration by
+    // definition (the driver never sets the filter) and must not clobber
+    // the judged artifact — it writes target/bench.json only.
+    val sinks =
+      if (only.isDefined) Seq(java.nio.file.Paths.get("target", "bench.json"))
+      else Seq(java.nio.file.Paths.get("BENCH.json"),
+               java.nio.file.Paths.get("target", "bench.json"))
+    for (path <- sinks) {
       try {
         Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
         java.nio.file.Files.writeString(path, json + "\n")
