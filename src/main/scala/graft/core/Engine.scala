@@ -50,6 +50,12 @@ object GraftSession {
           })
           .getOrElse(cpus.toInt * 8).toString)
       .config("spark.sql.ansi.enabled", "false") // hash folds use 64-bit wraparound
+      // Storage-partitioned joins (off by default in Spark): when two V2
+      // scans report compatible KeyGroupedPartitioning (the bucketed
+      // graft_cat tables, Iceberg-class connectors), plan the join with
+      // no exchange on either side. Purely plan-shaping — sources that
+      // report no partitioning are untouched.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // Streaming session windows (st08): merge gap-adjacent sessions
       // MAP-side before the state-store exchange (SPARK-36576) — the
       // sessionization analogue of partial aggregation. Semantics

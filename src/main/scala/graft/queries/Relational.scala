@@ -1898,7 +1898,43 @@ object Relational {
       |  min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id
       |FROM u GROUP BY branch ORDER BY branch""".stripMargin
 
+  /** q64: storage-partitioned join — both catalog tables are BUCKETED
+    * (`docs…_b8` → the scan reports `bucket(8, doc_id)` key-grouped
+    * partitioning, `SupportsReportPartitioning` + `HasPartitionKey`), so
+    * Spark plans the doc_id equi-join with NO shuffle on either side:
+    * partition k of `a` merge-joins partition k of `b` in place, the
+    * contract Iceberg bucketed tables use to co-locate 100 TB fact-fact
+    * joins. The MERGE hint pins the sort-merge strategy (the point is
+    * the exchange-free join, not broadcast dodging it); SourcesSpec pins
+    * the plan has zero exchanges below the join. The residual
+    * `b.source = 'web'` filter proves non-pushed predicates still apply
+    * above the bucketed scan, and the oracle recomputes the joined
+    * rollup from the connector's published arithmetic.
+    */
+  private def q64(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    // set in GraftSession too; repeated here so an externally built
+    // session still gets the exchange-free plan this query is about
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(
+      """SELECT /*+ MERGE(b) */ a.lang, count(*) AS n_pairs,
+        |  sum(a.n_tokens * b.n_tokens) AS tok_product
+        |FROM graft_cat.spj.docs400000_b8 a
+        |JOIN graft_cat.spj.docs250000_b8 b ON a.doc_id = b.doc_id
+        |WHERE b.source = 'web'
+        |GROUP BY a.lang ORDER BY a.lang""".stripMargin)
+  }
+  private val q64Sql =
+    """WITH ids AS (SELECT unnest(generate_series(0, 249999)) AS id)
+      |SELECT ['de','en','fr','ja','zh'][(id % 5 + 1)::INT] AS lang,
+      |  count(*)::BIGINT AS n_pairs,
+      |  CAST(sum((id % 97 + 3) * (id % 97 + 3)) AS BIGINT) AS tok_product
+      |FROM ids WHERE id % 4 = 2
+      |GROUP BY 1 ORDER BY lang""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q64_spj_join"         -> QueryDef(q64, Some(q64Sql), benchmark = true),
     "q62_scan_pushdown"    -> QueryDef(q62, Some(q62Sql), benchmark = true),
     "q61_catalog_function" -> QueryDef(q61, Some(q61Sql)),
     "q60_catalog_table"    -> QueryDef(q60, Some(q60Sql)),

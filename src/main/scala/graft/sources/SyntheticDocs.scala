@@ -59,8 +59,17 @@ class SyntheticDocs extends TableProvider {
     val parts = opt("partitions", 8, 1)
     if (parts > Int.MaxValue) throw new IllegalArgumentException(
       s"graft-synthetic option 'partitions' must fit an Int, got $parts")
+    // `buckets=B` switches the batch layout from contiguous range slices
+    // to B mod-interleaved bucket partitions (the SPJ layout). The
+    // catalog grammar `docs<N>_b<B>` sets the same thing.
+    val buckets = Option(properties.get("buckets")).map { _ =>
+      val b = opt("buckets", 0, 1)
+      if (b > Int.MaxValue) throw new IllegalArgumentException(
+        s"graft-synthetic option 'buckets' must fit an Int, got $b")
+      b.toInt
+    }
     new SyntheticDocsTable(opt("rows", 1000, 0), parts.toInt,
-      opt("streamBatch", 4096, 1))
+      opt("streamBatch", 4096, 1), buckets)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -120,6 +129,13 @@ object SyntheticDocs {
   def lang(id: Long): String = Langs((id % 5).toInt)
   def source(id: Long): String = Sources((id % 4).toInt)
   def nTokens(id: Long): Long = id % 97 + 3
+
+  /** Floor-mod bucket id — THE bucketing function: the bucketed layout's
+    * partition planner, the per-partition reader, and the catalog's
+    * [[BucketBound]] V2 function (which Spark's SPJ resolution binds to
+    * the reported transform) all call this one definition, so "the rows
+    * in partition k are exactly bucket k" is true by construction. */
+  def bucketOf(n: Int, id: Long): Int = { val m = (id % n).toInt; if (m < 0) m + n else m }
   def text(id: Long): String = {
     val w = s"w${id % 13}"
     val sb = new StringBuilder
@@ -155,17 +171,27 @@ object SyntheticDocs {
   }
 }
 
-private class SyntheticDocsTable(rows: Long, partitions: Int, streamBatch: Long)
+private class SyntheticDocsTable(rows: Long, partitions: Int, streamBatch: Long,
+    buckets: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_synthetic($rows)"
   override def schema(): StructType = SyntheticDocs.schema
+  /** Bucketed layout advertises itself as table metadata too (DESCRIBE/
+    * catalog introspection); the scan-side KeyGroupedPartitioning report
+    * below is what SPJ actually consumes. */
+  override def partitioning(): Array[Transform] = buckets match {
+    case Some(b) => Array(
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(b, "doc_id"))
+    case None => Array.empty
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, partitions, streamBatch)
+    new SyntheticScanBuilder(rows, partitions, streamBatch, buckets)
 }
 
-private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Long)
+private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Long,
+    buckets: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -282,7 +308,8 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Lon
 
   override def build(): Scan = aggFns match {
     case Some(fns) => new SyntheticAggScan(lo, hi, fns)
-    case None      => new SyntheticScan(lo, hi, partitions, streamBatch, required)
+    case None => new SyntheticScan(lo, hi, partitions, streamBatch, required,
+      buckets)
   }
 }
 
@@ -342,6 +369,16 @@ private class SyntheticAggReaderFactory(fns: Array[aggregate.AggregateFunc])
 
 private case class SyntheticPartition(start: Long, end: Long) extends InputPartition
 
+/** One bucket of the bucketed layout: ids ≡ `bucket` (mod `nBuckets`)
+  * within [lo, hi). `HasPartitionKey` is the SPJ handshake — Spark groups
+  * partitions by this key and aligns them across join sides, so the key
+  * MUST be exactly what the reported transform (`bucket(n, doc_id)`)
+  * evaluates to on every row the partition emits. */
+private case class SyntheticBucketPartition(lo: Long, hi: Long,
+    bucket: Int, nBuckets: Int) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
 /** Streaming offset = exclusive upper id already emitted. */
 private case class SyntheticOffset(id: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -349,9 +386,32 @@ private case class SyntheticOffset(id: Long)
 }
 
 private class SyntheticScan(private var lo: Long, private var hi: Long,
-    partitions: Int, streamBatch: Long, required: StructType)
+    partitions: Int, streamBatch: Long, required: StructType,
+    buckets: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
+
+  /** Storage-partitioned join (`SupportsReportPartitioning`): the
+    * bucketed layout reports `bucket(B, doc_id)` KeyGroupedPartitioning —
+    * Spark resolves the transform through the table's FunctionCatalog
+    * ([[BucketFunction]]) and, when both join sides report the same
+    * canonical function + bucket count over the join key, plans the join
+    * with NO exchange on either side (the Iceberg-bucketed-table
+    * contract; requires `spark.sql.sources.v2.bucketing.enabled`, set in
+    * GraftSession). The range layout reports unknown partitioning, which
+    * Spark ignores. At 100 TB this is the difference between a co-located
+    * merge join and shuffling both fact tables. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    buckets match {
+      case Some(b) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(b, "doc_id")), b)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          partitions)
+    }
 
   /** Runtime (DPP-style) V2 filtering: after the build side of a join
     * materializes, Spark hands this scan the concrete `doc_id IN (...)`
@@ -364,7 +424,13 @@ private class SyntheticScan(private var lo: Long, private var hi: Long,
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (required.fieldNames.contains("doc_id"))
+    // Bucketed mode DECLINES runtime filtering: a runtime-narrowed range
+    // may not drop or reorder key-grouped partitions (Spark requires the
+    // grouped layout be preserved across runtime filtering, and a
+    // changed partition-value set would break the co-partitioning the
+    // join was planned on), so the conservative correct choice is to
+    // keep all B buckets and let the residual filter do the work.
+    if (buckets.isEmpty && required.fieldNames.contains("doc_id"))
       Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
     else Array.empty
   override def filter(
@@ -423,17 +489,24 @@ private class SyntheticScan(private var lo: Long, private var hi: Long,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SyntheticMicroBatchStream(lo, hi, partitions, streamBatch, required)
 
-  /** Even id slices of the POST-pushdown range: a pushed `doc_id < k`
-    * shrinks the range before this split, so out-of-range partitions are
-    * never created — partition-level pruning, the file-source
-    * `PartitionFilters` analog. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, math.min(partitions.toLong, math.max(hi - lo, 1L))).toInt
-    val span = hi - lo
-    if (span <= 0) return Array.empty
-    (0 until n).map { i =>
-      SyntheticPartition(lo + span * i / n, lo + span * (i + 1) / n)
-    }.filter(p => p.end > p.start).toArray
+  /** Range layout: even id slices of the POST-pushdown range — a pushed
+    * `doc_id < k` shrinks the range before this split, so out-of-range
+    * partitions are never created (partition-level pruning, the
+    * file-source `PartitionFilters` analog). Bucketed layout: ALWAYS
+    * exactly B partitions, one per bucket (possibly empty) — the
+    * partition-value set must be stable so two scans of co-bucketed
+    * tables stay alignable whatever each side's pushed range is; a
+    * pushed filter still narrows [lo, hi) WITHIN every bucket. */
+  override def planInputPartitions(): Array[InputPartition] = buckets match {
+    case Some(b) =>
+      (0 until b).map(SyntheticBucketPartition(lo, hi, _, b)).toArray
+    case None =>
+      val n = math.max(1, math.min(partitions.toLong, math.max(hi - lo, 1L))).toInt
+      val span = hi - lo
+      if (span <= 0) return Array.empty
+      (0 until n).map { i =>
+        SyntheticPartition(lo + span * i / n, lo + span * (i + 1) / n)
+      }.filter(p => p.end > p.start).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(required.fieldNames)
@@ -498,14 +571,21 @@ private class SyntheticMicroBatchStream(lo: Long, hi: Long, partitions: Int,
 
 private class SyntheticReaderFactory(cols: Array[String])
     extends PartitionReaderFactory {
+  /** Id enumeration per layout: a range slice steps by 1 through
+    * [start, end); a bucket partition steps by nBuckets from the first
+    * id ≥ lo in its residue class — either way the reader materializes
+    * ONLY the required columns (pruning is real work saved, not
+    * cosmetic schema narrowing). */
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SyntheticPartition]
+    val (start, end, step) = partition match {
+      case SyntheticPartition(s, e) => (s, e, 1L)
+      case SyntheticBucketPartition(lo, hi, b, n) =>
+        (lo + SyntheticDocs.bucketOf(n, b - lo), hi, n.toLong)
+    }
     new PartitionReader[InternalRow] {
-      private var id = p.start - 1
-      override def next(): Boolean = { id += 1; id < p.end }
+      private var id = start - step
+      override def next(): Boolean = { id += step; id < end }
       override def get(): InternalRow = {
-        // only the REQUIRED columns are computed — pruning is real work
-        // saved, not cosmetic schema narrowing
         val vals = cols.map {
           case "doc_id"   => id
           case "lang"     => UTF8String.fromString(SyntheticDocs.lang(id))

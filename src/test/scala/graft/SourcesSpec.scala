@@ -292,6 +292,87 @@ class SourcesSpec extends SparkSpec {
     assert(SyntheticDocs.latestOffsetUnder(120, 300, 100, ReadLimit.maxRows(50)) == 120L)
   }
 
+  test("bucketed layout: stable B partitions, one residue class each, ids covered exactly") {
+    val df = spark.read.format(SyntheticDocs.Format)
+      .option("rows", "1000").option("buckets", "6").load()
+    assert(df.rdd.getNumPartitions == 6)
+    assert(df.select($"doc_id").as[Long].collect().sorted.toSeq == (0L until 1000L),
+      "bucket partitions must cover every id exactly once")
+    val residues = df.select($"doc_id").rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0) % 6).toSet)).collect()
+    assert(residues.forall(_.size <= 1),
+      s"each bucket partition must hold a single residue class: ${residues.toSeq}")
+    // a pushed filter narrows WITHIN buckets but keeps the partition-value
+    // set stable (the SPJ alignment invariant); empty buckets still plan
+    val f = df.where($"doc_id" >= 100 && $"doc_id" < 110)
+    assert(f.rdd.getNumPartitions == 6)
+    assert(f.select($"doc_id").as[Long].collect().sorted.toSeq == (100L until 110L))
+    val tiny = spark.read.format(SyntheticDocs.Format)
+      .option("rows", "3").option("buckets", "8").load()
+    assert(tiny.rdd.getNumPartitions == 8 && tiny.count() == 3)
+    // both layouts are the same TABLE: identical multisets of rows
+    val range = spark.read.format(SyntheticDocs.Format)
+      .option("rows", "1000").option("partitions", "6").load()
+    assert(df.exceptAll(range).isEmpty && range.exceptAll(df).isEmpty)
+  }
+
+  test("catalog bucket function matches the layout's floor-mod; bad bind fails fast") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val got = spark.sql(
+      "SELECT doc_id, graft_cat.ns.bucket(7, doc_id) AS b FROM graft_cat.ns.docs100")
+      .as[(Long, Int)].collect()
+    assert(got.length == 100)
+    got.foreach { case (id, b) => assert(b == SyntheticDocs.bucketOf(7, id), s"id $id") }
+    intercept[Exception] { spark.sql("SELECT graft_cat.ns.bucket(7)").collect() }
+  }
+
+  test("storage-partitioned join: co-bucketed catalog tables merge-join with NO exchange") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    // different row counts, same bucket count -> compatible key-grouped
+    // partitioning; MERGE pins the strategy so the assertion is about
+    // the exchange, not the join pick
+    val q =
+      """SELECT /*+ MERGE(b) */ a.doc_id, a.n_tokens, b.n_tokens AS bt
+        |FROM graft_cat.spj.docs4000_b4 a
+        |JOIN graft_cat.spj.docs3000_b4 b ON a.doc_id = b.doc_id""".stripMargin
+    val df = spark.sql(q)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"SPJ must plan the join with no shuffle on either side:\n$plan")
+    assert(df.count() == 3000L)
+    // A/B: with v2 bucketing off the same query must shuffle — proof the
+    // exchange-free plan came from the reported partitioning
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val off = spark.sql(q).queryExecution.executedPlan.toString
+      assert(off.contains("Exchange"),
+        s"without v2 bucketing the join must plan exchanges:\n$off")
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // bucket-count mismatch is NOT co-partitioned: correctness unchanged
+    val mismatch = spark.sql(
+      """SELECT /*+ MERGE(b) */ count(*) AS n
+        |FROM graft_cat.spj.docs4000_b4 a
+        |JOIN graft_cat.spj.docs3000_b8 b ON a.doc_id = b.doc_id""".stripMargin)
+    assert(mismatch.as[Long].head() == 3000L)
+  }
+
+  test("bucketed-table grammar rejects zero buckets and malformed options") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    intercept[Exception] { spark.sql("SELECT * FROM graft_cat.ns.docs500_b0").collect() }
+    val e = intercept[Exception] {
+      spark.read.format(SyntheticDocs.Format)
+        .option("rows", "10").option("buckets", "0").load().count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("'buckets'")), s"got $e")
+  }
+
   test("audit sink rejects a frame whose first column is not a long") {
     import graft.sources.AuditSink
     val e = intercept[Exception] {
