@@ -389,7 +389,22 @@ private class SyntheticScan(private var lo: Long, private var hi: Long,
     partitions: Int, streamBatch: Long, required: StructType,
     buckets: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeV2Filtering with SupportsReportPartitioning {
+    with SupportsRuntimeV2Filtering with SupportsReportPartitioning
+    with SupportsReportOrdering {
+
+  /** `SupportsReportOrdering`: every partition — range slice or bucket —
+    * enumerates ids ascending, so the scan declares doc_id ASC
+    * per-partition order and Spark drops the Sort it would otherwise
+    * plan under a merge join or sort-ordered window. Combined with the
+    * key-grouped report above, the bucketed self-join plans as a BARE
+    * SortMergeJoin over the scans: no exchange, no sort — the full
+    * Iceberg-class "storage does the heavy lifting" read contract. */
+  override def outputOrdering(): Array[SortOrder] =
+    if (required.fieldNames.contains("doc_id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"),
+        SortDirection.ASCENDING))
+    else Array.empty
 
   /** Storage-partitioned join (`SupportsReportPartitioning`): the
     * bucketed layout reports `bucket(B, doc_id)` KeyGroupedPartitioning —

@@ -342,6 +342,11 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
     assert(!plan.contains("Exchange"),
       s"SPJ must plan the join with no shuffle on either side:\n$plan")
+    // SupportsReportOrdering: partitions emit doc_id ascending, so the
+    // merge join needs no Sort either — the plan is the bare join over
+    // the two scans ("Sort [" is the node; SortMergeJoin doesn't match)
+    assert(!plan.contains("Sort ["),
+      s"reported per-partition ordering must drop the sorts:\n$plan")
     assert(df.count() == 3000L)
     // A/B: with v2 bucketing off the same query must shuffle — proof the
     // exchange-free plan came from the reported partitioning
@@ -357,6 +362,34 @@ class SourcesSpec extends SparkSpec {
         |FROM graft_cat.spj.docs4000_b4 a
         |JOIN graft_cat.spj.docs3000_b8 b ON a.doc_id = b.doc_id""".stripMargin)
     assert(mismatch.as[Long].head() == 3000L)
+  }
+
+  test("storage-partitioned shuffle: only the non-bucketed join side exchanges") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val prior = spark.conf.getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    try {
+      // bucketed table vs a plain range subquery: instead of shuffling
+      // BOTH sides to hash partitioning, Spark shuffles only the range
+      // side BY THE CATALOG'S bucket FUNCTION into the scan's existing
+      // key-grouped layout — at 100 TB that is half the shuffle, and the
+      // stored side never moves
+      val df = spark.sql(
+        """SELECT /*+ MERGE(r) */ count(*) AS n, sum(a.n_tokens) AS t
+          |FROM graft_cat.spj.docs4000_b4 a
+          |JOIN (SELECT id AS doc_id FROM range(2000)) r ON a.doc_id = r.doc_id""".stripMargin)
+      val joinPlan = df.queryExecution.executedPlan.toString
+        .linesIterator.dropWhile(!_.contains("SortMergeJoin")).mkString("\n")
+      val exchanges = joinPlan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 1,
+        s"expected exactly ONE exchange (the non-bucketed side):\n$joinPlan")
+      val r = df.as[(Long, Long)].head()
+      assert(r == ((2000L, (0L until 2000L).map(SyntheticDocs.nTokens).sum)))
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    }
   }
 
   test("bucketed-table grammar rejects zero buckets and malformed options") {
