@@ -25,11 +25,17 @@ object BenchDebug {
           m.jvmGCTime, m.shuffleWriteMetrics.bytesWritten))
       }
     })
-    val names = graft.SparkEntry.benchQueries.keys.toSeq.sorted
+    // same local-iteration filter contract as graft.Bench (any judged
+    // query may be named, not just benchmark-flagged ones)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+      case Some(s) => graft.SparkEntry.allDefs.keys.toSeq.sorted.filter(s)
+      case None    => graft.SparkEntry.benchQueries.keys.toSeq.sorted
+    }
     def run(n: String): Double = {
       System.gc()
       val t0 = System.nanoTime()
-      graft.SparkEntry.benchQueries(n)(spark, sfDir)
+      graft.SparkEntry.allDefs(n).fn(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

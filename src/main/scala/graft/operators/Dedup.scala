@@ -180,8 +180,18 @@ object Dedup {
   private def pairCounts(
       docs: DataFrame, idCol: String, textCol: String, maxDf: Long,
       shingles: Column => Column): DataFrame = {
+    // The self-join's work is QUADRATIC in each token's posting list while
+    // its shuffle input is linear — exactly the case AQE's byte-size
+    // coalescing mis-sizes: on a dup-heavy corpus the postings compress
+    // under one advisory partition and the whole pair expansion lands on
+    // ONE task (measured on dd20 at sf0.1: an 89 s single-task stage in a
+    // 100 s query). An explicit numbered repartition on the join key is
+    // exempt from coalescing and pins the join's width to the cluster;
+    // both join sides reuse the one exchange, so the plan still shuffles
+    // the postings once.
     val post = tokenPostings(docs, idCol, textCol, maxDf, shingles)
       .select(col("doc_id"), col("tok"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("tok"))
     val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
     post.as("a")
       .join(post.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))

@@ -1933,7 +1933,33 @@ object Relational {
       |FROM ids WHERE id % 4 = 2
       |GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** q65: V2 metadata column (`SupportsMetadataColumns`) — `_partition`
+    * is the input-partition ordinal the row was physically read from
+    * (the `_file`/`_spec_id` analog an Iceberg-class table exposes),
+    * hidden from `SELECT *` and materialized by the reader only when
+    * referenced. On a bucketed table the ordinal IS the bucket id, so
+    * the oracle re-derives the whole per-partition rollup as
+    * `id % 16` over `generate_series` — hash-gating that every row was
+    * read from exactly the partition the layout assigns it.
+    */
+  private def q65(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.sql(
+      """SELECT _partition AS bucket_id, count(*) AS n_docs,
+        |  sum(n_tokens) AS sum_tokens, sum(doc_id) AS sum_ids
+        |FROM graft_cat.meta.docs100000_b16
+        |GROUP BY _partition ORDER BY bucket_id""".stripMargin)
+  }
+  private val q65Sql =
+    """WITH ids AS (SELECT unnest(generate_series(0, 99999)) AS id)
+      |SELECT (id % 16)::INT AS bucket_id, count(*)::BIGINT AS n_docs,
+      |  CAST(sum(id % 97 + 3) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(id) AS BIGINT) AS sum_ids
+      |FROM ids GROUP BY 1 ORDER BY bucket_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "q65_metadata_column"  -> QueryDef(q65, Some(q65Sql)),
     "q64_spj_join"         -> QueryDef(q64, Some(q64Sql), benchmark = true),
     "q62_scan_pushdown"    -> QueryDef(q62, Some(q62Sql), benchmark = true),
     "q61_catalog_function" -> QueryDef(q61, Some(q61Sql)),

@@ -95,7 +95,7 @@ object SyntheticDocs {
     scan.filter(Array(
       new org.apache.spark.sql.connector.expressions.filter.Predicate("IN", children)))
     scan.planInputPartitions().map {
-      case SyntheticPartition(s, e) => (s, e)
+      case SyntheticPartition(s, e, _) => (s, e)
     }
   }
 
@@ -173,9 +173,26 @@ object SyntheticDocs {
 
 private class SyntheticDocsTable(rows: Long, partitions: Int, streamBatch: Long,
     buckets: Option[Int] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_synthetic($rows)"
   override def schema(): StructType = SyntheticDocs.schema
+
+  /** `SupportsMetadataColumns`: `_partition` is the input-partition
+    * ordinal the row was read from — the bucket id under the bucketed
+    * layout, the slice index under the range layout (the `_file`/
+    * `_spec_id` analog an Iceberg-class table exposes). Hidden from
+    * `SELECT *`; materialized by the reader only when referenced, like
+    * any other pruned column. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_partition"
+      override def dataType(): DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "input-partition ordinal (bucket id when bucketed, slice index otherwise)"
+    })
   /** Bucketed layout advertises itself as table metadata too (DESCRIBE/
     * catalog introspection); the scan-side KeyGroupedPartitioning report
     * below is what SPJ actually consumes. */
@@ -339,7 +356,7 @@ private class SyntheticAggReaderFactory(fns: Array[aggregate.AggregateFunc])
     e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]
       .fieldNames()(0)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val SyntheticPartition(lo, hi) = partition.asInstanceOf[SyntheticPartition]
+    val SyntheticPartition(lo, hi, _) = partition.asInstanceOf[SyntheticPartition]
     val empty = hi <= lo
     val vals: Array[Any] = fns.map {
       case _: aggregate.CountStar          => math.max(hi - lo, 0L)
@@ -367,7 +384,8 @@ private class SyntheticAggReaderFactory(fns: Array[aggregate.AggregateFunc])
   }
 }
 
-private case class SyntheticPartition(start: Long, end: Long) extends InputPartition
+private case class SyntheticPartition(start: Long, end: Long, idx: Int = 0)
+    extends InputPartition
 
 /** One bucket of the bucketed layout: ids ≡ `bucket` (mod `nBuckets`)
   * within [lo, hi). `HasPartitionKey` is the SPJ handshake — Spark groups
@@ -520,7 +538,7 @@ private class SyntheticScan(private var lo: Long, private var hi: Long,
       val span = hi - lo
       if (span <= 0) return Array.empty
       (0 until n).map { i =>
-        SyntheticPartition(lo + span * i / n, lo + span * (i + 1) / n)
+        SyntheticPartition(lo + span * i / n, lo + span * (i + 1) / n, i)
       }.filter(p => p.end > p.start).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -577,7 +595,7 @@ private class SyntheticMicroBatchStream(lo: Long, hi: Long, partitions: Int,
     val span = e - s
     if (span <= 0) return Array.empty
     val n = math.max(1L, math.min(partitions.toLong, span)).toInt
-    (0 until n).map(i => SyntheticPartition(s + span * i / n, s + span * (i + 1) / n))
+    (0 until n).map(i => SyntheticPartition(s + span * i / n, s + span * (i + 1) / n, i))
       .filter(p => p.end > p.start).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -592,21 +610,22 @@ private class SyntheticReaderFactory(cols: Array[String])
     * ONLY the required columns (pruning is real work saved, not
     * cosmetic schema narrowing). */
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (start, end, step) = partition match {
-      case SyntheticPartition(s, e) => (s, e, 1L)
+    val (start, end, step, pIdx) = partition match {
+      case SyntheticPartition(s, e, i) => (s, e, 1L, i)
       case SyntheticBucketPartition(lo, hi, b, n) =>
-        (lo + SyntheticDocs.bucketOf(n, b - lo), hi, n.toLong)
+        (lo + SyntheticDocs.bucketOf(n, b - lo), hi, n.toLong, b)
     }
     new PartitionReader[InternalRow] {
       private var id = start - step
       override def next(): Boolean = { id += step; id < end }
       override def get(): InternalRow = {
         val vals = cols.map {
-          case "doc_id"   => id
-          case "lang"     => UTF8String.fromString(SyntheticDocs.lang(id))
-          case "source"   => UTF8String.fromString(SyntheticDocs.source(id))
-          case "n_tokens" => SyntheticDocs.nTokens(id)
-          case "text"     => UTF8String.fromString(SyntheticDocs.text(id))
+          case "doc_id"     => id
+          case "lang"       => UTF8String.fromString(SyntheticDocs.lang(id))
+          case "source"     => UTF8String.fromString(SyntheticDocs.source(id))
+          case "n_tokens"   => SyntheticDocs.nTokens(id)
+          case "text"       => UTF8String.fromString(SyntheticDocs.text(id))
+          case "_partition" => pIdx
         }
         InternalRow.fromSeq(vals.toIndexedSeq)
       }

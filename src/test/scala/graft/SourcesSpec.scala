@@ -392,6 +392,32 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("metadata column _partition: hidden from *, ordinal matches both layouts") {
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    // hidden: SELECT * carries only the table schema
+    assert(spark.sql("SELECT * FROM graft_cat.ns.docs100_b4").columns.toSeq ==
+      SyntheticDocs.schema.fieldNames.toSeq)
+    // bucketed layout: the ordinal IS the bucket id
+    val bucketed = spark.sql(
+      "SELECT doc_id, _partition FROM graft_cat.ns.docs1000_b4")
+      .as[(Long, Int)].collect()
+    assert(bucketed.length == 1000)
+    bucketed.foreach { case (id, p) =>
+      assert(p == SyntheticDocs.bucketOf(4, id), s"id $id") }
+    // range layout: the ordinal is the slice index of the planner's
+    // even split (slice i covers [rows*i/n, rows*(i+1)/n))
+    val sliced = spark.sql(
+      "SELECT doc_id, _partition FROM graft_cat.ns.docs1000_p4")
+      .as[(Long, Int)].collect()
+    sliced.foreach { case (id, p) =>
+      assert(p == (id * 4 / 1000).toInt, s"id $id") }
+    // a residual filter on the metadata column works like any column
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_cat.ns.docs1000_b4 WHERE _partition = 1")
+      .as[Long].head() == 250L)
+  }
+
   test("bucketed-table grammar rejects zero buckets and malformed options") {
     spark.conf.set("spark.sql.catalog.graft_cat",
       classOf[graft.sources.GraftCatalog].getName)
