@@ -211,12 +211,15 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Lon
     buckets: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownV2Filters
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownOffset {
   private var lo = 0L            // inclusive id lower bound after pushdown
   private var hi = rows          // exclusive id upper bound after pushdown
   private var required: StructType = SyntheticDocs.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedV2: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
   private var aggFns: Option[Array[aggregate.AggregateFunc]] = None
   private var topNPushed = false
 
@@ -322,6 +325,61 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Lon
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** The MODERN filter contract (`SupportsPushDownV2Filters`): when a
+    * ScanBuilder implements it, Spark delivers `Predicate` trees here and
+    * never calls the V1 `pushFilters` path above (which stays for the
+    * API-compat surface a production connector keeps). Same semantics:
+    * doc_id range/equality comparisons are consumed into [lo, hi) with an
+    * empty residual; literal-op-column forms (`5 < doc_id`) are the
+    * mirrored comparisons — V2 predicates preserve the user's operand
+    * order, unlike translated V1 filters, so both orders must narrow.
+    */
+  private def docIdBounds(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(Long, Long)] = {
+    def longLit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Long] => Some(l.value().asInstanceOf[Long])
+      case _ => None
+    }
+    if (p.children().length != 2) return None
+    val (a, b) = (p.children()(0), p.children()(1))
+    // (isDocId, literal, literalOnLeft)
+    val shape = (colName(a), longLit(b), colName(b), longLit(a)) match {
+      case (Some("doc_id"), Some(v), _, _) => Some((v, false))
+      case (_, _, Some("doc_id"), Some(v)) => Some((v, true))
+      case _                               => None
+    }
+    shape.flatMap { case (v, litLeft) =>
+      // normalize to doc_id OP v by mirroring when the literal is on the left
+      val op = if (!litLeft) p.name() else p.name() match {
+        case ">" => "<" case ">=" => "<=" case "<" => ">" case "<=" => ">="
+        case other => other
+      }
+      op match {
+        case "="  => Some((v, v + 1))
+        case ">"  => if (v == Long.MaxValue) Some((v, v)) else Some((v + 1, Long.MaxValue))
+        case ">=" => Some((v, Long.MaxValue))
+        case "<"  => Some((Long.MinValue, v))
+        case "<=" => if (v == Long.MaxValue) Some((Long.MinValue, v)) else Some((Long.MinValue, v + 1))
+        case _    => None
+      }
+    }
+  }
+  override def pushPredicates(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    val (accepted, residual) = predicates.partition(docIdBounds(_).isDefined)
+    accepted.flatMap(docIdBounds).foreach { case (l, h) =>
+      lo = math.max(lo, l); hi = math.min(hi, h)
+    }
+    pushedV2 = accepted
+    residual
+  }
+  override def pushedPredicates()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = pushedV2
 
   override def build(): Scan = aggFns match {
     case Some(fns) => new SyntheticAggScan(lo, hi, fns)

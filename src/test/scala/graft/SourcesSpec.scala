@@ -418,6 +418,25 @@ class SourcesSpec extends SparkSpec {
       .as[Long].head() == 250L)
   }
 
+  test("V2 predicate pushdown: both operand orders narrow; the V1 path is bypassed") {
+    // `5000 <= doc_id` keeps the literal on the LEFT — V2 predicates
+    // preserve the user's operand order (a V1 Filter would have been
+    // normalized), so the mirrored comparison must narrow identically
+    val df = read(1000000, 8)
+      .where(expr("5000 <= doc_id")).where(expr("doc_id < 5020"))
+    assert(df.rdd.getNumPartitions <= 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ids [5000, 5020)"), s"expected narrowed scan:\n$plan")
+    assert(!plan.contains("Filter ("), s"expected empty residual:\n$plan")
+    assert(df.count() == 20)
+    // non-consumable predicate stays residual; the range part still pushes
+    val mixed = read(1000, 8).where($"doc_id" >= 990 && $"lang" === "en")
+    val mplan = mixed.queryExecution.executedPlan.toString
+    assert(mplan.contains("ids [990, 1000)"), s"range must push:\n$mplan")
+    assert(mplan.contains("Filter ("), s"lang predicate must stay residual:\n$mplan")
+    assert(mixed.count() == (990L until 1000L).count(SyntheticDocs.lang(_) == "en"))
+  }
+
   test("bucketed-table grammar rejects zero buckets and malformed options") {
     spark.conf.set("spark.sql.catalog.graft_cat",
       classOf[graft.sources.GraftCatalog].getName)
