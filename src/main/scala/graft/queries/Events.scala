@@ -2300,9 +2300,12 @@ object Events {
   private def auditedWrite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"ev41_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
+    // overwrite = the builder's truncate() path: the committed record
+    // REPLACES any prior one, so the query is idempotent however many
+    // times a session runs it (append would fold runs together)
     Tables(spark, dir).documents.select(col("doc_id"))
       .write.format(graft.sources.AuditSink.Format)
-      .option("name", name).mode("append").save()
+      .option("name", name).mode("overwrite").save()
     val (n, c) = graft.sources.AuditSink.commits(name)
     Seq((n, c)).toDF("n_rows", "checksum")
   }
@@ -2320,7 +2323,76 @@ object Events {
       |       THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT) AS checksum
       |FROM (SELECT count(*) AS cnt, bit_xor(h::UBIGINT)::HUGEINT AS x FROM h) t""".stripMargin
 
+  /** ev44: the write-side LAYOUT contracts on the V2 sink —
+    * `RequiresDistributionAndOrdering` + the truncate/append protocol:
+    *
+    *  - phase `clustered_sorted`: the WRITE itself demands
+    *    `distributeBy=lang` (clustered distribution — Spark inserts the
+    *    exchange below the write node) and `sortBy=doc_id` (within-task
+    *    sort), `mode("overwrite")` riding the builder's truncate() path.
+    *    The sink's writers MEASURE compliance — per-task distinct-key
+    *    sets fold to "no lang split across tasks", per-task order checks
+    *    fold to "every task arrived sorted" — and the committed audit
+    *    publishes both verdicts, so the gate hashes the engine's actual
+    *    write layout, not an assumption. This is the Iceberg
+    *    write-distribution contract: at 100 TB it is what keeps a
+    *    partitioned write from emitting one file per task per key.
+    *  - phase `appended`: a second write (`doc_id % 10 = 3` slice,
+    *    `mode("append")`, no layout demand) FOLDS into the same record —
+    *    rows add, checksums XOR (so the twice-written ids cancel out of
+    *    the fold, which the oracle recomputes directly). Layout verdicts
+    *    are NULL: none were demanded.
+    */
+  private def layoutWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"ev44_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
+    val docs = Tables(spark, dir).documents
+    docs.select(col("doc_id"), col("lang"))
+      .write.format(graft.sources.AuditSink.Format)
+      .option("name", name)
+      .option("distributeBy", "lang").option("sortBy", "doc_id")
+      .mode("overwrite").save()
+    val (n1, c1) = graft.sources.AuditSink.commits(name)
+    val (clustered, sorted) = graft.sources.AuditSink.layout(name)
+    docs.where(pmod(col("doc_id"), lit(10L)) === 3)
+      .select(col("doc_id"), col("lang"))
+      .write.format(graft.sources.AuditSink.Format)
+      .option("name", name).mode("append").save()
+    val (n2, c2) = graft.sources.AuditSink.commits(name)
+    Seq(
+      ("clustered_sorted", n1, c1, Some(clustered), Some(sorted)),
+      ("appended", n2, c2, None: Option[Boolean], None: Option[Boolean]))
+      .toDF("phase", "n_rows", "checksum", "clustering_held", "sorted_within")
+      .orderBy(col("phase"))
+  }
+  private val layoutWriteSql =
+    """WITH h AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      list_transform(generate_series(0, 7),
+      |        i -> ((doc_id >> (8 * i)::INT) & 255)::HUGEINT)),
+      |    (fh, b) -> (xor(fh::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+      |      % 18446744073709551616::HUGEINT) AS h
+      |  FROM documents),
+      |sgn AS (
+      |  SELECT 'clustered_sorted' AS phase, count(*) AS cnt,
+      |    bit_xor(h::UBIGINT)::HUGEINT AS x, TRUE AS clustering_held,
+      |    TRUE AS sorted_within
+      |  FROM h
+      |  UNION ALL
+      |  SELECT 'appended' AS phase,
+      |    (SELECT count(*) FROM h) + count(*) FILTER (WHERE doc_id % 10 = 3) AS cnt,
+      |    bit_xor(h::UBIGINT) FILTER (WHERE doc_id % 10 <> 3)::HUGEINT AS x,
+      |    NULL, NULL
+      |  FROM h)
+      |SELECT phase, CAST(cnt AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
+      |       THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT) AS checksum,
+      |  clustering_held, sorted_within
+      |FROM sgn ORDER BY phase""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "ev44_layout_write"    -> QueryDef(layoutWrite, Some(layoutWriteSql)),
     "ev41_audited_write"   -> QueryDef(auditedWrite, Some(auditedWriteSql)),
     "ev40_custom_source"   -> QueryDef(customSource, Some(customSourceSql)),
     "ev39_attribution"     -> QueryDef(attribution, Some(attributionSql), benchmark = true),

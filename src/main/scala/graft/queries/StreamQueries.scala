@@ -1490,7 +1490,61 @@ object StreamQueries {
       |  CAST(sum(id % 97 + 3) AS BIGINT) AS n_tokens
       |FROM ids GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
+  /** st36: the V2 STREAMING WRITE protocol end-to-end — the custom
+    * connector's bounded replay ([[graft.sources.SyntheticDocs]], 20 000
+    * ids over 4 096-id admission batches) written through
+    * [[graft.sources.AuditSink]]'s `StreamingWrite`: each micro-batch
+    * folds its per-task audits and `commit(epoch, messages)` publishes
+    * ONE (rows, checksum) record per epoch — the epoch-granular
+    * transactional contract (idempotent per-epoch re-commit) that gives
+    * a sink exactly-once on top of replayable offsets at any scale. The
+    * admission cap makes the epoch boundaries deterministic (epoch k =
+    * ids [4096·k, min(4096·(k+1), 20000))), so the oracle re-derives
+    * every epoch's row count AND its XOR-folded FNV-1a checksum from
+    * `generate_series` — the gate hashes the per-epoch commit ledger
+    * itself: exactly the id space, once each, no gaps, no double-writes,
+    * correctly sliced into epochs.
+    */
+  private def streamAuditWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"st36_${System.nanoTime()}"
+    val out = graft.core.Workspace.dir(s"roundtrip/stream_audit_$name")
+    val src = spark.readStream.format(graft.sources.SyntheticDocs.Format)
+      .option("rows", "20000").option("partitions", "8")
+      .option("streamBatch", "4096").load()
+      .select(col("doc_id"))
+    val q = src.writeStream.format(graft.sources.AuditSink.Format)
+      .option("name", name)
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.AuditSink.epochCommits(name).toSeq
+      .map { case (e, (n, c)) => (e, n, c) }
+      .toDF("epoch", "n_rows", "checksum")
+      .orderBy(col("epoch"))
+  }
+  private val streamAuditWriteSql =
+    """WITH ids AS (SELECT unnest(generate_series(0, 19999)) AS id),
+      |h AS (
+      |  SELECT id // 4096 AS epoch, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      list_transform(generate_series(0, 7),
+      |        i -> ((id >> (8 * i)::INT) & 255)::HUGEINT)),
+      |    (fh, b) -> (xor(fh::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+      |      % 18446744073709551616::HUGEINT) AS h
+      |  FROM ids)
+      |SELECT epoch::BIGINT AS epoch, CAST(cnt AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
+      |       THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT) AS checksum
+      |FROM (SELECT epoch, count(*) AS cnt, bit_xor(h::UBIGINT)::HUGEINT AS x
+      |      FROM h GROUP BY epoch) t
+      |ORDER BY epoch""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "st36_stream_audit_write" -> QueryDef(streamAuditWrite,
+      Some(streamAuditWriteSql)),
     "st35_stream_sample_quantiles" -> QueryDef(streamSampleQuantiles,
       Some(streamSampleQuantilesSql), benchmark = true),
     "st34_stream_dynamic_session" -> QueryDef(streamSessionDynamic,

@@ -459,4 +459,84 @@ class SourcesSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  private def xorFold(ids: Range): (Long, Long) =
+    ids.foldLeft((0L, 0L)) { case ((n, c), id) =>
+      (n + 1, c ^ graft.sources.AuditSink.fnv64(id.toLong))
+    }
+
+  test("audit sink: overwrite REPLACES the record, append FOLDS into it") {
+    import graft.sources.AuditSink
+    def write(r: Range, mode: String): Unit =
+      spark.range(r.start, r.end).select($"id").write.format(AuditSink.Format)
+        .option("name", "t_trunc").mode(mode).save()
+    write(0 until 100, "overwrite")
+    assert(AuditSink.commits.get("t_trunc").contains(xorFold(0 until 100)))
+    write(0 until 50, "append")
+    val (nFull, cFull) = xorFold(0 until 100)
+    val (nHalf, cHalf) = xorFold(0 until 50)
+    assert(AuditSink.commits.get("t_trunc").contains((nFull + nHalf, cFull ^ cHalf)),
+      "append must add counts and XOR checksums into the existing record")
+    write(0 until 10, "overwrite")
+    assert(AuditSink.commits.get("t_trunc").contains(xorFold(0 until 10)),
+      "overwrite (builder truncate()) must replace the whole record")
+  }
+
+  test("write distribution/ordering: the engine clusters and sorts on the sink's demand") {
+    import graft.sources.AuditSink
+    // deliberately scatter the rows so that WITHOUT the demanded exchange
+    // every task would see most keys and unsorted ids
+    val df = spark.range(0, 5000)
+      .select($"id", concat(lit("k"), $"id" % 5).as("k"))
+      .repartition(11, ($"id" * 2654435761L % 97).cast("int"))
+    df.write.format(AuditSink.Format)
+      .option("name", "t_layout")
+      .option("distributeBy", "k").option("sortBy", "id")
+      .mode("overwrite").save()
+    assert(AuditSink.commits.get("t_layout").contains(xorFold(0 until 5000)),
+      "the inserted exchange/sort must not change the written data")
+    assert(AuditSink.layout.get("t_layout").contains((true, true)),
+      "clustered distribution must keep every key in one task, sorted within")
+  }
+
+  test("write layout fold: a split key or unsorted task is DETECTED, not assumed") {
+    import graft.sources.{AuditFold, AuditMessage}
+    val ok = AuditFold(Array(
+      AuditMessage(2, 1L, Array("a"), sorted = true),
+      AuditMessage(3, 2L, Array("b", "c"), sorted = true)))
+    assert(ok == (5L, 3L, true, true))
+    val split = AuditFold(Array(
+      AuditMessage(2, 1L, Array("a"), sorted = true),
+      AuditMessage(3, 2L, Array("a", "b"), sorted = true)))
+    assert(!split._3, "a key seen by two tasks means clustering did NOT hold")
+    val unsorted = AuditFold(Array(
+      AuditMessage(2, 1L, Array("a"), sorted = false)))
+    assert(!unsorted._4, "one unsorted task fails the ordering verdict")
+  }
+
+  test("streaming write: one idempotent audit commit per epoch, ledger covers the id space") {
+    import graft.sources.AuditSink
+    val name = s"t_stream_audit_${System.nanoTime()}"
+    val out = graft.core.Workspace.dir(s"roundtrip/spec_audit_$name")
+    val q = spark.readStream.format(SyntheticDocs.Format)
+      .option("rows", "1000").option("partitions", "4")
+      .option("streamBatch", "300").load()
+      .select($"doc_id")
+      .writeStream.format(AuditSink.Format)
+      .option("name", name)
+      .option("checkpointLocation", s"$out/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ledger = AuditSink.epochCommits(name)
+    val nonEmpty = ledger.filter(_._2._1 > 0)
+    assert(nonEmpty.keySet == Set(0L, 1L, 2L, 3L),
+      s"300-id admission over 1000 ids must commit epochs 0..3, got $ledger")
+    nonEmpty.foreach { case (e, got) =>
+      val lo = (e * 300).toInt
+      val hi = math.min(lo + 300, 1000)
+      assert(got == xorFold(lo until hi), s"epoch $e audit must equal its id slice")
+    }
+  }
 }
