@@ -488,6 +488,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard equals the exhaustive inverted-index join exactly") {
+    // the fixture corpus + adversarial shapes: subset docs (containment
+    // high, jaccard low — the size filter must not drop the REAL pairs),
+    // shared-stopword docs (the prefix must exclude the common tail),
+    // identical singletons, and df ties broken only by token order
+    val tricky = docs.union(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota"), // 9/10
+      (12L, "alpha beta gamma"),                     // subset, J = 3/10
+      (13L, "zzz"), (14L, "zzz"),                    // identical singletons
+      (15L, "the the the unique1"), (16L, "the unique2")
+    ).toDF("doc_id", "text"))
+    for (t <- Seq(0.5, 0.8, 1.0); cap <- Seq(400L, 10000L)) {
+      val fast = Dedup.jaccardPairs(tricky, t, maxDf = cap)
+      val slow = Dedup.exhaustiveJaccardPairs(tricky, t, maxDf = cap)
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        s"prefix join must be lossless and exact at t=$t maxDf=$cap")
+    }
+    // sf0.001 corpus: the real fixture, both thresholds the queries use
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = Dedup.jaccardPairs(real, t)
+      val slow = Dedup.exhaustiveJaccardPairs(real, t)
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        s"prefix join must match exhaustive on the fixture at t=$t")
+    }
+  }
+
   test("lsh tuning curve: mismatched band products are rejected; empty corpus is zero rows-safe") {
     intercept[IllegalArgumentException] {
       Dedup.lshTuningCurve(docs, 0.5, Seq((4, 8), (8, 8)))
