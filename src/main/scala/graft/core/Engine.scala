@@ -56,6 +56,13 @@ object GraftSession {
       // no exchange on either side. Purely plan-shaping — sources that
       // report no partitioning are untouched.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // V2 join pushdown (off by default in Spark 4.1): when both sides
+      // of an equi-join are scans whose builders implement
+      // SupportsPushDownJoin and declare themselves compatible, the JOIN
+      // ITSELF moves into the source (the JDBC-federation contract; the
+      // graft-synthetic connector answers it in closed form). Purely
+      // plan-shaping — builders that don't implement it are untouched.
+      .config("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
       // Streaming session windows (st08): merge gap-adjacent sessions
       // MAP-side before the state-store exchange (SPARK-36576) — the
       // sessionization analogue of partial aggregation. Semantics

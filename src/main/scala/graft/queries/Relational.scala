@@ -1898,6 +1898,60 @@ object Relational {
       |  min(id)::BIGINT AS min_id, max(id)::BIGINT AS max_id
       |FROM u GROUP BY branch ORDER BY branch""".stripMargin
 
+  /** q66: V2 JOIN pushdown (`SupportsPushDownJoin`, Spark 4.1 — the
+    * JDBC-federation contract) under the hash gate, two branches over
+    * the same pushed inner doc_id equi-join of two synthetic tables
+    * (1M filtered to [1000, 800000) ⋈ 500k ⇒ ids [1000, 500000)):
+    *
+    *  - `join_rollup`: GROUP BY a.lang with sum(a.n_tokens·b.n_tokens) —
+    *    the grouped aggregate is NOT pushable, so it runs over the
+    *    JOINED scan's rows: proves the absorbed join emits exactly the
+    *    intersection ids once each with both sides' columns correct
+    *    (the tok product is the square only if both sides generated the
+    *    same row for the same id).
+    *  - `join_count`: un-grouped count/sum over the same join — the
+    *    aggregate pushes down ON TOP of the pushed join and collapses to
+    *    ONE closed-form row: `count(*)` of a join moves one row, the
+    *    federation-plan endgame (join absorbed, aggregate absorbed,
+    *    nothing executes but arithmetic).
+    *
+    * SourcesSpec pins both plans join-free. At 100 TB this contract is
+    * what lets a Spark federation plan hand an entire join to the system
+    * that stores the data (JDBC, a warehouse, an arithmetic table)
+    * instead of pulling both sides across the network.
+    */
+  private def q66(spark: SparkSession, dir: String): DataFrame = {
+    // set in GraftSession too; repeated for externally built sessions
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    def docs(n: Long) = spark.read.format(graft.sources.SyntheticDocs.Format)
+      .option("rows", n.toString).option("partitions", "16").load()
+    val a = docs(1000000L).where(col("doc_id") >= 1000 && col("doc_id") < 800000)
+    val b = docs(500000L)
+    val rollup = a.join(b, a("doc_id") === b("doc_id"))
+      .groupBy(a("lang").as("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(a("n_tokens") * b("n_tokens")).as("metric"))
+      .select(lit("join_rollup").as("branch"), col("lang"), col("n_pairs"),
+        col("metric"))
+    val collapsed = a.join(b, a("doc_id") === b("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(b("n_tokens")).as("metric"))
+      .select(lit("join_count").as("branch"), lit("*").as("lang"),
+        col("n_pairs"), col("metric"))
+    rollup.unionAll(collapsed).orderBy(col("branch"), col("lang"))
+  }
+  private val q66Sql =
+    """WITH ids AS (SELECT unnest(generate_series(1000, 499999)) AS id)
+      |SELECT 'join_rollup' AS branch,
+      |  ['de','en','fr','ja','zh'][(id % 5 + 1)::INT] AS lang,
+      |  count(*)::BIGINT AS n_pairs,
+      |  CAST(sum((id % 97 + 3) * (id % 97 + 3)) AS BIGINT) AS metric
+      |FROM ids GROUP BY 2
+      |UNION ALL
+      |SELECT 'join_count', '*', count(*)::BIGINT,
+      |  CAST(sum(id % 97 + 3) AS BIGINT)
+      |FROM ids
+      |ORDER BY branch, lang""".stripMargin
+
   /** q64: storage-partitioned join — both catalog tables are BUCKETED
     * (`docs…_b8` → the scan reports `bucket(8, doc_id)` key-grouped
     * partitioning, `SupportsReportPartitioning` + `HasPartitionKey`), so
@@ -1959,6 +2013,7 @@ object Relational {
       |FROM ids GROUP BY 1 ORDER BY bucket_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "q66_join_pushdown"    -> QueryDef(q66, Some(q66Sql), benchmark = true),
     "q65_metadata_column"  -> QueryDef(q65, Some(q65Sql)),
     "q64_spj_join"         -> QueryDef(q64, Some(q64Sql), benchmark = true),
     "q62_scan_pushdown"    -> QueryDef(q62, Some(q62Sql), benchmark = true),

@@ -208,12 +208,13 @@ private class SyntheticDocsTable(rows: Long, partitions: Int, streamBatch: Long,
 }
 
 private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Long,
-    buckets: Option[Int] = None)
+    val buckets: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownV2Filters
     with SupportsPushDownAggregates with SupportsPushDownLimit
-    with SupportsPushDownTopN with SupportsPushDownOffset {
+    with SupportsPushDownTopN with SupportsPushDownOffset
+    with SupportsPushDownJoin {
   private var lo = 0L            // inclusive id lower bound after pushdown
   private var hi = rows          // exclusive id upper bound after pushdown
   private var required: StructType = SyntheticDocs.schema
@@ -222,6 +223,80 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Lon
     Array.empty
   private var aggFns: Option[Array[aggregate.AggregateFunc]] = None
   private var topNPushed = false
+  // after a pushed join: output-column name -> underlying generator column
+  private var outMap: Map[String, String] = Map.empty
+  private def resolve(n: String): String = outMap.getOrElse(n, n)
+
+  /** V2 JOIN pushdown (`SupportsPushDownJoin`, Spark 4.1 — the
+    * JDBC-federation contract): an INNER equi-join of two synthetic
+    * tables on `doc_id` is absorbed into THIS builder. Both sides
+    * enumerate exactly their post-pushdown id ranges once each, so the
+    * joined stream is the generator over the ranges' INTERSECTION with
+    * the right side's columns emitted beside the left's (same id ⇒ same
+    * row arithmetic) — the join never exists at execution time: no
+    * exchange, no build side, and the scan's reported statistics are the
+    * EXACT post-join cardinality, which is what join pushdown buys a
+    * 100 TB federation plan. Phase order matters: per-side filters are
+    * already consumed into each [lo, hi) when the join arrives, and a
+    * later un-grouped aggregate can then collapse the JOINED scan to one
+    * closed-form row (`count(*)` of a join, O(1)). Declined shapes fall
+    * back to Spark's join over the two pruned scans: non-inner joins,
+    * conditions other than a single doc_id equality, bucketed layouts
+    * (their key-grouped report is the SPJ path), and already-joined
+    * builders (one level — a second join would need alias-aware range
+    * algebra this table doesn't model).
+    */
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other match {
+      case o: SyntheticScanBuilder =>
+        buckets.isEmpty && o.buckets.isEmpty &&
+        aggFns.isEmpty && o.aggFns.isEmpty &&
+        !topNPushed && !o.topNPushed &&
+        outMap.isEmpty && o.outMap.isEmpty
+      case _ => false
+    }
+  override def pushDownJoin(other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightRequired: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Boolean = {
+    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN)
+      return false
+    if (!isOtherSideCompatibleForJoin(other)) return false
+    val right = other.asInstanceOf[SyntheticScanBuilder]
+    val base = SyntheticDocs.schema.fieldNames.toSet
+    if (!(leftRequired ++ rightRequired).forall(c => base(c.colName))) return false
+    def out(c: SupportsPushDownJoin.ColumnWithAlias): String =
+      Option(c.alias).getOrElse(c.colName)
+    // the condition arrives over the JOINED OUTPUT names — find each
+    // side's doc_id under its output name and demand exactly one equality
+    val leftId  = leftRequired.find(_.colName == "doc_id").map(out)
+    val rightId = rightRequired.find(_.colName == "doc_id").map(out)
+    val ok = (leftId, rightId) match {
+      case (Some(l), Some(r)) if l != r &&
+          condition.name() == "=" && condition.children().length == 2 =>
+        condition.children().flatMap(colName).toSet == Set(l, r)
+      case _ => false
+    }
+    if (!ok) return false
+    SyntheticDocs.runtimeFilterLog.add("join:" +
+      leftRequired.map(c => s"${c.colName}->${out(c)}").mkString("L[", ",", "]") +
+      rightRequired.map(c => s"${c.colName}->${out(c)}").mkString(" R[", ",", "]") +
+      s" cond=${condition.describe()}")
+    lo = math.max(lo, right.lo)
+    hi = math.min(hi, right.hi)
+    outMap = (leftRequired ++ rightRequired).map(c => out(c) -> c.colName).toMap
+    // the builder's schema IS the joined output now — Spark wraps the
+    // built scan positionally in the joined attributes (left required
+    // then right required, under their aliases); a later pruneColumns
+    // narrows this aliased schema like any other
+    required = StructType((leftRequired ++ rightRequired).map { c =>
+      val f = SyntheticDocs.schema(c.colName)
+      StructField(out(c), f.dataType, f.nullable)
+    })
+    true
+  }
 
   /** Single-column reference name, if the V2 expression is one. */
   private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -243,15 +318,19 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Lon
     * the closed forms see the post-filter range.
     */
   private def aggSupported(agg: aggregate.Aggregation): Boolean = {
+    // post-join the aggregate references the joined OUTPUT names; resolve
+    // to the underlying generator column before the closed-form check
     val numeric = Set("doc_id", "n_tokens")
+    def res(e: org.apache.spark.sql.connector.expressions.Expression) =
+      colName(e).map(resolve)
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
     agg.aggregateExpressions.forall {
       case _: aggregate.CountStar => true
       case c: aggregate.Count => !c.isDistinct &&
-        colName(c.column).exists(SyntheticDocs.schema.fieldNames.contains)
-      case m: aggregate.Min => colName(m.column).exists(numeric)
-      case m: aggregate.Max => colName(m.column).exists(numeric)
-      case s: aggregate.Sum => !s.isDistinct && colName(s.column).exists(numeric)
+        res(c.column).exists(SyntheticDocs.schema.fieldNames.contains)
+      case m: aggregate.Min => res(m.column).exists(numeric)
+      case m: aggregate.Max => res(m.column).exists(numeric)
+      case s: aggregate.Sum => !s.isDistinct && res(s.column).exists(numeric)
       case _ => false
     }
   }
@@ -382,9 +461,9 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Lon
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = pushedV2
 
   override def build(): Scan = aggFns match {
-    case Some(fns) => new SyntheticAggScan(lo, hi, fns)
+    case Some(fns) => new SyntheticAggScan(lo, hi, fns, outMap)
     case None => new SyntheticScan(lo, hi, partitions, streamBatch, required,
-      buckets)
+      buckets, outMap)
   }
 }
 
@@ -395,7 +474,8 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int, streamBatch: Lon
   * NULL — exactly Spark's un-grouped aggregate over empty input.
   */
 private class SyntheticAggScan(lo: Long, hi: Long,
-    fns: Array[aggregate.AggregateFunc]) extends Scan with Batch {
+    fns: Array[aggregate.AggregateFunc],
+    outMap: Map[String, String] = Map.empty) extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(fns.zipWithIndex.map { case (_, i) =>
       StructField(s"agg_$i", LongType, nullable = true) })
@@ -405,14 +485,18 @@ private class SyntheticAggScan(lo: Long, hi: Long,
   override def planInputPartitions(): Array[InputPartition] =
     Array(SyntheticPartition(lo, hi))
   override def createReaderFactory(): PartitionReaderFactory =
-    new SyntheticAggReaderFactory(fns)
+    new SyntheticAggReaderFactory(fns, outMap)
 }
 
-private class SyntheticAggReaderFactory(fns: Array[aggregate.AggregateFunc])
+private class SyntheticAggReaderFactory(fns: Array[aggregate.AggregateFunc],
+    outMap: Map[String, String])
     extends PartitionReaderFactory {
-  private def name(e: org.apache.spark.sql.connector.expressions.Expression): String =
-    e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]
+  // post-join aggregates reference joined OUTPUT names; map to generators
+  private def name(e: org.apache.spark.sql.connector.expressions.Expression): String = {
+    val n = e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]
       .fieldNames()(0)
+    outMap.getOrElse(n, n)
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val SyntheticPartition(lo, hi, _) = partition.asInstanceOf[SyntheticPartition]
     val empty = hi <= lo
@@ -463,10 +547,14 @@ private case class SyntheticOffset(id: Long)
 
 private class SyntheticScan(private var lo: Long, private var hi: Long,
     partitions: Int, streamBatch: Long, required: StructType,
-    buckets: Option[Int] = None)
+    buckets: Option[Int] = None,
+    outMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering with SupportsReportPartitioning
     with SupportsReportOrdering {
+  // joined scans read OUTPUT names; the reader generates by the
+  // underlying column (identical for both sides — same id, same row)
+  private def underlying(n: String): String = outMap.getOrElse(n, n)
 
   /** `SupportsReportOrdering`: every partition — range slice or bucket —
     * enumerates ids ascending, so the scan declares doc_id ASC
@@ -476,11 +564,13 @@ private class SyntheticScan(private var lo: Long, private var hi: Long,
     * SortMergeJoin over the scans: no exchange, no sort — the full
     * Iceberg-class "storage does the heavy lifting" read contract. */
   override def outputOrdering(): Array[SortOrder] =
-    if (required.fieldNames.contains("doc_id"))
-      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-        org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"),
-        SortDirection.ASCENDING))
-    else Array.empty
+    required.fieldNames.find(n => underlying(n) == "doc_id") match {
+      case Some(idCol) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(idCol),
+          SortDirection.ASCENDING))
+      case None => Array.empty
+    }
 
   /** Storage-partitioned join (`SupportsReportPartitioning`): the
     * bucketed layout reports `bucket(B, doc_id)` KeyGroupedPartitioning —
@@ -521,7 +611,10 @@ private class SyntheticScan(private var lo: Long, private var hi: Long,
     // changed partition-value set would break the co-partitioning the
     // join was planned on), so the conservative correct choice is to
     // keep all B buckets and let the residual filter do the work.
-    if (buckets.isEmpty && required.fieldNames.contains("doc_id"))
+    // joined scans also decline: the runtime filter would reference an
+    // aliased output column and the conservative fallback is correct
+    if (buckets.isEmpty && outMap.isEmpty &&
+        required.fieldNames.contains("doc_id"))
       Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
     else Array.empty
   override def filter(
@@ -557,7 +650,7 @@ private class SyntheticScan(private var lo: Long, private var hi: Long,
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private val rowCount = math.max(hi - lo, 0L)
-    private val rowBytes = required.fieldNames.map {
+    private val rowBytes = required.fieldNames.map(underlying).map {
       case "doc_id" | "n_tokens" => 8L
       case "lang"                => 2L
       case "source"              => 5L
@@ -578,7 +671,8 @@ private class SyntheticScan(private var lo: Long, private var hi: Long,
     * pruning as the batch path (the ScanBuilder ran before this). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SyntheticMicroBatchStream(lo, hi, partitions, streamBatch, required)
+    new SyntheticMicroBatchStream(lo, hi, partitions, streamBatch, required,
+      outMap)
 
   /** Range layout: even id slices of the POST-pushdown range — a pushed
     * `doc_id < k` shrinks the range before this split, so out-of-range
@@ -600,11 +694,12 @@ private class SyntheticScan(private var lo: Long, private var hi: Long,
       }.filter(p => p.end > p.start).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SyntheticReaderFactory(required.fieldNames)
+    new SyntheticReaderFactory(required.fieldNames.map(underlying))
 }
 
 private class SyntheticMicroBatchStream(lo: Long, hi: Long, partitions: Int,
-    streamBatch: Long, required: StructType)
+    streamBatch: Long, required: StructType,
+    outMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -657,7 +752,8 @@ private class SyntheticMicroBatchStream(lo: Long, hi: Long, partitions: Int,
       .filter(p => p.end > p.start).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SyntheticReaderFactory(required.fieldNames)
+    new SyntheticReaderFactory(
+      required.fieldNames.map(n => outMap.getOrElse(n, n)))
 }
 
 private class SyntheticReaderFactory(cols: Array[String])

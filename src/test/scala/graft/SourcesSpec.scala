@@ -460,6 +460,35 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("V2 join pushdown: inner doc_id equi-join is absorbed into ONE scan") {
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    val a = read(1000, 8).where($"doc_id" >= 100 && $"doc_id" < 700)
+    val b = read(500, 4).select($"doc_id", $"n_tokens", $"lang")
+    val j = a.join(b, a("doc_id") === b("doc_id"))
+      .select(a("doc_id"), a("lang"), b("n_tokens"), b("lang"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join must be absorbed into the scan:\n$plan")
+    val rows = j.collect()
+    // inner join of the two generators on doc_id = ids [100, 500)
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(id >= 100 && id < 500)
+      assert(r.getString(1) == SyntheticDocs.lang(id))
+      assert(r.getLong(2) == id % 97 + 3)
+      assert(r.getString(3) == SyntheticDocs.lang(id))
+    }
+    // an un-grouped aggregate OVER the pushed join collapses to one
+    // closed-form row: count(*) of a join, O(1), no Aggregate above scan
+    val agg = a.join(b, a("doc_id") === b("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(b("n_tokens")).as("t"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Join"), aggPlan)
+    val Array(ar) = agg.collect()
+    assert(ar.getLong(0) == 400)
+    assert(ar.getLong(1) == (100L until 500L).map(_ % 97 + 3).sum)
+  }
+
   private def xorFold(ids: Range): (Long, Long) =
     ids.foldLeft((0L, 0L)) { case ((n, c), id) =>
       (n + 1, c ^ graft.sources.AuditSink.fnv64(id.toLong))
