@@ -229,12 +229,26 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxDf: Long = 10000L,
-      shingles: Column => Column = wordTokens): DataFrame = {
+      shingles: Column => Column = wordTokens,
+      prefixFilter: Option[Boolean] = None): DataFrame = {
     // t = 0 degenerates correctly: α = 0, prefix = the whole set — the
     // join becomes the exhaustive one (a caller asking for "all
     // co-occurring pairs" gets exactly that)
     require(threshold >= 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in [0, 1], got $threshold")
+    // Cost-model switch (both forms produce identical output — the spec
+    // pins it): the exhaustive join's per-token pair fan-out is bounded
+    // by the df cap (≤ maxDf² pairs per token), so under a TIGHT cap its
+    // three key-hash shuffles undercut the prefix machinery's fixed
+    // overhead (per-doc ordering pass, candidate distinct, verify joins:
+    // measured dd02 at maxDf=400, 0.8 vs 1.7 s at sf0.1). Past the
+    // cutoff the stopword blowup dominates and the prefix join wins
+    // structurally (dd20 at maxDf=10⁴: 91 → 35 s). The same decision a
+    // cost-based planner makes from the broadcast threshold — an
+    // explicit override is available for measurement (DedupSpec) and
+    // for corpora whose df distribution defies the cap heuristic.
+    if (!prefixFilter.getOrElse(maxDf > PrefixFilterDfCutoff))
+      return exhaustiveJaccardPairs(docs, threshold, idCol, textCol, maxDf, shingles)
     val post = tokenPostings(docs, idCol, textCol, maxDf, shingles)
     // canonical rarest-first order: (df, tok) — total, global, and the
     // same for every doc, which is all prefix completeness requires
@@ -271,6 +285,10 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
+
+  /** df cap above which [[jaccardPairs]] switches from the exhaustive
+    * inverted-index join to the prefix-filtered join. */
+  val PrefixFilterDfCutoff = 2000L
 
   /** The exhaustive inverted-index form [[jaccardPairs]] replaced —
     * kept as the independent recompute DedupSpec pins the prefix join

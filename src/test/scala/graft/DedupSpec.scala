@@ -500,8 +500,11 @@ class DedupSpec extends SparkSpec {
       (13L, "zzz"), (14L, "zzz"),                    // identical singletons
       (15L, "the the the unique1"), (16L, "the unique2")
     ).toDF("doc_id", "text"))
+    // force the prefix strategy at BOTH caps (the auto cost switch would
+    // route the tight cap to the exhaustive join — equality by identity)
     for (t <- Seq(0.5, 0.8, 1.0); cap <- Seq(400L, 10000L)) {
-      val fast = Dedup.jaccardPairs(tricky, t, maxDf = cap)
+      val fast = Dedup.jaccardPairs(tricky, t, maxDf = cap,
+        prefixFilter = Some(true))
       val slow = Dedup.exhaustiveJaccardPairs(tricky, t, maxDf = cap)
       assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
         s"prefix join must be lossless and exact at t=$t maxDf=$cap")
@@ -509,7 +512,7 @@ class DedupSpec extends SparkSpec {
     // sf0.001 corpus: the real fixture, both thresholds the queries use
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (t <- Seq(0.5, 0.8)) {
-      val fast = Dedup.jaccardPairs(real, t)
+      val fast = Dedup.jaccardPairs(real, t, prefixFilter = Some(true))
       val slow = Dedup.exhaustiveJaccardPairs(real, t)
       assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
         s"prefix join must match exhaustive on the fixture at t=$t")
