@@ -59,6 +59,42 @@ object TextQueries {
       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** dd21: UNCAPPED exact Jaccard near-dup pairs — what dd02 measures
+    * minus its df-cap compromise. The cap keeps the exhaustive
+    * inverted-index join linear by silently DROPPING the corpus's most
+    * common tokens from the similarity metric itself, which perturbs J
+    * near the threshold (a pair sharing mostly common tokens scores
+    * differently capped vs not). The prefix-filtered join
+    * ([[Dedup.jaccardPairs]], SSJoin/AllPairs) makes the uncapped metric
+    * affordable: common tokens sort to every doc's suffix and never
+    * generate candidates, so no token is ever excluded and the score is
+    * the true set Jaccard. Oracle: dd02's CTEs without the cap — the
+    * oracle PAYS the quadratic cost the engine avoids, which is exactly
+    * the point (feasible at gate scale, prohibitive at corpus scale).
+    * Emits the same columns as dd02, so the two gates together pin
+    * exactly what the cap changes.
+    */
+  private def dedupJaccardUncapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables(spark, dir).documents, threshold = 0.8,
+        maxDf = Long.MaxValue)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  private val dedupJaccardUncappedSql =
+    """WITH tok AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
+      |    FROM documents) t WHERE length(tok) > 0),
+      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_common,
+      |  CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** dd19: duplicate provenance matrix — dd02's near-dup pair graph
     * rolled up by unordered SOURCE pair: "which corpora duplicate each
     * other, and how much", the diagnostic a data-acquisition team reads
@@ -4896,6 +4932,8 @@ object TextQueries {
     "dd05_ngram_jaccard"     -> QueryDef(dedupNgram, Some(dedupNgramSql)),
     "dd18_containment_dedup" -> QueryDef(dedupContainment, Some(dedupContainmentSql), benchmark = true),
     "dd19_dup_provenance"    -> QueryDef(dupProvenance, Some(dupProvenanceSql)),
+    "dd21_uncapped_jaccard"  -> QueryDef(dedupJaccardUncapped,
+      Some(dedupJaccardUncappedSql), benchmark = true),
     "dd11_span_dedup"        -> QueryDef(dedupSpansQ, Some(dedupSpansSql), benchmark = true),
     "dd16_substring_dedup"   -> QueryDef(dedupSubstringsQ, Some(dedupSubstringsSql), benchmark = true),
     "dd17_index_compaction"  -> QueryDef(indexCompaction, Some(dedupIncrementalSql)),
