@@ -2297,6 +2297,18 @@ object Events {
     * task commit/abort, partitioning-independent by construction.
     * SourcesSpec pins the protocol edges (atomic abort, retry safety).
     */
+  /** DuckDB mirror of [[graft.sources.AuditSink.fnv64]] over a BIGINT
+    * expression, in HUGEINT mod-2⁶⁴ arithmetic — ONE definition for
+    * every audit-sink oracle (ev41/ev44/st36), so the checksum
+    * constants cannot drift between gates (review finding r12b). */
+  private[queries] def fnv64IdFoldSql(idExpr: String): String =
+    s"""list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(generate_series(0, 7),
+       |        i -> (($idExpr >> (8 * i)::INT) & 255)::HUGEINT)),
+       |    (fh, b) -> (xor(fh::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+       |      % 18446744073709551616::HUGEINT)""".stripMargin
+
   private def auditedWrite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"ev41_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"
@@ -2310,13 +2322,8 @@ object Events {
     Seq((n, c)).toDF("n_rows", "checksum")
   }
   private val auditedWriteSql =
-    """WITH h AS (
-      |  SELECT list_reduce(
-      |    list_prepend(14695981039346656037::HUGEINT,
-      |      list_transform(generate_series(0, 7),
-      |        i -> ((doc_id >> (8 * i)::INT) & 255)::HUGEINT)),
-      |    (fh, b) -> (xor(fh::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
-      |      % 18446744073709551616::HUGEINT) AS h
+    s"""WITH h AS (
+      |  SELECT ${fnv64IdFoldSql("doc_id")} AS h
       |  FROM documents)
       |SELECT CAST(cnt AS BIGINT) AS n_rows,
       |  CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
@@ -2360,19 +2367,14 @@ object Events {
       .option("name", name).mode("append").save()
     val (n2, c2) = graft.sources.AuditSink.commits(name)
     Seq(
-      ("clustered_sorted", n1, c1, Some(clustered), Some(sorted)),
+      ("clustered_sorted", n1, c1, clustered, sorted),
       ("appended", n2, c2, None: Option[Boolean], None: Option[Boolean]))
       .toDF("phase", "n_rows", "checksum", "clustering_held", "sorted_within")
       .orderBy(col("phase"))
   }
   private val layoutWriteSql =
-    """WITH h AS (
-      |  SELECT doc_id, list_reduce(
-      |    list_prepend(14695981039346656037::HUGEINT,
-      |      list_transform(generate_series(0, 7),
-      |        i -> ((doc_id >> (8 * i)::INT) & 255)::HUGEINT)),
-      |    (fh, b) -> (xor(fh::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
-      |      % 18446744073709551616::HUGEINT) AS h
+    s"""WITH h AS (
+      |  SELECT doc_id, ${fnv64IdFoldSql("doc_id")} AS h
       |  FROM documents),
       |sgn AS (
       |  SELECT 'clustered_sorted' AS phase, count(*) AS cnt,

@@ -1520,20 +1520,21 @@ object StreamQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // a zero-row trailing epoch is legal engine behavior (a no-data
+    // micro-batch still commits); it carries no audit content and the
+    // oracle derives epochs from the id space, so the judged ledger is
+    // the non-empty epochs — query and oracle agree under either engine
+    // behavior (review finding r12b: the spec already hedged this way,
+    // the query must too)
     graft.sources.AuditSink.epochCommits(name).toSeq
-      .map { case (e, (n, c)) => (e, n, c) }
+      .collect { case (e, (n, c)) if n > 0 => (e, n, c) }
       .toDF("epoch", "n_rows", "checksum")
       .orderBy(col("epoch"))
   }
   private val streamAuditWriteSql =
-    """WITH ids AS (SELECT unnest(generate_series(0, 19999)) AS id),
+    s"""WITH ids AS (SELECT unnest(generate_series(0, 19999)) AS id),
       |h AS (
-      |  SELECT id // 4096 AS epoch, list_reduce(
-      |    list_prepend(14695981039346656037::HUGEINT,
-      |      list_transform(generate_series(0, 7),
-      |        i -> ((id >> (8 * i)::INT) & 255)::HUGEINT)),
-      |    (fh, b) -> (xor(fh::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
-      |      % 18446744073709551616::HUGEINT) AS h
+      |  SELECT id // 4096 AS epoch, ${Events.fnv64IdFoldSql("id")} AS h
       |  FROM ids)
       |SELECT epoch::BIGINT AS epoch, CAST(cnt AS BIGINT) AS n_rows,
       |  CAST(CASE WHEN x >= 9223372036854775808::HUGEINT

@@ -78,8 +78,11 @@ object AuditSink {
     * pipeline-observable; only commit paths write here. */
   val commits = new TrieMap[String, (Long, Long)]
   /** Write-layout audit for the last committed batch write that requested
-    * distribution/ordering: name -> (clusteringHeld, sortedWithinTasks). */
-  val layout = new TrieMap[String, (Boolean, Boolean)]
+    * distribution/ordering: name -> (clusteringHeld, sortedWithinTasks).
+    * Each verdict is present ONLY for the property the write actually
+    * demanded — a sortBy-only write must not publish a clustering
+    * verdict nothing measured (review finding r12b). */
+  val layout = new TrieMap[String, (Option[Boolean], Option[Boolean])]
   /** Per-epoch streaming audits: name -> epoch -> (rows, checksum). */
   val epochCommits = new TrieMap[String, scala.collection.immutable.SortedMap[Long, (Long, Long)]]
   /** Names whose writes were aborted (observability for the drill). */
@@ -195,7 +198,9 @@ private class AuditBatchWrite(name: String, explode: Boolean, replace: Boolean,
       case Some((r0, c0)) => Some((r0 + rows, c0 ^ sum))
       case None           => Some((rows, sum))
     }
-    if (dIdx >= 0 || sIdx >= 0) AuditSink.layout.put(name, (clustered, sorted))
+    if (dIdx >= 0 || sIdx >= 0) AuditSink.layout.put(name,
+      (if (dIdx >= 0) Some(clustered) else None,
+        if (sIdx >= 0) Some(sorted) else None))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     AuditSink.aborts.updateWith(name) { c => Some(c.getOrElse(0) + 1) }

@@ -524,8 +524,15 @@ class SourcesSpec extends SparkSpec {
       .mode("overwrite").save()
     assert(AuditSink.commits.get("t_layout").contains(xorFold(0 until 5000)),
       "the inserted exchange/sort must not change the written data")
-    assert(AuditSink.layout.get("t_layout").contains((true, true)),
+    assert(AuditSink.layout.get("t_layout").contains((Some(true), Some(true))),
       "clustered distribution must keep every key in one task, sorted within")
+    // a sortBy-only demand publishes NO clustering verdict — nothing
+    // measured it (review finding r12b)
+    spark.range(0, 100).select($"id")
+      .write.format(AuditSink.Format)
+      .option("name", "t_sortonly").option("sortBy", "id")
+      .mode("overwrite").save()
+    assert(AuditSink.layout.get("t_sortonly").contains((None, Some(true))))
   }
 
   test("write layout fold: a split key or unsorted task is DETECTED, not assumed") {
