@@ -210,15 +210,17 @@ object Dedup {
     * frequency) the ubiquitous tokens — the quadratic fan-out of the
     * exhaustive inverted-index join — sort to the END of every doc and
     * never enter a prefix: at t=0.8 the join sees ~20% of the postings
-    * and none of the stopword blowup (measured on dd20's truth pass at
-    * sf0.1: 98 → 8 s; the exhaustive form burned 930 task-CPU-seconds
-    * expanding stopword posting lists into pairs that the Jaccard filter
-    * then discarded). Candidates then verify EXACTLY (size filter
-    * min ≥ t·max first, then a real token-set intersection), so the
-    * output is bit-identical to [[exhaustiveJaccardPairs]] — DedupSpec
-    * pins the equivalence; every float ⌈t·n⌉ rounds DOWN by ε so fp
-    * noise can only lengthen a prefix (extra candidates), never drop a
-    * true pair. This is the 100 TB posture for exact near-dup truth:
+    * and none of the stopword blowup (the exhaustive form burned 930
+    * task-CPU-seconds at sf0.1 expanding stopword posting lists into
+    * pairs the Jaccard filter then discarded; dd20 98 → 16.5 s, dd21's
+    * uncapped metric infeasible → 11.5 s). Candidates then verify with
+    * a size filter (min ≥ t·max) and an exact intersection of the two
+    * docs' sorted 64-bit token-hash sets — the [[exactByHash]]
+    * collision posture (P ≈ n²/2⁶⁵ per pair), so output equals
+    * [[exhaustiveJaccardPairs]] up to that astronomically-rare hash
+    * collision; DedupSpec pins the equivalence on real corpora. Every
+    * float ⌈t·n⌉ rounds DOWN by ε so fp noise can only lengthen a
+    * prefix (extra candidates), never drop a true pair. This is the 100 TB posture for exact near-dup truth:
     * the exhaustive join's cost is set by the most common token
     * (quadratic, cap-sensitive), the prefix join's by actual near-dup
     * density.
@@ -252,12 +254,17 @@ object Dedup {
     val post = tokenPostings(docs, idCol, textCol, maxDf, shingles)
     // canonical rarest-first order: (df, tok) — total, global, and the
     // same for every doc, which is all prefix completeness requires
+    // one ckpt'd pass carries BOTH payloads: the rarest-first token
+    // order (prefix source) and the sorted hash set (verify payload) —
+    // deriving the hash set outside the ckpt would recompute the
+    // per-token hashing and per-doc sort once per verify-join side
     val byDoc = ckpt(post
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
       .select(col("doc_id"),
         transform(col("o"), s => s.getField("tok")).as("toks"))
-      .withColumn("n_tok", size(col("toks"))))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("hs", sort_array(transform(col("toks"), t => xxhash64(t)))))
     def alpha(n: Column): Column = ceil(n * lit(threshold) - lit(1e-9))
     val pref = byDoc
       .withColumn("p", (col("n_tok") - alpha(col("n_tok")) + 1).cast("int"))
@@ -272,16 +279,12 @@ object Dedup {
           col("b.n_tok") >= alpha(col("a.n_tok")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // verification payload: sorted 64-bit token-hash sets, so the
-    // per-pair intersection is the codegen'd two-pointer merge over
-    // primitive longs ([[HashExprs.sortedIntersectSize]] — the
-    // minhashDupPairs exact-verify convention, same collision posture as
-    // [[exactByHash]]; measured at sf1 the string array_intersect form
-    // spent 1 540 task-CPU-seconds in this stage). Tokens are distinct
-    // per doc, so |hash set| = n_tok.
-    val sets = byDoc.select(col("doc_id"),
-      sort_array(transform(col("toks"), t => xxhash64(t))).as("hs"),
-      col("n_tok"))
+    // per-pair intersection = the codegen'd two-pointer merge over the
+    // ckpt'd primitive-long hash sets ([[HashExprs.sortedIntersectSize]]
+    // — the minhashDupPairs exact-verify convention; the string
+    // array_intersect form spent 1 540 task-CPU-seconds at sf1 in this
+    // stage). Tokens are distinct per doc, so |hs| = n_tok.
+    val sets = byDoc.select(col("doc_id"), col("hs"), col("n_tok"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a"),
         col("n_tok").as("na")), "id_a")

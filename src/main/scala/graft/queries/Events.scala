@@ -2287,16 +2287,6 @@ object Events {
       |  CAST(sum(id % 97 + 3) AS BIGINT) AS n_tokens
       |FROM ids GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
-  /** ev41: the V2 WRITE path under the hash gate ([[graft.sources.AuditSink]]):
-    * push the documents' ids through the audit sink's full commit
-    * protocol (per-task partial audits surfaced only via commit
-    * messages, one atomic publish) and return the committed record. The
-    * oracle recomputes the same (count, XOR-folded FNV-1a of each id's
-    * 8 LE bytes) from SQL in HUGEINT mod-2⁶⁴ arithmetic — so the gate
-    * checks what the distributed writers actually accumulated through
-    * task commit/abort, partitioning-independent by construction.
-    * SourcesSpec pins the protocol edges (atomic abort, retry safety).
-    */
   /** DuckDB mirror of [[graft.sources.AuditSink.fnv64]] over a BIGINT
     * expression, in HUGEINT mod-2⁶⁴ arithmetic — ONE definition for
     * every audit-sink oracle (ev41/ev44/st36), so the checksum
@@ -2309,6 +2299,16 @@ object Events {
        |    (fh, b) -> (xor(fh::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
        |      % 18446744073709551616::HUGEINT)""".stripMargin
 
+  /** ev41: the V2 WRITE path under the hash gate ([[graft.sources.AuditSink]]):
+    * push the documents' ids through the audit sink's full commit
+    * protocol (per-task partial audits surfaced only via commit
+    * messages, one atomic publish) and return the committed record. The
+    * oracle recomputes the same (count, XOR-folded FNV-1a of each id's
+    * 8 LE bytes) from SQL in HUGEINT mod-2⁶⁴ arithmetic — so the gate
+    * checks what the distributed writers actually accumulated through
+    * task commit/abort, partitioning-independent by construction.
+    * SourcesSpec pins the protocol edges (atomic abort, retry safety).
+    */
   private def auditedWrite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val name = s"ev41_${dir.replaceAll("[^A-Za-z0-9]+", "_")}"

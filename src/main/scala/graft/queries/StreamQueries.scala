@@ -1520,14 +1520,18 @@ object StreamQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // a zero-row trailing epoch is legal engine behavior (a no-data
-    // micro-batch still commits); it carries no audit content and the
-    // oracle derives epochs from the id space, so the judged ledger is
-    // the non-empty epochs — query and oracle agree under either engine
-    // behavior (review finding r12b: the spec already hedged this way,
-    // the query must too)
+    // Judged ledger = the non-empty commits RE-ENUMERATED in engine
+    // epoch order: a no-data micro-batch is legal engine behavior
+    // (trailing today, and nothing forbids a mid-stream one), carries no
+    // audit content, and must neither add a row the oracle lacks nor
+    // shift later labels off the oracle's id-derived slices (review
+    // finding r12b, both halves). Offsets only move forward, so the
+    // k-th non-empty commit covers exactly the k-th id slice — the gate
+    // still pins ordering, slicing, and every per-epoch checksum.
     graft.sources.AuditSink.epochCommits(name).toSeq
-      .collect { case (e, (n, c)) if n > 0 => (e, n, c) }
+      .collect { case (_, (n, c)) if n > 0 => (n, c) }
+      .zipWithIndex
+      .map { case ((n, c), i) => (i.toLong, n, c) }
       .toDF("epoch", "n_rows", "checksum")
       .orderBy(col("epoch"))
   }

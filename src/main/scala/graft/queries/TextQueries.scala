@@ -40,24 +40,38 @@ object TextQueries {
   private def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables(spark, dir).documents, threshold = 0.8, maxDf = 400L)
       .orderBy(col("id_a"), col("id_b"))
-  private val dedupJaccardSql =
-    """WITH tok AS (
-      |  SELECT doc_id, tok FROM (
-      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
-      |    FROM documents) t WHERE length(tok) > 0),
-      |capped AS (
-      |  SELECT doc_id, tok FROM tok
-      |  WHERE tok IN (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 400)),
-      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM capped GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      |  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b, n_common,
-      |  CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
-      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
-      |ORDER BY id_a, id_b""".stripMargin
+  /** ONE oracle definition for the exact-Jaccard gates: dd02 (df cap
+    * 400) and dd21 (uncapped) differ ONLY in the postings CTE the pair
+    * join reads — a shared builder keeps the tokenization regex, the
+    * empty-token filter, and the score arithmetic from ever drifting
+    * between the two (review finding r12b, the fnv64IdFoldSql pattern).
+    */
+  private def jaccardOracleSql(maxDf: Option[Long]): String = {
+    val postings = maxDf match {
+      case Some(cap) =>
+        s"""capped AS (
+           |  SELECT doc_id, tok FROM tok
+           |  WHERE tok IN (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= $cap)),""".stripMargin
+      case None => ""
+    }
+    val src = if (maxDf.isDefined) "capped" else "tok"
+    s"""WITH tok AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\\t\\n\\x0B\\f\\r ]+')) AS tok
+       |    FROM documents) t WHERE length(tok) > 0),
+       |$postings
+       |sizes AS (SELECT doc_id, count(*) AS n_tok FROM $src GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |  FROM $src a JOIN $src b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_common,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+  private val dedupJaccardSql = jaccardOracleSql(Some(400L))
 
   /** dd21: UNCAPPED exact Jaccard near-dup pairs — what dd02 measures
     * minus its df-cap compromise. The cap keeps the exhaustive
@@ -77,23 +91,8 @@ object TextQueries {
   private def dedupJaccardUncapped(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables(spark, dir).documents, threshold = 0.8,
         maxDf = Long.MaxValue)
-      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
-  private val dedupJaccardUncappedSql =
-    """WITH tok AS (
-      |  SELECT doc_id, tok FROM (
-      |    SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS tok
-      |    FROM documents) t WHERE length(tok) > 0),
-      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b, n_common,
-      |  CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
-      |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.8
-      |ORDER BY id_a, id_b""".stripMargin
+  private val dedupJaccardUncappedSql = jaccardOracleSql(None)
 
   /** dd19: duplicate provenance matrix — dd02's near-dup pair graph
     * rolled up by unordered SOURCE pair: "which corpora duplicate each
