@@ -254,17 +254,12 @@ object Dedup {
     val post = tokenPostings(docs, idCol, textCol, maxDf, shingles)
     // canonical rarest-first order: (df, tok) — total, global, and the
     // same for every doc, which is all prefix completeness requires
-    // one ckpt'd pass carries BOTH payloads: the rarest-first token
-    // order (prefix source) and the sorted hash set (verify payload) —
-    // deriving the hash set outside the ckpt would recompute the
-    // per-token hashing and per-doc sort once per verify-join side
     val byDoc = ckpt(post
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
       .select(col("doc_id"),
         transform(col("o"), s => s.getField("tok")).as("toks"))
-      .withColumn("n_tok", size(col("toks")))
-      .withColumn("hs", sort_array(transform(col("toks"), t => xxhash64(t)))))
+      .withColumn("n_tok", size(col("toks"))))
     def alpha(n: Column): Column = ceil(n * lit(threshold) - lit(1e-9))
     val pref = byDoc
       .withColumn("p", (col("n_tok") - alpha(col("n_tok")) + 1).cast("int"))
@@ -279,12 +274,20 @@ object Dedup {
           col("b.n_tok") >= alpha(col("a.n_tok")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // per-pair intersection = the codegen'd two-pointer merge over the
-    // ckpt'd primitive-long hash sets ([[HashExprs.sortedIntersectSize]]
+    // per-pair intersection = the codegen'd two-pointer merge over
+    // sorted primitive-long hash sets ([[HashExprs.sortedIntersectSize]]
     // — the minhashDupPairs exact-verify convention; the string
     // array_intersect form spent 1 540 task-CPU-seconds at sf1 in this
-    // stage). Tokens are distinct per doc, so |hs| = n_tok.
-    val sets = byDoc.select(col("doc_id"), col("hs"), col("n_tok"))
+    // stage). The hash sets are a PROJECTION off the ckpt'd byDoc, so
+    // the hashing+sort runs once per verify-join side — deliberately:
+    // materializing hs inside the ckpt instead (one compute) doubles
+    // the checkpoint block footprint and measured dd20 16.5 → 41.8 s
+    // solo-BenchDebug from the extra cache/GC pressure; the codegen'd
+    // recompute is the cheaper side of that trade. Tokens are distinct
+    // per doc, so |hs| = n_tok.
+    val sets = byDoc.select(col("doc_id"),
+      sort_array(transform(col("toks"), t => xxhash64(t))).as("hs"),
+      col("n_tok"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a"),
         col("n_tok").as("na")), "id_a")
