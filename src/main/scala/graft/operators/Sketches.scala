@@ -234,6 +234,27 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[cmsSketch]] built from a pre-aggregated (key, count) table instead
+    * of the raw occurrence stream: cell(s, idx) = Σ count over the keys
+    * hashing there — identical output (CMS increments one cell per
+    * occurrence per depth; grouping occurrences by key first commutes
+    * with the sum). For a consumer that ALSO needs the per-key counts
+    * (sx01's true-count probes), this turns the sketch's second full
+    * corpus pass into a reuse of the counts aggregate's exchange —
+    * the d-way explode then fans out |keys| rows, not |occurrences|.
+    */
+  def cmsSketchFromCounts(counts: DataFrame, key: Column, cnt: Column,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && d <= 8, s"d must be in [1,8], got $d")
+    require(w >= 2, s"w must be >= 2, got $w")
+    counts.select(key.as("k"), cnt.as("c"))
+      .where(col("k").isNotNull)
+      .select(col("k"), col("c"), explode(lit((0 until d).toArray)).as("s"))
+      .select(col("s"), cellIdx(col("k"), col("s"), w).as("idx"), col("c"))
+      .groupBy(col("s"), col("idx"))
+      .agg(sum(col("c")).as("cnt"))
+  }
+
   // ---------------------------------------------------------------------
   // Bloom filter (Bloom 1970, "Space/time trade-offs in hash coding with
   // allowable errors")

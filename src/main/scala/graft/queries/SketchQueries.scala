@@ -121,8 +121,18 @@ object SketchQueries {
     val grams = Tables(spark, dir).documents
       .select(explode(gramCol(2)).as("g"))
       .where(length(col("g")) > 0)
-    val sketch = Sketches.cmsSketch(grams, col("g"), CmsD, CmsW)
-    val probes = grams.groupBy(col("g")).agg(count(lit(1)).as("true_cnt"))
+    // ONE corpus tokenize+count pass serves both the sketch and the
+    // probes: the sketch cells are Σ per-gram counts
+    // ([[Sketches.cmsSketchFromCounts]] — identical cells by sum
+    // commutativity), so both consumers sit above the same groupBy(g)
+    // aggregate and ReuseExchange shares its shuffle. Before (r12
+    // baseline plan): two Scan→Generate→HashAggregate corpus passes,
+    // 2.8 s; the second pass re-tokenized every document just to
+    // re-count occurrences the first pass had already grouped.
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("true_cnt"))
+    val sketch = Sketches.cmsSketchFromCounts(
+      counts, col("g"), col("true_cnt"), CmsD, CmsW)
+    val probes = counts
       .orderBy(col("true_cnt").desc, col("g"))
       .limit(100)
       .withColumnRenamed("g", "gram")
@@ -187,9 +197,30 @@ object SketchQueries {
       .where(length(col("g")) > 0)
     val sketch = persistSwap(Sketches.kmvSketch(grams, col("g"), "source", KmvK))
     val est = Sketches.kmvOverlap(sketch, "source", KmvK)
-    val dist = grams.distinct()
-    val exact = dist.toDF("src_a", "g").join(dist.toDF("src_b", "g2"),
-        col("g") === col("g2") && col("src_a") < col("src_b"))
+    // exact_common(a,b) = |{distinct grams present in BOTH a and b}|.
+    // The r12-baseline form computed it as a self-join of
+    // grams.distinct() on the gram string — the optimizer, sizing the
+    // post-explode distinct from the (small) parquet scan estimate,
+    // BROADCAST the full multi-million-row trigram set (plan: a
+    // BroadcastExchange over the Generate→HashAggregate subtree, built
+    // twice since the renamed join aliases defeat ReuseExchange). The
+    // broadcast build was the query's dominant cost and its in-bench
+    // GC-pressure amplifier (guide §3.1: estimates after explode are
+    // unreliable). Here: ONE groupBy(g) pass collects each gram's
+    // source set map-side (collect_set dedups, so no separate
+    // distinct()), then sorted in-set pairs (src_a < src_b by string
+    // order — exactly the join's inequality) count per pair. No join,
+    // no broadcast, the gram strings cross one exchange once; the pair
+    // fan-out is ≤ C(|sources|,2) per gram.
+    val ss = col("ss")
+    val pairsOfSet = flatten(transform(ss, (a, i) =>
+      transform(slice(ss, i + lit(2), greatest(size(ss) - i - lit(1), lit(0))),
+        b => struct(a.as("src_a"), b.as("src_b")))))
+    val exact = grams
+      .groupBy(col("g")).agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(ss) >= 2)
+      .select(explode(pairsOfSet).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("exact_common"))
     est.join(exact, Seq("src_a", "src_b"), "left")
