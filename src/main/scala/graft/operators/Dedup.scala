@@ -265,8 +265,20 @@ object Dedup {
       .withColumn("p", (col("n_tok") - alpha(col("n_tok")) + 1).cast("int"))
       .select(col("doc_id"), col("n_tok"),
         explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
-      // same work≠bytes lesson as pairCounts: pin the join width
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("tok"))
+      // same work≠bytes lesson as pairCounts: pin the join width — but
+      // spread by (tok, doc_id), NOT tok alone. The candidate join's
+      // per-token work is quadratic in the token's prefix-posting list,
+      // so hashing on tok alone concentrates the hottest tokens' pair
+      // expansion in a few partitions (measured on dd21 at sf0.1: the
+      // join stage ran ~6-wide on 32 cores, 27.7 task-s for a 4.7 s
+      // wall). The build side is collected whole for the broadcast hash
+      // join (every probe partition sees all matching postings), so the
+      // probe side's partitioning is free to optimize for spread; under
+      // a future shuffle-join regime Spark re-exchanges both sides by
+      // tok above this one (prefix postings are ~20% of corpus tokens —
+      // a linear, small shuffle).
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("tok"), col("doc_id"))
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
@@ -274,6 +286,16 @@ object Dedup {
           col("b.n_tok") >= alpha(col("a.n_tok")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+      // Pin the VERIFY width: the distinct's output is small in BYTES
+      // (16 B/pair — tens of MB), so AQE's size-based coalescing folds
+      // it under one advisory partition and the downstream per-pair
+      // sorted-set intersection — the CPU-heavy stage — runs 1-wide
+      // (measured inside dd20 at sf0.1: a 6.5 s single-task stage).
+      // Work ≠ bytes, the pairCounts lesson; the explicit numbered
+      // repartition is exempt from coalescing and costs one exchange of
+      // the deduped id pairs.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"), col("id_b"))
     // per-pair intersection = the codegen'd two-pointer merge over
     // sorted primitive-long hash sets ([[HashExprs.sortedIntersectSize]]
     // — the minhashDupPairs exact-verify convention; the string
@@ -509,9 +531,14 @@ object Dedup {
       transform(sequence(lit(0), lit(nHashes - 1)),
         i => array_min(zip_with(col("h1"), col("h2"),
           (a, b) => a + i.cast("long") * b))).as("sig")))
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val truth = ckpt(
       jaccardPairs(docs, threshold, idCol, textCol, maxDf)
         .select(col("id_a"), col("id_b")))
+      // pre-cluster the audit side on the join keys ONCE: every config's
+      // left-outer audit join reuses this one exchange (identical
+      // subplan → ReuseExchange) instead of re-shuffling truth per config
+      .repartition(parallelism, col("id_a"), col("id_b"))
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val fp = 1L << 20
     val perConfig = configs.map { case (bands, rowsPerBand) =>
@@ -532,7 +559,22 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .where(HashExprs.firstEqIndex(col("x.bk"), col("y.bk")) === col("x.band"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      cand.join(truth.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      // Measured NON-fix (r12 optimization round, kept as a record): a
+      // broadcast(truth) hint here — "broadcast the small audit side
+      // instead of shuffling every config's candidate stream into a
+      // SortMergeJoin" — moved dd20 19.3 → 40.0 s at sf0.1. With the
+      // hint, all four configs' audit probes plus their bucket-table
+      // broadcasts materialize CONCURRENTLY as broadcast-future jobs
+      // (one stage measured 52 s of GC); the sequential SMJ form keeps
+      // peak memory at one config's working set. The candidate shuffle
+      // (92 MB for (64,2)) is not this query's bottleneck — the pair
+      // expansion CPU is. What IS worth pinning: the audit join's WIDTH
+      // (candidate bytes are small, so AQE coalesced the sort+join to
+      // 1–3 tasks; work ≠ bytes) — both sides arrive explicitly
+      // clustered on (id_a, id_b) at the session parallelism, so the
+      // SMJ plans with no extra exchange and its sort runs full-wide.
+      cand.repartition(parallelism, col("id_a"), col("id_b"))
+        .join(truth.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_candidates"),
           coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("n_hits"))
         .select(lit(bands).cast("int").as("bands"),
