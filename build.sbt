@@ -39,4 +39,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // share this heap, and the wide LSH/join intermediates at sf0.1 GC-thrash
   // an 8g heap (measured: MinHash dedup 3x slower at 8g than 24g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // Xms=Xmx: avoids adaptive heap-resize churn between the bench's
+  // per-query System.gc() calls (r13). The COLLECTOR stays the JVM
+  // default (G1): ParallelGC was tried against the r12 "interference"
+  // hypothesis — per-stage jvmGCTime drops to ~0 and one sx02 profile
+  // halved — but a 3x-interleaved A/B on the six most GC-suspect
+  // queries measured a wash in wall (PGC median 14.65 s vs G1 15.01 s
+  // for the set), so the non-default flag is not kept.
+  // SPARK_GRAFT_GC remains a measurement override.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ sys.env.get("SPARK_GRAFT_GC").toSeq

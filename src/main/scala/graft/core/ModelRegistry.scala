@@ -44,15 +44,36 @@ object ModelRegistry {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), AnyRef]()
 
+  /** Wall seconds each first-use training run took, keyed by the SERVING
+    * query's bench name (r11 verdict #5 / r12 verdict #6: the registry
+    * must be visible accounting, not a silent warm-up — [[graft.Bench]]
+    * emits these as `<query>_train` entries in its metric line).
+    */
+  private val trainWall =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  def trainSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    trainWall.asScala.toMap
+  }
+
   /** The model under `key` for this session, training it on first use.
     * `train` must return plain driver values ([[Frozen]] frames, tuples
     * of them, Seqs of primitives) — never a live DataFrame/RDD.
+    * `metric`: the serving query's bench name; the first-use training
+    * wall time is recorded under it for the bench's train/serve split.
     */
-  def memo[T <: AnyRef](spark: SparkSession, key: String)(train: => T): T =
+  def memo[T <: AnyRef](spark: SparkSession, key: String, metric: String = "")(
+      train: => T): T =
     cache.computeIfAbsent(
       (System.identityHashCode(spark), key),
-      _ => train).asInstanceOf[T]
+      _ => {
+        val t0 = System.nanoTime()
+        val v = train
+        if (metric.nonEmpty)
+          trainWall.put(metric, (System.nanoTime() - t0) / 1e9)
+        v
+      }).asInstanceOf[T]
 
   /** Test hook: drop every frozen model (forces retraining). */
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = { cache.clear(); trainWall.clear() }
 }

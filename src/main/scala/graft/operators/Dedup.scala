@@ -285,17 +285,20 @@ object Dedup {
           col("a.n_tok") >= alpha(col("b.n_tok")) &&
           col("b.n_tok") >= alpha(col("a.n_tok")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-      // Pin the VERIFY width: the distinct's output is small in BYTES
-      // (16 B/pair — tens of MB), so AQE's size-based coalescing folds
-      // it under one advisory partition and the downstream per-pair
-      // sorted-set intersection — the CPU-heavy stage — runs 1-wide
-      // (measured inside dd20 at sf0.1: a 6.5 s single-task stage).
-      // Work ≠ bytes, the pairCounts lesson; the explicit numbered
-      // repartition is exempt from coalescing and costs one exchange of
-      // the deduped id pairs.
+      // Pin the VERIFY width AND dedup in ONE exchange (r13; was
+      // distinct() followed by a second repartition of the deduped
+      // pairs): the explicit numbered repartition on exactly the dedup
+      // keys is exempt from AQE coalescing — without it the candidate
+      // pairs are small in BYTES (16 B/pair) and size-based coalescing
+      // folded the downstream per-pair sorted-set intersection — the
+      // CPU-heavy stage — to one task (measured inside dd20 at sf0.1: a
+      // 6.5 s single-task stage; work ≠ bytes, the pairCounts lesson).
+      // dropDuplicates ABOVE the repartition reuses its HashPartitioning
+      // (same keys), so the dedup aggregate plans with no extra
+      // exchange: one pair shuffle total where the r12 form paid two.
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("id_a"), col("id_b"))
+      .dropDuplicates(Seq("id_a", "id_b"))
     // per-pair intersection = the codegen'd two-pointer merge over
     // sorted primitive-long hash sets ([[HashExprs.sortedIntersectSize]]
     // — the minhashDupPairs exact-verify convention; the string
@@ -548,16 +551,33 @@ object Dedup {
           slice(col("sig"), j * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
           lit(HashImpl.FnvBasis),
           (acc, v) => acc.bitwiseXOR(v) * lit(HashImpl.FnvPrime)))
+      // Per-row dedup BEFORE any exchange — kept from r12, and
+      // re-validated this round against the "narrow rows + dedup at the
+      // audit exchange" alternative: multi-band duplicate pairs live in
+      // DIFFERENT (band, bucket) partitions, so a dropDuplicates above
+      // the join cannot partially collapse them map-side and every
+      // duplicate crosses the audit exchange whole — measured 767 MB of
+      // candidate shuffle (vs 92 MB deduped) and dd20 19.8 → 28 s.
+      // r13 refinement: the collision row carries only the bands BEFORE
+      // its own (`pfx` = bk[0..band-1]), because "first agreeing band
+      // == this band" ⟺ "no EARLIER band agrees" — the same dedup from
+      // firstEqIndex(pfx_x, pfx_y) == -1 with half the array bytes
+      // copied through the join fan-out on average (the join output is
+      // tens of millions of rows at the (64,2) config; the full-bk form
+      // moved 2×bands longs per row, measured 161 CPU-s in that one
+      // stage).
       val b = sig.select(col("doc_id"), bk.as("bk"))
-        .select(col("doc_id"), col("bk"), posexplode(col("bk")))
+        .select(col("doc_id"), posexplode(col("bk")), col("bk"))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
+        .select(col("doc_id"), col("band"), col("bucket"),
+          slice(col("bk"), lit(1), col("band")).as("pfx"))
       val cand = b.as("x")
         .join(b.as("y"),
           col("x.band") === col("y.band") &&
             col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
-        .where(HashExprs.firstEqIndex(col("x.bk"), col("y.bk")) === col("x.band"))
+        .where(HashExprs.firstEqIndex(col("x.pfx"), col("y.pfx")) === lit(-1))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       // Measured NON-fix (r12 optimization round, kept as a record): a
       // broadcast(truth) hint here — "broadcast the small audit side

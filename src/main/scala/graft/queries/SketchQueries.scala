@@ -32,27 +32,32 @@ object SketchQueries {
     */
   private val lastKmvCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private def persistSwap(df: DataFrame): DataFrame = {
-    val prev = lastKmvCache.get()
+  private val lastSketchCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def persistSwap(
+      slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      df: DataFrame): DataFrame = {
+    val prev = slot.get()
     if (prev != null &&
         prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
       prev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     } else {
       val cached =
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val old = lastKmvCache.getAndSet(cached)
+      val old = slot.getAndSet(cached)
       if (old != null && (old ne cached)) old.unpersist(blocking = false)
       cached
     }
   }
 
-  /** Release the swap-tracked sketch cache (called by [[graft.Bench]]
+  /** Release the swap-tracked sketch caches (called by [[graft.Bench]]
     * before each timed run, like TextQueries/Graph.releaseCaches).
     */
-  def releaseCaches(): Unit = {
-    val prev = lastKmvCache.getAndSet(null)
-    if (prev != null) prev.unpersist(blocking = false)
-  }
+  def releaseCaches(): Unit =
+    Seq(lastKmvCache, lastSketchCache).foreach { slot =>
+      val prev = slot.getAndSet(null)
+      if (prev != null) prev.unpersist(blocking = false)
+    }
 
   /** Whitespace-token split of the null-guarded, lowercased text —
     * `TextFunctions.tokenize` parity (dd05 oracle recipe).
@@ -195,34 +200,93 @@ object SketchQueries {
     val grams = docs
       .select(col("source"), explode(gramCol(3)).as("g"))
       .where(length(col("g")) > 0)
-    val sketch = persistSwap(Sketches.kmvSketch(grams, col("g"), "source", KmvK))
-    val est = Sketches.kmvOverlap(sketch, "source", KmvK)
-    // exact_common(a,b) = |{distinct grams present in BOTH a and b}|.
-    // The r12-baseline form computed it as a self-join of
-    // grams.distinct() on the gram string — the optimizer, sizing the
-    // post-explode distinct from the (small) parquet scan estimate,
-    // BROADCAST the full multi-million-row trigram set (plan: a
-    // BroadcastExchange over the Generate→HashAggregate subtree, built
-    // twice since the renamed join aliases defeat ReuseExchange). The
-    // broadcast build was the query's dominant cost and its in-bench
-    // GC-pressure amplifier (guide §3.1: estimates after explode are
-    // unreliable). Here: ONE groupBy(g) pass collects each gram's
-    // source set map-side (collect_set dedups, so no separate
-    // distinct()), then sorted in-set pairs (src_a < src_b by string
-    // order — exactly the join's inequality) count per pair. No join,
-    // no broadcast, the gram strings cross one exchange once; the pair
-    // fan-out is ≤ C(|sources|,2) per gram.
-    val ss = col("ss")
-    val pairsOfSet = flatten(transform(ss, (a, i) =>
-      transform(slice(ss, i + lit(2), greatest(size(ss) - i - lit(1), lit(0))),
-        b => struct(a.as("src_a"), b.as("src_b")))))
-    val exact = grams
-      .groupBy(col("g")).agg(sort_array(collect_set(col("source"))).as("ss"))
-      .where(size(ss) >= 2)
-      .select(explode(pairsOfSet).as("p"))
-      .select(col("p.src_a"), col("p.src_b"))
+    // ONE corpus pass serves BOTH the KMV sketch and the exact audit
+    // (guide §2.4/§1.2 "how many full passes are unavoidable": one).
+    // History: the r12-baseline exact side self-joined grams.distinct()
+    // (the optimizer broadcast the full multi-million-row trigram set);
+    // r12 switched to groupBy(g).agg(sort_array(collect_set(source))) +
+    // in-set pair expansion — structurally better, but still ran a
+    // SECOND full tokenize pass for the sketch and built one string-set
+    // object per distinct gram, the bench's worst GC amplifier at
+    // local[32] (29.3 s in the judged full bench vs 2.9 s solo).
+    //
+    // Now: sources are a SMALL domain (a corpus has tens of ingest
+    // feeds), so each distinct gram's source set is a BITMASK in one
+    // long — groupBy(g).agg(bit_or(1L << src_idx)) is a primitive-long
+    // hash aggregate with zero per-group object allocation, fully
+    // whole-stage-codegen. The cached pass output is (h = hash64(g),
+    // mask) — 16 bytes per distinct gram, no strings retained:
+    //  - sketch side: explode mask bits back to (source, h) via a
+    //    broadcast bit-test join, distinct, TopKPerKey — identical to
+    //    kmvSketch's (source, hash64(g)) distinct stream, because masks
+    //    are built per distinct STRING gram and h is applied before any
+    //    hash-collision-sensitive step, matching the oracle's
+    //    `SELECT DISTINCT source, h` exactly.
+    //  - exact side: distinct masks collapse to a counted table
+    //    (≤ 2^|sources| rows, in practice a few hundred), and
+    //    exact_common(a,b) = Σ cnt over masks with bits a AND b set —
+    //    a broadcast of the 190-row pair table against the tiny mask
+    //    table. Integer-only; the gram strings cross exactly ONE
+    //    exchange in the whole query (exactness needs the string key).
+    //
+    // fail-loud bound: one long holds 64 source bits. A corpus with
+    // more ingest feeds must fall back to a set representation; a
+    // silent Java shift wraparound (shift count mod 64) would produce
+    // WRONG overlaps. The check rides the 20-row srcIdx plan — zero
+    // cost on the happy path, raise_error on violation.
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("idx",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("source"))) - 1).cast("int"))
+      .withColumn("idx", when(col("idx") < 64, col("idx"))
+        .otherwise(raise_error(
+          lit("sx02 bitmask exact overlap supports at most 64 sources"))
+          .cast("int")))
+    val masks = persistSwap(lastKmvCache, grams
+      .join(broadcast(srcIdx), "source")
+      .groupBy(col("g"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+      .select(Sketches.hash64(col("g")).as("h"), col("mask")))
+    // Per-source sketch as ONE sorted ≤k-element array row: TopKPerKey
+    // bounds what crosses the exchange (k rows per source however large
+    // the vocabulary — the 100 TB posture), then the pairwise overlap
+    // math runs on a 20-row table of 128-long arrays — a single tiny
+    // self-join with codegen'd array expressions, replacing
+    // [[Sketches.kmvOverlap]]'s 4-exchange union/groupBy/window pipeline
+    // for this query (at sf0.1 every exchange is a fixed-latency AQE
+    // query stage; the operator form stays for callers that need the
+    // row-shaped sketch). Semantics are the oracle's `kmv` CTE verbatim:
+    // union the two sketches, dedup, keep the k smallest (slice of the
+    // sorted union), count survivors present in both sides.
+    val skArr = persistSwap(lastSketchCache,
+      graft.plans.TopKPerKey.perKey(
+        masks.join(broadcast(srcIdx), expr("(shiftright(mask, idx) & 1) = 1"))
+          .select(col("source"), col("h"))
+          .distinct(),
+        Seq("source"), Seq(("h", false)), KmvK)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("hs")))
+    val uni = slice(array_sort(array_union(col("ha"), col("hb"))), 1, KmvK)
+    val est = skArr.select(col("source").as("src_a"), col("hs").as("ha"))
+      .join(skArr.select(col("source").as("src_b"), col("hs").as("hb")),
+        col("src_a") < col("src_b"))
+      .withColumn("uni", uni)
+      .select(col("src_a"), col("src_b"),
+        size(col("uni")).cast("long").as("n_union_k"),
+        element_at(col("uni"), size(col("uni"))).as("kth_min"),
+        size(array_intersect(array_intersect(col("uni"), col("ha")),
+          col("hb"))).cast("long").as("n_common"))
+      .withColumn("est_jacc_bp",
+        floor(lit(10000) * col("n_common") / col("n_union_k")).cast("long"))
+    val maskCnt = masks.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+    val pairTab = srcIdx.select(col("source").as("src_a"), col("idx").as("ia"))
+      .join(srcIdx.select(col("source").as("src_b"), col("idx").as("ib")),
+        col("src_a") < col("src_b"))
+    val exact = maskCnt
+      .join(broadcast(pairTab),
+        expr("(shiftright(mask, ia) & 1) = 1 AND (shiftright(mask, ib) & 1) = 1"))
       .groupBy(col("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("exact_common"))
+      .agg(sum(col("cnt")).as("exact_common"))
     est.join(exact, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"), col("n_union_k"), col("kth_min"),
         col("n_common"), col("est_jacc_bp"),
@@ -292,13 +356,21 @@ object SketchQueries {
     val grams = Tables(spark, dir).documents
       .select(col("source"), explode(gramCol(3)).as("g"))
       .where(length(col("g")) > 0)
-    // no pre-distinct on the sketch path: max(rank) is idempotent over
-    // duplicate grams, so HLL never needs the distinct's full-gram
-    // shuffle — that's the point of the sketch (the exact side below
-    // still dedupes; it is the audit contrast).
-    val regs = Sketches.hllRegisters(grams, col("g"), Seq("source"), HllP)
+    // ONE tokenize pass (r13; guide §1.2/§2.4): the r12 form tokenized
+    // the corpus twice — once for the register build, once for the
+    // exact-distinct audit. Both sides need per-(source, g) DISTINCT
+    // semantics (max(rank) is idempotent over duplicates, so a
+    // pre-distinct is harmless to the sketch and required by the
+    // audit), so both now read the same checkpointed distinct pass:
+    // the gram strings are tokenized once and cross one exchange once.
+    // At 100 TB the sketch-only path would skip the distinct (that IS
+    // the sketch's point) — but this query carries the exact audit
+    // column by definition, so the distinct exchange is already its
+    // floor; sharing it is strictly less work.
+    val sg = graft.operators.Dedup.ckpt(grams.distinct())
+    val regs = Sketches.hllRegisters(sg, col("g"), Seq("source"), HllP)
     val summary = hllSummary(regs, "source")
-    val exact = grams.distinct().groupBy(col("source"))
+    val exact = sg.groupBy(col("source"))
       .agg(count(lit(1)).as("exact_distinct"))
     summary.join(exact, "source")
       .select(col("source"), col("n_set"), col("max_rank"), col("sum_rank"),
@@ -382,13 +454,33 @@ object SketchQueries {
     val grams = Tables(spark, dir).documents
       .select(explode(gramCol(3)).as("g"))
       .where(length(col("g")) > 0)
-    val filter = Sketches.bloomBits(grams, col("g"), BloomM, BloomD)
-    val top = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    // ONE tokenize pass (r13, the sx01 cmsSketchFromCounts move): the
+    // filter's bit_or is idempotent over duplicate grams, so building
+    // it from the (g, cnt) aggregate's distinct keys sets exactly the
+    // same bits as building it from the raw occurrence stream — and the
+    // top-50 probes need that aggregate anyway, so ReuseExchange shares
+    // the single corpus pass instead of tokenizing twice. The
+    // `cnt > 0` predicate is a REUSE GUARD, not a filter (count(*) per
+    // group is ≥ 1 by construction): without a reference to cnt,
+    // column pruning rewrites the filter branch's aggregate to a bare
+    // distinct whose exchange no longer matches the probes branch's
+    // count aggregate, and the executed plan runs TWO tokenize towers
+    // again (caught in plans/r13/sx04_bloom_contain_after.txt, first
+    // attempt).
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val filter = Sketches.bloomBits(
+      counts.where(col("cnt") > 0), col("g"), BloomM, BloomD)
+    val top = counts
       .orderBy(col("cnt").desc, col("g"))
       .limit(50)
-    val probes = top.select(col("g").as("gram"), lit(true).as("present"))
-      .unionAll(top.select(concat(col("g"), lit("§")).as("gram"),
-        lit(false).as("present")))
+    // one 2-element explode per top row instead of unionAll of two
+    // selects off `top`: the union form REBUILDS the whole
+    // tokenize→count→top-50 tower once per branch (plan-verified)
+    val probes = top.select(explode(array(
+        struct(col("g").as("gram"), lit(true).as("present")),
+        struct(concat(col("g"), lit("§")).as("gram"),
+          lit(false).as("present")))).as("p"))
+      .select(col("p.gram").as("gram"), col("p.present").as("present"))
     Sketches.bloomProbe(filter, probes, col("gram"), BloomM, BloomD)
       .select(col("gram"), col("present"), col("maybe"))
       .orderBy(col("present").desc, col("gram"))

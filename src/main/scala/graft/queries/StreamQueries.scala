@@ -1003,7 +1003,7 @@ object StreamQueries {
     */
   private def streamQualityScore(spark: SparkSession, dir: String): DataFrame = {
     val (statsF, wF) = graft.core.ModelRegistry.memo(
-        spark, s"st24_logreg:$dir") {
+        spark, s"st24_logreg:$dir", metric = "st24_stream_quality_score") {
       val (st, _, wt) = TextQueries.logRegTrain(spark, dir)
       (graft.core.ModelRegistry.freeze(st), graft.core.ModelRegistry.freeze(wt))
     }
@@ -1332,7 +1332,8 @@ object StreamQueries {
   private def streamAnnServe(spark: SparkSession, dir: String): DataFrame = {
     val emb = graft.core.Tables(spark, dir).embeddings
     val centroids = graft.core.ModelRegistry.memo(
-        spark, s"st29_ivf_centroids_16x5:$dir") {
+        spark, s"st29_ivf_centroids_16x5:$dir",
+        metric = "st29_stream_ann_serve") {
       graft.core.ModelRegistry.freeze(
         graft.operators.Similarity.kmeansCentroids(emb, nCells = 16, rounds = 5))
     }.toDF(spark)
