@@ -16,10 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSession {
   /** Initial (pre-AQE-coalesce) shuffle width derived from the input
-    * fixture's on-disk size: ~1 partition per MB, clamped to
-    * [cpus, 4096]. Returns None when `SPARK_GRAFT_SF_DIR` is unset or
-    * not a readable local directory (tests, externally built sessions) —
-    * callers then fall back to the conservative cpus*8 constant.
+    * fixture's on-disk size: ~1 partition per MB of input, floored at
+    * cpus*2 and capped at 4096. The floor keeps 2× load-balancing
+    * headroom for CPU-dense small-byte stages (work ≠ bytes: with
+    * exactly cpus partitions one straggler task sets the stage wall);
+    * the per-MB growth is the scale-adaptive part (a 10× input gets a
+    * 10× wider start, which the flat r12 cpus*8 constant could not do);
+    * the cap bounds shuffle block count (guide §2.2). Returns None when
+    * `SPARK_GRAFT_SF_DIR` is unset or not a readable local directory
+    * (tests, externally built sessions) — callers then fall back to the
+    * conservative cpus*8 constant.
     */
   private[core] def inputDerivedPartitions(cpus: Int): Option[Int] =
     sys.env.get("SPARK_GRAFT_SF_DIR").flatMap { d =>
@@ -32,7 +38,8 @@ object GraftSession {
         else {
           val bytes = sz(root)
           if (bytes <= 0L) None
-          else Some(math.min(4096L, math.max(cpus.toLong, bytes >> 20)).toInt)
+          else Some(math.min(4096L,
+            math.max(cpus.toLong * 2, bytes >> 20)).toInt)
         }
       } catch { case _: Exception => None }
     }

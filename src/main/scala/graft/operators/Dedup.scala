@@ -1269,8 +1269,8 @@ object Dedup {
     val spark = pairs.sparkSession
     // both keys: AQE derives an exchange's pre-coalesce width from
     // initialPartitionNum when the session sets one, so clamping only
-    // shuffle.partitions would be ignored under the session's 8×-cores
-    // adaptive default
+    // shuffle.partitions would be ignored under the session's
+    // input-derived adaptive default (GraftSession.inputDerivedPartitions)
     val partKeys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
