@@ -242,6 +242,12 @@ object Sketches {
     * (sx01's true-count probes), this turns the sketch's second full
     * corpus pass into a reuse of the counts aggregate's exchange —
     * the d-way explode then fans out |keys| rows, not |occurrences|.
+    *
+    * Input contract (advisor r12): one row per key with a non-null
+    * count — exactly what a `groupBy(key).count()` produces. A key
+    * repeated across rows double-counts and a null count is silently
+    * skipped; SketchesSpec pins cmsSketchFromCounts == cmsSketch on a
+    * well-formed aggregate.
     */
   def cmsSketchFromCounts(counts: DataFrame, key: Column, cnt: Column,
       d: Int = 4, w: Int = 1024): DataFrame = {

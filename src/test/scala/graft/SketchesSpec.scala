@@ -70,6 +70,21 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cmsSketchFromCounts over a (key, count) aggregate equals cmsSketch over the raw stream") {
+    // the sx01 contract (advisor r12): identical cells when the input is
+    // well-formed — one row per key, non-null count (exactly what a
+    // groupBy(key).count() feeds it)
+    val rows = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(i % 5 + 1)(w) }
+    val occ = rows.toDF("k")
+    val counts = occ.groupBy($"k").agg(count(lit(1)).as("cnt"))
+    val d = 4; val w = 64
+    val fromRaw = Sketches.cmsSketch(occ, $"k", d, w)
+      .as[(Int, Int, Long)].collect().toSet
+    val fromCounts = Sketches.cmsSketchFromCounts(counts, $"k", $"cnt", d, w)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(fromCounts == fromRaw)
+  }
+
   test("cmsSketch merge law and cmsLookup never underestimates") {
     // multiset: word i appears (i % 7) + 1 times
     val rows = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(i % 7 + 1)(w) }
